@@ -27,7 +27,8 @@ object SparkEntry {
     sum(c.cast("decimal(18,2)")).cast("double")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val base: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----- A1/A2-class grouped aggregation (TPC-H Q1 shape) ------------
     // Reference analogue: patterns.py:133-159 (grouped counts/rollups).
     "q1_pricing_summary" -> ((s, dir) => {
@@ -42,8 +43,9 @@ object SparkEntry {
             .cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
-    })
-  )
+    }))
+    base ++ graft.queries.Relational.queries ++ graft.queries.Graph.queries
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -58,5 +60,5 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin
-  )
+  ) ++ graft.queries.Relational.oracles ++ graft.queries.Graph.oracles
 }
