@@ -44,7 +44,9 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }))
-    base ++ graft.queries.Relational.queries ++ graft.queries.Graph.queries
+    base ++ graft.queries.Relational.queries ++ graft.queries.Graph.queries ++
+      graft.queries.TextAnalysis.queries ++ graft.queries.Dedup.queries ++
+      graft.queries.Ann.queries
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -60,5 +62,7 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin
-  ) ++ graft.queries.Relational.oracles ++ graft.queries.Graph.oracles
+  ) ++ graft.queries.Relational.oracles ++ graft.queries.Graph.oracles ++
+    graft.queries.TextAnalysis.oracles ++ graft.queries.Dedup.oracles ++
+    graft.queries.Ann.oracles
 }

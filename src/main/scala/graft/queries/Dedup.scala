@@ -1,0 +1,221 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextHash._
+
+/** Deduplication operators over `documents` / `embeddings` — exact
+  * hash dedup, exact n-gram Jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup.
+  *
+  * Scale design (100 TB):
+  *   - exact dedup is a single hash-partition shuffle on the content
+  *     digest — the canonical first pass;
+  *   - n-gram Jaccard all-pairs is quadratic in the worst case; it is
+  *     the *verifier*, run only on candidate pairs. The standalone
+  *     query exists as the oracle-checkable ground truth at test scale;
+  *   - MinHash+LSH is the scale path: signature cost is linear in
+  *     shingle count, banding turns pair discovery into an equi-join
+  *     (shuffle on band key), and only band-collision candidates reach
+  *     the Jaccard verifier. Hot bands (boilerplate docs) would be
+  *     count-capped at real scale;
+  *   - SimHash packs a document into one 60-bit word; the pigeonhole
+  *     band join finds hamming-≤k pairs without comparing all pairs;
+  *   - all hashes derive from md5 via [[graft.functions.TextHash.h60]],
+  *     so signatures are engine-independent and every stage (not just
+  *     the final pair list) is oracle-checkable in DuckDB.
+  */
+object Dedup {
+
+  private val JaccardThreshold = 0.8
+  private val NumPerms = 32 // 16 bands × 2 rows: P(miss | J=0.8) ≈ (1-0.64)^16 ≈ 1e-7
+  private val NumBands = 16
+  private val RowsPerBand = 2
+
+  /** (doc_id, shingle) distinct pairs. */
+  private def shingleRows(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("s"))
+
+  /** Exact pair Jaccard over distinct 3-token shingles for pairs
+    * sharing ≥1 shingle; emits pairs with J ≥ threshold. */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleRows(s, d)
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val ov = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("overlap"))
+    ov.join(cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("overlap").cast("double") / (col("na") + col("nb") - col("overlap")).cast("double"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** DuckDB mirror of [[jaccardPairs]]. */
+  private val jaccardPairsSql =
+    s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, s FROM (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ts)-2),
+       |                                       i -> array_to_string(ts[i:i+2],' '))) AS s
+       |  FROM tok)),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS overlap
+       |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |j AS (SELECT doc_a, doc_b,
+       |        CAST(overlap AS DOUBLE) / CAST(ca.n + cb.n - overlap AS DOUBLE) AS jaccard
+       |      FROM ov JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= $JaccardThreshold""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: normalize → md5 → first doc_id per digest wins.
+    "d_exact_dedup" -> ((s, d) => {
+      val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+      val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), md5(norm).as("content_hash"))
+        .withColumn("rn", row_number().over(w))
+        .select(col("doc_id"), col("content_hash"), (col("rn") === 1).as("is_keeper"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Ground-truth near-dup: exact n-gram Jaccard ≥ 0.8 over all
+    // shingle-sharing pairs.
+    "d_ngram_jaccard" -> ((s, d) =>
+      jaccardPairs(s, d).orderBy(col("doc_a"), col("doc_b"))),
+
+    // MinHash+LSH: 32 md5-derived affine permutations → 16 bands × 2
+    // rows → band-collision candidates → exact-Jaccard verify.
+    // Matches the ground-truth oracle because recall at J≥0.8 with
+    // these parameters is ~1-1e-7 and the verifier removes all false
+    // positives.
+    "d_minhash_lsh" -> ((s, d) => {
+      val sh = shingleRows(s, d).withColumn("hm", h60(col("s")) % P)
+      val sigCols = (0 until NumPerms).map(i => min(minhashPerm(col("hm"), i)).as(s"m$i"))
+      val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      val bands = (0 until NumBands).map { b =>
+        val key = concat_ws("_", lit(b) +:
+          (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*)
+        sig.select(col("doc_id"), key.as("band_key"))
+      }.reduce(_ union _)
+      val cands = bands.as("x").join(bands.as("y"),
+          col("x.band_key") === col("y.band_key") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      // Exact-Jaccard verify on the candidate pairs ONLY — this is the
+      // whole point of LSH: the quadratic verifier touches just the
+      // band-collision pairs, not all C(n,2).
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val ov = cands
+        .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("overlap"))
+      ov.join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .withColumn("jaccard",
+          col("overlap").cast("double") / (col("na") + col("nb") - col("overlap")).cast("double"))
+        .filter(col("jaccard") >= JaccardThreshold)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // SimHash: 60-bit signature — tf-weighted ±1 votes per bit of each
+    // token's md5-derived hash, bit set where the vote is positive.
+    // Broadcasting the 60-row bit table keeps this a single shuffle
+    // (the per-doc re-aggregation).
+    "d_simhash" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+        .withColumn("hv", h60(col("t")))
+      val bitsDf = s.range(0, 60).select(col("id").cast("int").as("b"))
+      tf.crossJoin(broadcast(bitsDf))
+        .groupBy("doc_id", "b")
+        .agg(sum(when(expr("shiftright(hv, b) & 1") === 1, col("c")).otherwise(-col("c"))).as("vote"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("vote") > 0, expr("shiftleft(cast(1 as bigint), b)")).otherwise(0L)).as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Embedding-cosine near-dup: pairs with cosine ≥ 0.45.
+    //
+    // Vectors are L2-normalized once per vector in the declarative layer
+    // (so the fp order is shared with the oracle), then the O(n²) pair
+    // stage runs as a broadcast nested-loop: the normalized corpus is
+    // broadcast and each partition streams its rows against the
+    // broadcast side with a tight primitive loop — Spark's higher-order
+    // lambdas are interpreted per element, which is fine per-row but not
+    // for n²·dim evaluations. The accumulation is the same left-to-right
+    // double fold, so results stay bit-identical to the declarative
+    // form. At 100 TB exact all-pairs is not a thing — the LSH/banding
+    // path (d_minhash_lsh shape, sign-bit bands for vectors) is the
+    // scale route; this operator is the ground-truth verifier.
+    "d_embed_neardup" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v0"))
+        .withColumn("nrm", sqrt(graft.functions.VectorOps.norm2(col("v0"))))
+        .select(col("vec_id"), transform(col("v0"), x => x / col("nrm")).as("v"))
+      val rows = e.as[(Long, Array[Double])]
+      val all = rows.collect().sortBy(_._1)
+      val bc = s.sparkContext.broadcast(all)
+      rows.flatMap { case (id, v) =>
+        val corpus = bc.value
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var j = 0
+        while (j < corpus.length) {
+          val (jd, w) = corpus(j)
+          if (jd > id) {
+            var k = 0; var acc = 0.0
+            while (k < v.length) { acc += v(k) * w(k); k += 1 }
+            if (acc >= 0.45) out += ((id, jd, acc))
+          }
+          j += 1
+        }
+        out
+      }.toDF("vec_a", "vec_b", "cosine")
+        .orderBy(col("vec_a"), col("vec_b"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "d_exact_dedup" ->
+      """SELECT doc_id, content_hash,
+        |  ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) = 1 AS is_keeper
+        |FROM (SELECT doc_id,
+        |        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "d_ngram_jaccard" -> (jaccardPairsSql + "\nORDER BY doc_a, doc_b"),
+    "d_minhash_lsh" -> (jaccardPairsSql + "\nORDER BY doc_a, doc_b"),
+    "d_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+        |tf AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |h AS (SELECT doc_id, c, ('0x' || substr(md5(t),1,15))::BIGINT AS hv FROM tf),
+        |bits AS (SELECT doc_id, b, SUM(CASE WHEN (hv >> b) & 1 = 1 THEN c ELSE -c END) AS vote
+        |         FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) GROUP BY 1, 2)
+        |SELECT doc_id, SUM(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d_embed_neardup" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+        |e AS (SELECT vec_id,
+        |        list_transform(v0, x -> x / sqrt(
+        |          list_reduce(list_prepend(0.0::DOUBLE,
+        |            list_transform(generate_series(1, 64), i -> v0[i] * v0[i])),
+        |            (p,q) -> p + q))) AS v
+        |      FROM e0),
+        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |        list_reduce(list_prepend(0.0::DOUBLE,
+        |          list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])),
+        |          (x,y) -> x + y) AS cosine
+        |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.45
+        |ORDER BY vec_a, vec_b""".stripMargin
+  )
+}
