@@ -46,7 +46,8 @@ object SparkEntry {
     }))
     base ++ graft.queries.Relational.queries ++ graft.queries.Graph.queries ++
       graft.queries.TextAnalysis.queries ++ graft.queries.Dedup.queries ++
-      graft.queries.Ann.queries ++ graft.queries.SearchQ.queries
+      graft.queries.Ann.queries ++ graft.queries.SearchQ.queries ++
+      graft.queries.StreamQ.queries
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -64,5 +65,6 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin
   ) ++ graft.queries.Relational.oracles ++ graft.queries.Graph.oracles ++
     graft.queries.TextAnalysis.oracles ++ graft.queries.Dedup.oracles ++
-    graft.queries.Ann.oracles ++ graft.queries.SearchQ.oracles
+    graft.queries.Ann.oracles ++ graft.queries.SearchQ.oracles ++
+    graft.queries.StreamQ.oracles
 }

@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Multimodal
+import graft.streaming.EventStreams
+
+/** Structured-Streaming and multimodal operator gate queries. The
+  * streaming entries genuinely run readStream → writeStream
+  * (AvailableNow) and hand back the sink table; their oracles are the
+  * batch-equivalent SQL, which bounded deterministic input guarantees
+  * they match. */
+object StreamQ {
+
+  @volatile private var streamSeq = 0
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Watermarked daily tumbling-window aggregation as a stream.
+    "st_window_daily" -> ((s, d) => {
+      streamSeq += 1
+      EventStreams.windowedDaily(s, d, s"stream_window_$streamSeq")
+        .orderBy(col("day"), col("event_type"))
+    }),
+
+    // Stateful sessionization via mapGroupsWithState.
+    "st_sessionize" -> ((s, d) =>
+      EventStreams.sessionize(s, d)
+        .orderBy(col("user_id"))),
+
+    // Multimodal: binary payload + metadata struct → partition-parallel
+    // decode-stub features.
+    "mm_decode_features" -> ((s, d) =>
+      Multimodal.decodeFeatures(Multimodal.attachBinary(Tables.documents(s, d)))
+        .orderBy(col("doc_id")))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "st_window_daily" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "st_sessionize" ->
+      """SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |          LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |        FROM events))
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "mm_decode_features" ->
+      """SELECT doc_id, strlen(text) AS n_bytes,
+        |  unicode(substr(text, 1, 1)) AS first_byte,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |    (a, b) -> a + b) % 1000000007 AS checksum,
+        |  strlen(text) // 64 AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
