@@ -1,0 +1,260 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Second relational batch: multi-dimensional aggregation (ROLLUP /
+  * CUBE), set operations (INTERSECT / EXCEPT), outer joins,
+  * HAVING-shape filters, the ranking/offset window battery, and
+  * scalar/date/array function batteries — broadening SURVEY.md §2
+  * coverage so a reference user finds every operator class they use.
+  */
+object Relational2 {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ROLLUP with grouping_id to disambiguate the subtotal rows.
+    "a_rollup" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // CUBE over two order dimensions.
+    "a_cube" -> ((s, d) => {
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+    }),
+
+    // INTERSECT: nations having both customers and suppliers.
+    "p7_intersect" -> ((s, d) => {
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey"))
+    }),
+
+    // EXCEPT: customers minus customers-with-orders (set difference).
+    "p8_except" -> ((s, d) => {
+      Tables.customer(s, d).select(col("c_custkey").as("k"))
+        .except(Tables.orders(s, d).select(col("o_custkey").as("k")))
+        .orderBy(col("k"))
+    }),
+
+    // FULL OUTER join: order count per customer incl. orphans both ways.
+    "j_full_outer" -> ((s, d) => {
+      val oc = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+        .join(oc, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          col("c_name").isNotNull.as("known_customer"))
+        .orderBy(col("custkey"))
+    }),
+
+    // Q13 shape: customer count per order-count bucket.
+    "q13_distribution" -> ((s, d) => {
+      val perCust = Tables.customer(s, d).select(col("c_custkey"))
+        .join(Tables.orders(s, d).select(col("o_custkey").as("c_custkey"), col("o_orderkey")),
+          Seq("c_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // Q18 shape: HAVING sum(qty) > threshold, then enrich.
+    "q18_having" -> ((s, d) => {
+      val big = Tables.lineitem(s, d).groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 300.0)
+      big.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(50)
+    }),
+
+    // Q2 shape: row matching a per-group minimum (min acctbal per nation).
+    "q2_min_per_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("s_nationkey"))
+      Tables.supplier(s, d)
+        .withColumn("mn", min(col("s_acctbal")).over(w))
+        .filter(col("s_acctbal") === col("mn"))
+        .select(col("s_nationkey"), col("s_suppkey"), col("s_acctbal"))
+        .orderBy(col("s_nationkey"), col("s_suppkey"))
+    }),
+
+    // Ranking window battery: rank, dense_rank, ntile, percent_rank.
+    "w_rank_battery" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 2000)
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+          rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 9).as("prnk"))
+        .orderBy(col("o_orderstatus"), col("rnk"))
+    }),
+
+    // Offset window battery: lead/lag deltas along each customer's
+    // order history.
+    "w_lead_lag" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .filter(col("o_custkey") < 200)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          first(col("o_orderkey")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("first_orderkey"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // Scalar string-function battery.
+    "f_string_battery" -> ((s, d) => {
+      Tables.part(s, d)
+        .filter(col("p_partkey") <= 100)
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          substring(col("p_name"), 1, 5).as("pfx"),
+          length(col("p_name")).as("len"),
+          instr(col("p_name"), "o").as("pos_o"),
+          regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("tr"),
+          reverse(col("p_name")).as("rev"),
+          lpad(col("p_partkey").cast("string"), 8, "0").as("padded"),
+          concat_ws("|", col("p_type"), col("p_brand")).as("joined"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // Date/time function battery over order dates.
+    "f_date_battery" -> ((s, d) => {
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          quarter(col("o_orderdate")).as("q"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+          datediff(lit(java.sql.Date.valueOf("1999-01-01")),
+            col("o_orderdate").cast("date")).as("days_to_1999"),
+          date_format(date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").as("plus30"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Array-function battery over document token arrays (stringified
+    // outputs so the comparison stays scalar).
+    "f_array_battery" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(toks).as("n"),
+          concat_ws(",", sort_array(array_distinct(toks))).as("sorted_distinct"),
+          concat_ws(",", slice(toks, 1, 5)).as("first5"),
+          array_contains(toks, "spark").cast("int").as("has_spark"),
+          element_at(toks, 1).as("first_tok"),
+          element_at(toks, -1).as("last_tok"),
+          concat_ws(",", array_remove(toks, "the")).as("no_the"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "a_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n, GROUPING(l_returnflag, l_linestatus) AS gid
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "a_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  GROUPING(o_orderstatus, o_orderpriority) AS gid
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
+    "p7_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "p8_except" ->
+      """SELECT c_custkey AS k FROM customer
+        |EXCEPT SELECT o_custkey FROM orders ORDER BY k""".stripMargin,
+    "j_full_outer" ->
+      """SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+        |  COALESCE(n_orders, 0) AS n_orders,
+        |  c_name IS NOT NULL AS known_customer
+        |FROM customer
+        |FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+    "q13_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q18_having" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, sum_qty FROM (
+        |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 300.0)
+        |JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin,
+    "q2_min_per_group" ->
+      """SELECT s_nationkey, s_suppkey, s_acctbal FROM (
+        |  SELECT s_nationkey, s_suppkey, s_acctbal,
+        |    MIN(s_acctbal) OVER (PARTITION BY s_nationkey) AS mn
+        |  FROM supplier)
+        |WHERE s_acctbal = mn ORDER BY s_nationkey, s_suppkey""".stripMargin,
+    "w_rank_battery" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |  RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk,
+        |  NTILE(4) OVER w AS quartile,
+        |  round(PERCENT_RANK() OVER w, 9) AS prnk
+        |FROM orders WHERE o_orderkey < 2000
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderstatus, rnk""".stripMargin,
+    "w_lead_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |  LAG(o_totalprice, 1) OVER w AS prev_price,
+        |  LEAD(o_totalprice, 1) OVER w AS next_price,
+        |  FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_orderkey
+        |FROM orders WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "f_string_battery" ->
+      """SELECT p_partkey, upper(p_name) AS up, substr(p_name, 1, 5) AS pfx,
+        |  length(p_name) AS len, strpos(p_name, 'o') AS pos_o,
+        |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+        |  translate(p_name, 'aeiou', 'AEIOU') AS tr, reverse(p_name) AS rev,
+        |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
+        |  concat_ws('|', p_type, p_brand) AS joined
+        |FROM part WHERE p_partkey <= 100 ORDER BY p_partkey""".stripMargin,
+    "f_date_battery" ->
+      """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |  day(o_orderdate) AS dom, quarter(o_orderdate) AS q,
+        |  strftime(o_orderdate, '%Y-%m') AS ym,
+        |  date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS days_to_1999,
+        |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30
+        |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin,
+    "f_array_battery" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n,
+        |  array_to_string(list_sort(list_distinct(string_split(text, ' '))), ',') AS sorted_distinct,
+        |  array_to_string(string_split(text, ' ')[1:5], ',') AS first5,
+        |  CAST(list_contains(string_split(text, ' '), 'spark') AS INT) AS has_spark,
+        |  string_split(text, ' ')[1] AS first_tok,
+        |  string_split(text, ' ')[-1] AS last_tok,
+        |  array_to_string(list_filter(string_split(text, ' '), t -> t <> 'the'), ',') AS no_the
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
