@@ -80,6 +80,20 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE-ish regex token counting: splits into letter runs / digit
+    // runs / single non-space symbols (the GPT-2-style pretokenizer
+    // shape, minus merges), vs whitespace tokens — the two counts a
+    // data pipeline tracks per document.
+    "t_token_bpe" -> ((s, d) => {
+      val bpe = regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_ws_tokens"),
+          size(bpe).as("n_bpe_tokens"),
+          concat_ws("|", slice(bpe, 1, 8)).as("first8"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Document fingerprinting: md5 content hash + order-sensitive
     // rolling polynomial hash over the token stream.
     "t_fingerprint" -> ((s, d) => {
@@ -125,6 +139,12 @@ object TextAnalysis {
          |    ${sqlCountIn(deStop)} AS c_de, ${sqlCountIn(frStop)} AS c_fr
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    "t_token_bpe" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens,
+        |  array_to_string(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')[1:8], '|') AS first8
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "t_fingerprint" ->
       """SELECT doc_id, md5(text) AS content_md5,
         |  list_reduce(
