@@ -1,5 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: one JSON line with per-query seconds.
+  *
+  * Protocol matches BASELINE.md ("per-operation latency on a warm
+  * session"): one untimed warmup pass per query (JIT + code gen +
+  * file-listing caches), then the timed pass. Streaming queries
+  * (`st_*`) are inherently stateful per run, so they get no warmup.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -11,6 +19,8 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>
+      if (!name.startsWith("st_"))
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -96,7 +96,10 @@ object Dedup {
     // these parameters is ~1-1e-7 and the verifier removes all false
     // positives.
     "d_minhash_lsh" -> ((s, d) => {
-      val sh = shingleRows(s, d).withColumn("hm", h60(col("s")) % P)
+      // localCheckpoint: the shingle+hash stage feeds four consumers
+      // (signatures, both verify sides, counts) — materialize it once
+      // instead of re-running explode+md5 per consumer.
+      val sh = shingleRows(s, d).withColumn("hm", h60(col("s")) % P).localCheckpoint()
       val sigCols = (0 until NumPerms).map(i => min(minhashPerm(col("hm"), i)).as(s"m$i"))
       val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
       val bands = (0 until NumBands).map { b =>
