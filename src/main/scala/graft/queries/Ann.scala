@@ -5,15 +5,14 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.VectorOps._
+import graft.functions.{DotProduct, VectorOps}
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
   *
   * Two tiers:
   *   - brute-force cosine top-k — the correctness baseline. The query
   *     set is broadcast, so the corpus is scanned exactly once with no
-  *     shuffle of the big side; per-query top-k via ranking window
-  *     (at real scale: per-partition heap + treeReduce, noted below);
+  *     shuffle of the big side; per-query top-k via ranking window;
   *   - IVF (inverted-file) — the scale path: corpus is bucketed by
   *     nearest centroid (one shuffle at build time, amortized across
   *     queries), a query probes only the closest `nprobe` centroid
@@ -21,6 +20,13 @@ import graft.functions.VectorOps._
   *     Centroids here are a deterministic subset (vec_id < 16) so the
   *     whole pipeline is oracle-checkable; k-means iterations would
   *     slot in without changing the query shape.
+  *
+  * Vectors are L2-normalized once up front, so every similarity is a
+  * single dot product — computed by the native codegen expression
+  * [[graft.functions.DotProduct]] (`graft_dot`), which keeps the
+  * n·queries·dim inner loop inside WholeStageCodegen instead of the
+  * interpreted higher-order fold. Same left-to-right fp order as the
+  * declarative form, mirrored by the DuckDB oracle.
   */
 object Ann {
 
@@ -29,9 +35,14 @@ object Ann {
   private val NumCentroids = 16 // centroid set: vec_id < 16
   private val NProbe = 4
 
-  private def vecs(s: SparkSession, d: String): DataFrame =
+  /** L2-normalized vectors (norm computed once per vector). */
+  private def vecs(s: SparkSession, d: String): DataFrame = {
+    DotProduct.register(s)
     Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v0"))
+      .withColumn("nrm", sqrt(VectorOps.norm2(col("v0"))))
+      .select(col("vec_id"), transform(col("v0"), x => x / col("nrm")).as("v"))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -44,7 +55,7 @@ object Ann {
         .orderBy(col("cosine").desc, col("vec_id"))
       e.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"), cosine(col("qv"), col("v")).as("cosine"))
+        .select(col("query_id"), col("vec_id"), expr("graft_dot(qv, v)").as("cosine"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= K)
         .orderBy(col("query_id"), col("rank"))
@@ -62,7 +73,7 @@ object Ann {
       val wAssign = Window.partitionBy(col("vec_id"))
         .orderBy(col("ccos").desc, col("cid"))
       val assigned = e.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("ccos"))
+        .select(col("vec_id"), col("v"), col("cid"), expr("graft_dot(v, cv)").as("ccos"))
         .withColumn("rn", row_number().over(wAssign))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("v"), col("cid"))
@@ -70,7 +81,7 @@ object Ann {
       val wProbe = Window.partitionBy(col("query_id"))
         .orderBy(col("qcos").desc, col("cid"))
       val probes = q.crossJoin(broadcast(cent))
-        .select(col("query_id"), col("qv"), col("cid"), cosine(col("qv"), col("cv")).as("qcos"))
+        .select(col("query_id"), col("qv"), col("cid"), expr("graft_dot(qv, cv)").as("qcos"))
         .withColumn("rn", row_number().over(wProbe))
         .filter(col("rn") <= NProbe)
         .select(col("query_id"), col("qv"), col("cid"))
@@ -79,23 +90,32 @@ object Ann {
         .orderBy(col("cosine").desc, col("vec_id"))
       assigned.join(broadcast(probes), Seq("cid"))
         .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"), cosine(col("qv"), col("v")).as("cosine"))
+        .select(col("query_id"), col("vec_id"), expr("graft_dot(qv, v)").as("cosine"))
         .withColumn("rank", row_number().over(wTop))
         .filter(col("rank") <= K)
         .orderBy(col("query_id"), col("rank"))
     })
   )
 
-  private val cosAB = cosineSql("a.v", "b.v")
-  private val cosQV = cosineSql("q.qv", "x.v")
-  private val cosVC = cosineSql("e.v", "c.cv")
-  private val cosQC = cosineSql("q.qv", "c.cv")
+  /** DuckDB fold over two already-normalized vectors. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, 64), i -> $a[i] * $b[i])), (x,y) -> x + y)"
+
+  /** Shared normalization CTE (identical fp order to vecs()). */
+  private val normCte =
+    """e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+      |e AS (SELECT vec_id,
+      |        list_transform(v0, x -> x / sqrt(
+      |          list_reduce(list_prepend(0.0::DOUBLE,
+      |            list_transform(generate_series(1, 64), i -> v0[i] * v0[i])),
+      |            (p,q) -> p + q))) AS v
+      |      FROM e0)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "ann_bruteforce" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH $normCte,
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueries),
-         |scored AS (SELECT q.query_id, x.vec_id, $cosQV AS cosine
+         |scored AS (SELECT q.query_id, x.vec_id, ${dotSql("q.qv", "x.v")} AS cosine
          |           FROM e x CROSS JOIN q WHERE x.vec_id <> q.query_id),
          |ranked AS (SELECT query_id, vec_id, cosine,
          |             ROW_NUMBER() OVER (PARTITION BY query_id
@@ -104,23 +124,23 @@ object Ann {
          |SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= $K
          |ORDER BY query_id, rank""".stripMargin,
     "ann_ivf" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH $normCte,
          |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $NumCentroids),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueries),
          |assigned AS (
          |  SELECT vec_id, v, cid FROM (
          |    SELECT e.vec_id, e.v, c.cid,
          |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |                         ORDER BY $cosVC DESC, c.cid) AS rn
+         |                         ORDER BY ${dotSql("e.v", "c.cv")} DESC, c.cid) AS rn
          |    FROM e CROSS JOIN c) WHERE rn = 1),
          |probes AS (
          |  SELECT query_id, qv, cid FROM (
          |    SELECT q.query_id, q.qv, c.cid,
          |      ROW_NUMBER() OVER (PARTITION BY q.query_id
-         |                         ORDER BY $cosQC DESC, c.cid) AS rn
+         |                         ORDER BY ${dotSql("q.qv", "c.cv")} DESC, c.cid) AS rn
          |    FROM q CROSS JOIN c) WHERE rn <= $NProbe),
          |scored AS (
-         |  SELECT q.query_id, x.vec_id, $cosQV AS cosine
+         |  SELECT q.query_id, x.vec_id, ${dotSql("q.qv", "x.v")} AS cosine
          |  FROM assigned x JOIN probes q USING (cid)
          |  WHERE x.vec_id <> q.query_id),
          |ranked AS (SELECT query_id, vec_id, cosine,

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{DotProduct, VectorOps}
+
+/** The native codegen dot-product expression must be bit-identical to
+  * the declarative fold (same accumulation order) and survive codegen
+  * compilation inside a real plan. */
+class CodegenSpec extends SparkSuite {
+
+  test("graft_dot matches the declarative fold bit-for-bit") {
+    DotProduct.register(spark)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .limit(50)
+    val both = e.as("a").crossJoin(e.as("b"))
+      .select(
+        expr("graft_dot(a.v, b.v)").as("native"),
+        VectorOps.dot(col("a.v"), col("b.v")).as("fold"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) == 0)
+    }
+  }
+
+  test("graft_dot works from SQL and handles nulls") {
+    DotProduct.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d, " +
+        "graft_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS n").collect().head
+    assert(r.getDouble(0) == 32.0)
+    assert(r.isNullAt(1))
+  }
+}
