@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** TPC-H-shape analytical queries adapted to the driver star schema
+  * (no partsupp table; ship-mode columns absent → nearest available
+  * dimension substituted). Covers the remaining classic shapes:
+  * multi-nation volume joins, conditional aggregation, percentage-of-
+  * total, disjunctive multi-predicate joins, and the correlated
+  * avg-subquery + anti-join (Q22).
+  */
+object TpchQ {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def revenue: Column =
+    sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+      .cast("double")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Q7 shape: bilateral volume between two nations by year.
+    "q7_nation_volume" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+      val cust = Tables.customer(s, d)
+      val sup = Tables.supplier(s, d)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .filter((col("s_nationkey") === 1 && col("c_nationkey") === 2) ||
+          (col("s_nationkey") === 2 && col("c_nationkey") === 1))
+        .groupBy(col("s_nationkey"), col("c_nationkey"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(revenue.as("volume"))
+        .orderBy(col("s_nationkey"), col("c_nationkey"), col("l_year"))
+    }),
+
+    // Q10 shape: top returned-revenue customers.
+    "q10_returned" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      li.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .agg(revenue.as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // Q12 shape: conditional aggregation — priority class counts per
+    // lineitem status bucket.
+    "q12_priority_class" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("high_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("low_count"))
+        .orderBy(col("l_linestatus"))
+    }),
+
+    // Q14 shape: percentage-of-total (promo revenue share by brand
+    // prefix), decimal-exact both numerator and denominator.
+    "q14_promo_share" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .agg(
+          (sum(when(col("p_type") === "PROMO",
+            dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") * 100.0 /
+            revenue).as("promo_pct"))
+    }),
+
+    // Q19 shape: disjunctive multi-predicate join (brand × size ×
+    // quantity windows OR'd together).
+    "q19_disjunctive" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey") &&
+          ((col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+            (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+              col("l_quantity").between(10, 40))))
+        .agg(revenue.as("revenue"), count(lit(1)).as("n_lines"))
+    }),
+
+    // Q22 shape: customers with above-average balance and no orders
+    // (scalar subquery + anti-join).
+    "q22_global_sales" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val avgBal = cust.filter(col("c_acctbal") > 0.0)
+        .agg(avg(dec(col("c_acctbal"))).cast("double").as("avg_bal"))
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(Tables.orders(s, d).select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"), sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+        .orderBy(col("c_nationkey"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q7_nation_volume" ->
+      """SELECT s_nationkey, c_nationkey, year(l_shipdate) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS volume
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE (s_nationkey = 1 AND c_nationkey = 2) OR (s_nationkey = 2 AND c_nationkey = 1)
+        |GROUP BY 1, 2, 3 ORDER BY s_nationkey, c_nationkey, l_year""".stripMargin,
+    "q10_returned" ->
+      """SELECT c_custkey, c_name, c_acctbal,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q12_priority_class" ->
+      """SELECT l_linestatus,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_count,
+        |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0
+        |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        | AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40))""".stripMargin,
+    "q22_global_sales" ->
+      """WITH a AS (SELECT CAST(AVG(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS avg_bal
+        |           FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer, a
+        |WHERE c_acctbal > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+  )
+}
