@@ -18,7 +18,9 @@ object SearchQ {
 
     // O2: BM25 top-20 with OR semantics over a fixed query-term set.
     "o2_bm25_topk" -> ((s, d) => {
-      val post = Bm25.postings(Tables.documents(s, d), "doc_id", "text")
+      // localCheckpoint: postings feed four consumers (N, avgdl, df,
+      // per-term scores) — materialize once instead of re-exploding.
+      val post = Bm25.postings(Tables.documents(s, d), "doc_id", "text").localCheckpoint()
       // round(9): JVM Math.log and C libm differ by 1 ulp on some
       // inputs; ranking is unaffected, the reported score is pinned to
       // 9 decimals on both engines.
@@ -34,7 +36,7 @@ object SearchQ {
     // re-rank shape (0.55 text relevance + 0.45 prior here).
     "o5_bm25_hybrid" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val post = Bm25.postings(docs, "doc_id", "text")
+      val post = Bm25.postings(docs, "doc_id", "text").localCheckpoint()
       val cand = Bm25.score(post, QueryTerms).withColumnRenamed("doc", "doc_id")
       val mm = cand.agg(min(col("score")).as("mn"), max(col("score")).as("mx"))
       cand.crossJoin(broadcast(mm))
