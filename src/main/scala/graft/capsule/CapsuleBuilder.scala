@@ -98,14 +98,26 @@ class CapsuleBuilder(catalog: Catalog, search: HybridSearch,
     val upstreamIds = expand(up = true, du)
     val downstreamIds = expand(up = false, dd)
 
-    // Related context per pivot.
+    // Related context — one batched job per relation instead of one
+    // per pivot; rows re-sorted to pivot order for dedup-keeps-first
+    // parity with the reference's per-pivot loop.
+    val pivotIdx = pivotIds.zipWithIndex.toMap
     val testRows = collectTests(pivotIds)
-    val macroRows = pivotIds.flatMap(pid => search.macrosForModel(pid).collect()
-      .map(r => Map("unique_id" -> r.getString(0), "name" -> r.getString(1),
-        "package_name" -> r.getString(2), "description" -> r.getString(3))))
-    val sourceRows = pivotIds.flatMap(pid => search.sourcesForModel(pid).collect()
-      .map(r => Map("unique_id" -> r.getString(0), "name" -> r.getString(1),
-        "source_name" -> r.getString(2))))
+    val macroRows =
+      if (pivotIds.isEmpty) Nil
+      else search.macrosForModels(pivotIds).collect()
+        .sortBy(r => (pivotIdx(r.getAs[String]("model_id")), r.getAs[String]("name")))
+        .map(r => Map("unique_id" -> r.getAs[String]("unique_id"),
+          "name" -> r.getAs[String]("name"),
+          "package_name" -> r.getAs[String]("package_name"),
+          "description" -> r.getAs[String]("description"))).toSeq
+    val sourceRows =
+      if (pivotIds.isEmpty) Nil
+      else search.sourcesForModels(pivotIds).collect()
+        .sortBy(r => (pivotIdx(r.getAs[String]("model_id")), r.getAs[String]("unique_id")))
+        .map(r => Map("unique_id" -> r.getAs[String]("unique_id"),
+          "name" -> r.getAs[String]("name"),
+          "source_name" -> r.getAs[String]("source_name"))).toSeq
 
     val known = (pivotIds ++ upstreamIds.map(_._1) ++ downstreamIds.map(_._1)).distinct
     val similar = search.search(task, intent, limit = 5, excludeIds = known)

@@ -52,12 +52,15 @@ object Bfs {
     var frontier = seeds
     var hop = 0
     while (hop < depth && !frontier.isEmpty) {
+      // lazy checkpoints: lineage still truncates (preventing the
+      // 2^depth plan blowup) but materialization piggybacks on the
+      // frontier-emptiness probe instead of costing its own job.
       val next = frontier.join(edges, frontier("id") === edges(from))
         .select(edges(to).as("id"), (frontier("distance") + 1).as("distance"))
         .join(visited, Seq("id"), "left_anti")
         .groupBy("id").agg(min("distance").as("distance"))
-        .localCheckpoint()
-      visited = visited.union(next).localCheckpoint()
+        .localCheckpoint(false)
+      visited = visited.union(next).localCheckpoint(false)
       frontier = next
       hop += 1
     }

