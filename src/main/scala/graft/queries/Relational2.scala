@@ -121,6 +121,36 @@ object Relational2 {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // PIVOT: order counts status × priority — Spark's dedicated
+    // RelationalGroupedDataset.pivot with a pinned value list (required
+    // at scale anyway: an unpinned pivot runs an extra distinct scan).
+    "a_pivot" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnsRenamed(Map("1-URGENT" -> "p1", "2-HIGH" -> "p2",
+          "3-MEDIUM" -> "p3", "4-NOT SPECIFIED" -> "p4", "5-LOW" -> "p5"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // Statistical aggregate battery: stddev/variance/corr/covar —
+    // rounded (2dp absolute for ~1e10-magnitude moments, 6dp for the
+    // unit-scale correlation) because sum-of-squares accumulation
+    // order differs across engines in the last ulps.
+    "a_stats_battery" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(stddev_samp(col("o_totalprice")), 2).as("sd"),
+          round(var_samp(col("o_totalprice")), 2).as("vr"),
+          round(corr(col("o_totalprice"), col("o_custkey").cast("double")), 6).as("price_cust_corr"),
+          round(covar_samp(col("o_totalprice"), col("o_custkey").cast("double")), 2).as("cv"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Scalar string-function battery.
     "f_string_battery" -> ((s, d) => {
       Tables.part(s, d)
@@ -232,6 +262,21 @@ object Relational2 {
         |FROM orders WHERE o_custkey < 200
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "a_pivot" ->
+      """SELECT o_orderstatus,
+        |  SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS p1,
+        |  SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS p2,
+        |  SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS p3,
+        |  SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS p4,
+        |  SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS p5
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "a_stats_battery" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  round(stddev_samp(o_totalprice), 2) AS sd,
+        |  round(var_samp(o_totalprice), 2) AS vr,
+        |  round(corr(o_totalprice, CAST(o_custkey AS DOUBLE)), 6) AS price_cust_corr,
+        |  round(covar_samp(o_totalprice, CAST(o_custkey AS DOUBLE)), 2) AS cv
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "f_string_battery" ->
       """SELECT p_partkey, upper(p_name) AS up, substr(p_name, 1, 5) AS pfx,
         |  length(p_name) AS len, strpos(p_name, 'o') AS pos_o,
