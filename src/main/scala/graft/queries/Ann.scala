@@ -46,6 +46,29 @@ object Ann {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Int8 scalar quantization of embeddings: per-vector max-abs scale,
+    // q_i = floor(v_i·scale + 0.5) (explicit half-up — engines disagree
+    // on round()'s tie rule), reconstruction MSE in the shared fold
+    // order. The compression step a 100 TB vector store runs before
+    // indexing; qsum is the exact integer checksum of the code vector.
+    "v_quantize" -> ((s, d) => {
+      val v = col("embedding").cast("array<double>")
+      val mx = aggregate(transform(v, x => abs(x)), lit(0.0),
+        (acc, x) => greatest(acc, x))
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), v.as("v"), mx.as("mx"))
+        .withColumn("scale", lit(127.0) / col("mx"))
+        .select(col("vec_id"),
+          aggregate(transform(col("v"), x => floor(x * col("scale") + 0.5)),
+            lit(0.0), (acc, x) => acc + x).cast("long").as("qsum"),
+          aggregate(transform(col("v"),
+            x => (x - floor(x * col("scale") + 0.5) / col("scale")) *
+              (x - floor(x * col("scale") + 0.5) / col("scale"))),
+            lit(0.0), (acc, x) => acc + x).as("sq_err"))
+        .select(col("vec_id"), col("qsum"), round(col("sq_err") / 64.0, 12).as("mse"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Brute-force exact top-k per query vector.
     "ann_bruteforce" -> ((s, d) => {
       val e = vecs(s, d)
@@ -112,6 +135,23 @@ object Ann {
       |      FROM e0)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "v_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |        127.0 / list_reduce(list_prepend(0.0::DOUBLE,
+        |          list_transform(generate_series(1, 64), i -> abs(v[i]))),
+        |          (a, b) -> greatest(a, b)) AS scale
+        |      FROM e)
+        |SELECT vec_id,
+        |  CAST(list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(generate_series(1, 64), i -> floor(v[i] * scale + 0.5))),
+        |    (a, b) -> a + b) AS BIGINT) AS qsum,
+        |  round(list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(generate_series(1, 64),
+        |      i -> (v[i] - floor(v[i] * scale + 0.5) / scale)
+        |         * (v[i] - floor(v[i] * scale + 0.5) / scale))),
+        |    (a, b) -> a + b) / 64.0, 12) AS mse
+        |FROM m ORDER BY vec_id""".stripMargin,
     "ann_bruteforce" ->
       s"""WITH $normCte,
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueries),

@@ -151,6 +151,22 @@ object Relational2 {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Skew-resistant two-stage aggregation: salt the hot grouping key,
+    // pre-aggregate per (key, salt), then merge — identical result to a
+    // plain groupBy (the oracle), but the first shuffle spreads a hot
+    // key over 8 reducers. Decimal partials keep the merge exact.
+    "a_salted_topk" -> ((s, d) => {
+      val partial = Tables.lineitem(s, d)
+        .withColumn("salt", pmod(col("l_linenumber"), lit(8)))
+        .groupBy(col("l_partkey"), col("salt"))
+        .agg(sum(dec(col("l_quantity"))).as("part_qty"), count(lit(1)).as("part_n"))
+      partial.groupBy(col("l_partkey"))
+        .agg(sum(col("part_qty")).cast("double").as("total_qty"),
+          sum(col("part_n")).as("n_lines"))
+        .orderBy(col("total_qty").desc, col("l_partkey"))
+        .limit(25)
+    }),
+
     // Scalar string-function battery.
     "f_string_battery" -> ((s, d) => {
       Tables.part(s, d)
@@ -277,6 +293,12 @@ object Relational2 {
         |  round(corr(o_totalprice, CAST(o_custkey AS DOUBLE)), 6) AS price_cust_corr,
         |  round(covar_samp(o_totalprice, CAST(o_custkey AS DOUBLE)), 2) AS cv
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "a_salted_topk" ->
+      """SELECT l_partkey,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem GROUP BY l_partkey
+        |ORDER BY total_qty DESC, l_partkey LIMIT 25""".stripMargin,
     "f_string_battery" ->
       """SELECT p_partkey, upper(p_name) AS up, substr(p_name, 1, 5) AS pfx,
         |  length(p_name) AS len, strpos(p_name, 'o') AS pos_o,
