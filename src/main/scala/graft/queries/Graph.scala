@@ -88,6 +88,23 @@ object Graph {
         .limit(10)
     }),
 
+    // G8: reachability diagnosis (benchmarks/diagnose_misses.py) —
+    // categorize every customer node by min distance from a pivot SET
+    // (multi-seed BFS): reachable (≤2) / distant / disconnected.
+    "g8_reach_diagnosis" -> ((s, d) => {
+      import s.implicits._
+      val start = Seq("nation.0", "nation.1").toDF("id")
+      val reach = Bfs.traverse(edges(s, d), start, depth = 8, up = false)
+      Tables.customer(s, d).select(id("customer", col("c_custkey")).as("id"))
+        .join(reach, Seq("id"), "left")
+        .withColumn("category",
+          when(col("distance").isNull, "disconnected")
+            .when(col("distance") <= 2, "reachable")
+            .otherwise("distant"))
+        .groupBy(col("category")).agg(count(lit(1)).as("n"))
+        .orderBy(col("category"))
+    }),
+
     // G3: impact analysis (graph.py:79-132) — downstream expansion from
     // one node, type split, count rollup, rule-based risk level.
     "g3_impact" -> ((s, d) => {
@@ -149,6 +166,20 @@ object Graph {
          |SELECT id, CASE WHEN mx = 0 THEN 0.0
          |                ELSE CAST(total AS DOUBLE) / CAST(mx AS DOUBLE) END AS centrality
          |FROM deg, m ORDER BY centrality DESC, id LIMIT 10""".stripMargin,
+    "g8_reach_diagnosis" ->
+      s"""WITH RECURSIVE $edgesSqlCte,
+         |walk(id, dist) AS (
+         |  SELECT id, 0 FROM (SELECT 'nation.0' AS id UNION ALL SELECT 'nation.1')
+         |  UNION ALL
+         |  SELECT e.child_id, w.dist + 1 FROM walk w JOIN edges e ON e.parent_id = w.id
+         |  WHERE w.dist < 8),
+         |reach AS (SELECT id, MIN(dist) AS distance FROM walk WHERE dist > 0 GROUP BY id),
+         |cust AS (SELECT 'customer.' || CAST(c_custkey AS VARCHAR) AS id FROM customer)
+         |SELECT CASE WHEN r.distance IS NULL THEN 'disconnected'
+         |            WHEN r.distance <= 2 THEN 'reachable'
+         |            ELSE 'distant' END AS category, COUNT(*) AS n
+         |FROM cust LEFT JOIN reach r USING (id)
+         |GROUP BY 1 ORDER BY category""".stripMargin,
     "g3_impact" ->
       s"""WITH RECURSIVE $edgesSqlCte,
          |walk(id, dist) AS (

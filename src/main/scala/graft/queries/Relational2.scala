@@ -151,6 +151,19 @@ object Relational2 {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Native session_window (gap 30 min): Spark's dedicated session
+    // operator in batch mode; boundary rule is diff >= gap (an event at
+    // exactly prev+gap starts a new session), mirrored in the oracle's
+    // microsecond arithmetic.
+    "w_session_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), unix_micros(col("session_window.start")).as("sess_start_us"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("sess_start_us"))
+    }),
+
     // Skew-resistant two-stage aggregation: salt the hot grouping key,
     // pre-aggregate per (key, salt), then merge — identical result to a
     // plain groupBy (the oracle), but the first shuffle spreads a hot
@@ -293,6 +306,17 @@ object Relational2 {
         |  round(corr(o_totalprice, CAST(o_custkey AS DOUBLE)), 6) AS price_cust_corr,
         |  round(covar_samp(o_totalprice, CAST(o_custkey AS DOUBLE)), 2) AS cv
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "w_session_window" ->
+      """SELECT user_id, MIN(us) AS sess_start_us, COUNT(*) AS n_events FROM (
+        |  SELECT user_id, us,
+        |    SUM(CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |          LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+        |            OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS prev_us
+        |        FROM events))
+        |GROUP BY user_id, sess_id ORDER BY user_id, sess_start_us""".stripMargin,
     "a_salted_topk" ->
       """SELECT l_partkey,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
