@@ -134,56 +134,33 @@ class CapsuleBuilder(catalog: Catalog, search: HybridSearch,
     val columnRows = collectColumns(known)
 
     // Pivots: full context, SKIP on overflow.
-    var pivotTokens = 0
-    val pivotModels = pivotIds.flatMap { pid =>
-      modelRows.get(pid).flatMap { m =>
-        val fullCtx = buildFull(m, columnRows.getOrElse(pid, Nil), testRows.filter(_("model_id") == pid))
-        val cost = Json.estimateTokens(fullCtx)
-        if (pivotTokens + cost <= alloc("pivot")) { pivotTokens += cost; Some(fullCtx) }
-        else None
-      }
+    val pivotCtxs = pivotIds.flatMap { pid =>
+      modelRows.get(pid).map(m =>
+        buildFull(m, columnRows.getOrElse(pid, Nil), testRows.filter(_("model_id") == pid)))
     }
+    val (pivotModels, pivotTokens) =
+      fillSkip(pivotCtxs, (c: FullModelContext) => Json.estimateTokens(c), alloc("pivot"))
 
     // Upstream: skeleton, BREAK on first overflow.
-    var upTokens = 0
-    val upstreamModels = Seq.newBuilder[SkeletonModelContext]
-    upstreamIds.sortBy(_._2).iterator.takeWhile { case (uid, _) =>
-      modelRows.get(uid).forall { m =>
-        val skel = buildSkeleton(m, columnRows.getOrElse(uid, Nil))
-        val cost = Json.estimateTokens(skel)
-        if (upTokens + cost <= alloc("upstream")) {
-          upTokens += cost; upstreamModels += skel; true
-        } else false
-      }
-    }.foreach(_ => ())
+    val upCtxs = upstreamIds.sortBy(_._2).flatMap { case (uid, _) =>
+      modelRows.get(uid).map(m => buildSkeleton(m, columnRows.getOrElse(uid, Nil)))
+    }
+    val (upstreamModels, upTokens) =
+      fillBreak(upCtxs, (c: SkeletonModelContext) => Json.estimateTokens(c), alloc("upstream"))
 
     // Downstream: minimal, BREAK on first overflow.
-    var downTokens = 0
-    val downstreamModels = Seq.newBuilder[MinimalModelContext]
-    downstreamIds.sortBy(_._2).iterator.takeWhile { case (uid, _) =>
-      modelRows.get(uid).forall { m =>
-        val mini = buildMinimal(m, columnRows.getOrElse(uid, Nil))
-        val cost = Json.estimateTokens(mini)
-        if (downTokens + cost <= alloc("downstream")) {
-          downTokens += cost; downstreamModels += mini; true
-        } else false
-      }
-    }.foreach(_ => ())
+    val downCtxs = downstreamIds.sortBy(_._2).flatMap { case (uid, _) =>
+      modelRows.get(uid).map(m => buildMinimal(m, columnRows.getOrElse(uid, Nil)))
+    }
+    val (downstreamModels, downTokens) =
+      fillBreak(downCtxs, (c: MinimalModelContext) => Json.estimateTokens(c), alloc("downstream"))
 
     // Tests then macros share a bucket; tests capped at half; SKIP.
-    var tmTokens = 0
-    val keptTests = testRows.filter { t =>
-      val cost = Json.estimateTokens(t)
-      val ok = tmTokens + cost <= alloc("tests_macros") / 2
-      if (ok) tmTokens += cost
-      ok
-    }
-    val keptMacros = macroRows.filter { mrow =>
-      val cost = Json.estimateTokens(mrow)
-      val ok = tmTokens + cost <= alloc("tests_macros")
-      if (ok) tmTokens += cost
-      ok
-    }
+    val (keptTests, testTokens) =
+      fillSkip(testRows, (t: Map[String, String]) => Json.estimateTokens(t), alloc("tests_macros") / 2)
+    val (keptMacros, tmTokens) =
+      fillSkip(macroRows, (m: Map[String, String]) => Json.estimateTokens(m),
+        alloc("tests_macros"), startTokens = testTokens)
 
     val uniqueSources = sourceRows.foldLeft(Vector.empty[Map[String, String]]) {
       (acc, s) => if (acc.exists(_("unique_id") == s("unique_id"))) acc else acc :+ s
@@ -192,8 +169,8 @@ class CapsuleBuilder(catalog: Catalog, search: HybridSearch,
     val total = pivotTokens + upTokens + downTokens + tmTokens +
       Json.estimateTokens(patternsMap)
 
-    ContextCapsule(task, intent, pivotModels, upstreamModels.result(),
-      downstreamModels.result(), keptTests.map(_.filter(_._1 != "model_id")),
+    ContextCapsule(task, intent, pivotModels, upstreamModels,
+      downstreamModels, keptTests.map(_.filter(_._1 != "model_id")),
       keptMacros, uniqueSources, patternsMap, similar, confidence,
       refinements, total, budget)
   }
@@ -302,6 +279,38 @@ class CapsuleBuilder(catalog: Catalog, search: HybridSearch,
 }
 
 object CapsuleBuilder {
+
+  /** Greedy budgeted fill, SKIP semantics (capsule.py:337-347,381-396):
+    * an overflowing item is passed over but LATER (possibly smaller)
+    * items may still be admitted. `startTokens` lets two phases share
+    * one bucket (tests then macros). Returns (kept, tokensUsed). */
+  def fillSkip[A](items: Seq[A], cost: A => Int, budget: Int,
+      startTokens: Int = 0): (Seq[A], Int) = {
+    var used = startTokens
+    val kept = items.filter { a =>
+      val c = cost(a)
+      val ok = used + c <= budget
+      if (ok) used += c
+      ok
+    }
+    (kept, used)
+  }
+
+  /** Greedy budgeted fill, BREAK semantics (capsule.py:352-379): stop
+    * at the FIRST overflow — items after it are never admitted even if
+    * they would fit. Returns (kept, tokensUsed). */
+  def fillBreak[A](items: Seq[A], cost: A => Int, budget: Int): (Seq[A], Int) = {
+    var used = 0
+    val kept = Seq.newBuilder[A]
+    val it = items.iterator
+    var stop = false
+    while (!stop && it.hasNext) {
+      val a = it.next()
+      val c = cost(a)
+      if (used + c <= budget) { used += c; kept += a } else stop = true
+    }
+    (kept.result(), used)
+  }
 
   /** Intent keyword tables (capsule.py:24-43); Python dict-order tie
     * break (first inserted wins on equal score) is preserved by the
