@@ -35,6 +35,35 @@ object Multimodal {
     StructField("checksum", LongType),
     StructField("n_frames", IntegerType)))
 
+  val frameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("frame_bytes", IntegerType),
+    StructField("frame_checksum", LongType)))
+
+  /** Frame sampling: cut the payload into fixed 64-byte frames and keep
+    * every `stride`-th one with a per-frame checksum — the shape of
+    * video frame-sampling / audio windowing, one output row per kept
+    * frame. Partition-parallel like [[decodeFeatures]]. */
+  def sampleFrames(binary: DataFrame, frameSize: Int = 64, stride: Int = 4): DataFrame = {
+    val spark = binary.sparkSession
+    val rdd = binary.select(col("doc_id"), col("payload")).rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val nFrames = bytes.length / frameSize
+        (0 until nFrames by stride).map { f =>
+          var i = f * frameSize
+          val end = i + frameSize
+          var checksum = 0L
+          while (i < end) { checksum += (bytes(i) & 0xff); i += 1 }
+          Row(id, f, frameSize, checksum % 1000000007L)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, frameSchema)
+  }
+
   /** Partition-parallel "decode": per row a tight loop over the bytes
     * producing size / first-byte / additive-checksum / fake frame count
     * (n_bytes/64, a stand-in for frame sampling). mapPartitions so a

@@ -34,7 +34,12 @@ object StreamQ {
     // decode-stub features.
     "mm_decode_features" -> ((s, d) =>
       Multimodal.decodeFeatures(Multimodal.attachBinary(Tables.documents(s, d)))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Multimodal: 64-byte frames, every 4th sampled, per-frame checksum.
+    "mm_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(Multimodal.attachBinary(Tables.documents(s, d)))
+        .orderBy(col("doc_id"), col("frame_idx")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -57,6 +62,17 @@ object StreamQ {
         |    list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
         |    (a, b) -> a + b) % 1000000007 AS checksum,
         |  strlen(text) // 64 AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, unnest(generate_series(0, CAST(strlen(text) // 64 AS INT) - 1, 4)) AS frame_idx
+        |  FROM documents WHERE strlen(text) >= 64)
+        |SELECT d.doc_id, f.frame_idx, 64 AS frame_bytes,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(substr(d.text, f.frame_idx * 64 + 1, 64), ''),
+        |      c -> CAST(unicode(c) AS BIGINT))),
+        |    (a, b) -> a + b) % 1000000007 AS frame_checksum
+        |FROM f JOIN documents d USING (doc_id)
+        |ORDER BY d.doc_id, f.frame_idx""".stripMargin
   )
 }
