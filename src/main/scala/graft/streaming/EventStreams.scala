@@ -75,8 +75,11 @@ object EventStreams {
     * (KeyValueGroupedDataset) the DataFrame API can't express. Events
     * are sorted inside the group because state functions see arrival
     * order. */
+  private val sessionSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   def sessionize(spark: SparkSession, dir: String, gapSeconds: Long = 1800): DataFrame = {
     import spark.implicits._
+    val sinkName = s"stream_sessions_${sessionSeq.incrementAndGet()}"
     val q = readEvents(spark, dir)
       .select(col("user_id"), col("ts").cast("long").as("ts_sec"))
       .as[(Long, Long)]
@@ -94,11 +97,11 @@ object EventStreams {
           SessionAgg(user, sessions, all.size.toLong)
       }
       .toDF("user_id", "n_sessions", "n_events")
-      .writeStream.format("memory").queryName("stream_sessions")
+      .writeStream.format("memory").queryName(sinkName)
       .outputMode(OutputMode.Update())
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table("stream_sessions")
+    spark.table(sinkName)
   }
 }
