@@ -14,8 +14,7 @@ import graft.Tables
   */
 object Relational {
 
-  private def dec(c: Column): Column = c.cast("decimal(18,2)")
-  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+  import QueryUtil.{dec, dsum}
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

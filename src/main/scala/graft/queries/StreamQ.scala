@@ -14,14 +14,13 @@ import graft.streaming.EventStreams
   * they match. */
 object StreamQ {
 
-  @volatile private var streamSeq = 0
+  private val streamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Watermarked daily tumbling-window aggregation as a stream.
     "st_window_daily" -> ((s, d) => {
-      streamSeq += 1
-      EventStreams.windowedDaily(s, d, s"stream_window_$streamSeq")
+      EventStreams.windowedDaily(s, d, s"stream_window_${streamSeq.incrementAndGet()}")
         .orderBy(col("day"), col("event_type"))
     }),
 

@@ -14,7 +14,7 @@ import graft.Tables
   */
 object TpchQ {
 
-  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  import QueryUtil.dec
   private def revenue: Column =
     sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
       .cast("double")

@@ -97,21 +97,19 @@ object Porter {
       if (measure(w.dropRight(s.length)) > 0) w = w.dropRight(s.length) + r
     }
 
-    // Step 4
+    // Step 4 — at most ONE rule fires (Porter applies a single rule per
+    // step; "ion" additionally needs an s/t stem ending). Overlapping
+    // suffixes are ordered longest-first (ement > ment > ent) so the
+    // list scan realizes longest-match.
     val step4 = Seq(
       "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
-      "ment", "ent", "ou", "ism", "ate", "iti", "ous", "ive", "ize")
+      "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize")
     step4.collectFirst { case s if w.endsWith(s) => s }.foreach { s =>
       val stem = w.dropRight(s.length)
       val ok =
-        if (s == "ion") stem.nonEmpty && (stem.endsWith("s") || stem.endsWith("t"))
+        if (s == "ion") stem.endsWith("s") || stem.endsWith("t")
         else true
       if (ok && measure(stem) > 1) w = stem
-    }
-    // "ion" handled separately (needs s/t stem ending)
-    if (w.endsWith("ion")) {
-      val stem = w.dropRight(3)
-      if (measure(stem) > 1 && (stem.endsWith("s") || stem.endsWith("t"))) w = stem
     }
 
     // Step 5a
