@@ -203,7 +203,7 @@ object Dedup {
         |h AS (SELECT doc_id, c, ('0x' || substr(md5(t),1,15))::BIGINT AS hv FROM tf),
         |bits AS (SELECT doc_id, b, SUM(CASE WHEN (hv >> b) & 1 = 1 THEN c ELSE -c END) AS vote
         |         FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) GROUP BY 1, 2)
-        |SELECT doc_id, SUM(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+        |SELECT doc_id, CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d_embed_neardup" ->
       """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),

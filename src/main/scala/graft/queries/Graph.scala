@@ -189,9 +189,9 @@ object Graph {
          |  WHERE w.dist < 2),
          |reach AS (SELECT id, MIN(dist) AS distance FROM walk WHERE dist > 0 GROUP BY id),
          |agg AS (SELECT
-         |  SUM(CASE WHEN string_split(id, '.')[1] = 'nation' THEN 1 ELSE 0 END) AS n_nations,
-         |  SUM(CASE WHEN string_split(id, '.')[1] = 'customer' THEN 1 ELSE 0 END) AS n_customers,
-         |  SUM(CASE WHEN string_split(id, '.')[1] = 'supplier' THEN 1 ELSE 0 END) AS n_suppliers
+         |  CAST(SUM(CASE WHEN string_split(id, '.')[1] = 'nation' THEN 1 ELSE 0 END) AS BIGINT) AS n_nations,
+         |  CAST(SUM(CASE WHEN string_split(id, '.')[1] = 'customer' THEN 1 ELSE 0 END) AS BIGINT) AS n_customers,
+         |  CAST(SUM(CASE WHEN string_split(id, '.')[1] = 'supplier' THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers
          |FROM reach)
          |SELECT n_nations, n_customers, n_suppliers,
          |  CASE WHEN n_customers > 1000 THEN 'high'

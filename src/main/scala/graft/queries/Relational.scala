@@ -39,11 +39,15 @@ object Relational {
              count(lit(1)).as("n_rows"))
     }),
 
-    // P3: anti-semijoin (exclude-set) — customers with no orders
-    // (search.py:69-70 exclude_ids analogue).
+    // P3: anti-semijoin (exclude-set) — customers with no URGENT orders
+    // (search.py:69-70 exclude_ids analogue). The exclude set is a
+    // filtered orders subset so the gate is non-vacuous on this corpus
+    // (every customer has *some* order).
     "p3_anti_join" -> ((s, d) => {
       Tables.customer(s, d)
-        .join(Tables.orders(s, d).select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_anti")
+        .join(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+                .select(col("o_custkey").as("c_custkey")),
+              Seq("c_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))
     }),
@@ -51,7 +55,7 @@ object Relational {
     // P5: LIKE predicate (search.py:130-144 analogue).
     "p5_like_filter" -> ((s, d) => {
       Tables.part(s, d)
-        .filter(col("p_name").contains("green"))
+        .filter(col("p_name").contains("red"))
         .select(col("p_partkey"), col("p_name"))
         .orderBy(col("p_partkey"))
     }),
@@ -78,7 +82,7 @@ object Relational {
     "o6_contains_join" -> ((s, d) => {
       Tables.customer(s, d)
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
-        .filter(col("n_name").contains("AN"))
+        .filter(col("n_name").contains("ATION_1"))
         .select(col("n_name"), col("c_mktsegment"))
         .distinct()
         .orderBy(col("n_name"), col("c_mktsegment"))
@@ -277,10 +281,11 @@ object Relational {
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
     "p3_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
     "p5_like_filter" ->
-      "SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%green%' ORDER BY p_partkey",
+      "SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%red%' ORDER BY p_partkey",
     "p6_union_dedup" ->
       """SELECT DISTINCT nationkey FROM (
         |  SELECT c_nationkey AS nationkey FROM customer
@@ -293,7 +298,7 @@ object Relational {
     "o6_contains_join" ->
       """SELECT DISTINCT n_name, c_mktsegment
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |WHERE n_name LIKE '%AN%'
+        |WHERE n_name LIKE '%ATION_1%'
         |ORDER BY n_name, c_mktsegment""".stripMargin,
     "o7_topk_orders" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20",
@@ -381,7 +386,7 @@ object Relational {
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
     "w_sessionize" ->
-      """SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events FROM (
+      """SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
         |  SELECT user_id,
         |    CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session
         |  FROM (SELECT user_id, ts, event_id,

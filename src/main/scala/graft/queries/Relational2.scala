@@ -45,7 +45,8 @@ object Relational2 {
     // EXCEPT: customers minus customers-with-orders (set difference).
     "p8_except" -> ((s, d) => {
       Tables.customer(s, d).select(col("c_custkey").as("k"))
-        .except(Tables.orders(s, d).select(col("o_custkey").as("k")))
+        .except(Tables.orders(s, d).filter(col("o_orderpriority") === "5-LOW")
+                  .select(col("o_custkey").as("k")))
         .orderBy(col("k"))
     }),
 
@@ -246,7 +247,8 @@ object Relational2 {
         |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
     "p8_except" ->
       """SELECT c_custkey AS k FROM customer
-        |EXCEPT SELECT o_custkey FROM orders ORDER BY k""".stripMargin,
+        |EXCEPT SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+        |ORDER BY k""".stripMargin,
     "j_full_outer" ->
       """SELECT COALESCE(c_custkey, o_custkey) AS custkey,
         |  COALESCE(n_orders, 0) AS n_orders,
@@ -292,11 +294,11 @@ object Relational2 {
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "a_pivot" ->
       """SELECT o_orderstatus,
-        |  SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS p1,
-        |  SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS p2,
-        |  SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS p3,
-        |  SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS p4,
-        |  SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS p5
+        |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p4,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "a_stats_battery" ->
       """SELECT o_orderstatus, COUNT(*) AS n,

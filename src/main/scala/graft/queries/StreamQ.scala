@@ -47,7 +47,7 @@ object StreamQ {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "st_sessionize" ->
-      """SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events FROM (
+      """SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
         |  SELECT user_id,
         |    CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END AS new_session
         |  FROM (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,

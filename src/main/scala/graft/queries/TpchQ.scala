@@ -88,15 +88,17 @@ object TpchQ {
         .agg(revenue.as("revenue"), count(lit(1)).as("n_lines"))
     }),
 
-    // Q22 shape: customers with above-average balance and no orders
-    // (scalar subquery + anti-join).
+    // Q22 shape: customers with above-average balance and no URGENT
+    // orders (scalar subquery + anti-join). Anti side is a filtered
+    // orders subset so the gate is non-vacuous (every customer orders).
     "q22_global_sales" -> ((s, d) => {
       val cust = Tables.customer(s, d)
       val avgBal = cust.filter(col("c_acctbal") > 0.0)
         .agg(avg(dec(col("c_acctbal"))).cast("double").as("avg_bal"))
       cust.crossJoin(broadcast(avgBal))
         .filter(col("c_acctbal") > col("avg_bal"))
-        .join(Tables.orders(s, d).select(col("o_custkey").as("c_custkey")),
+        .join(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+                .select(col("o_custkey").as("c_custkey")),
           Seq("c_custkey"), "left_anti")
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("numcust"), sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
@@ -124,8 +126,8 @@ object TpchQ {
         |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q12_priority_class" ->
       """SELECT l_linestatus,
-        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_count,
-        |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_count
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_count
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "q14_promo_share" ->
@@ -148,7 +150,8 @@ object TpchQ {
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
         |FROM customer, a
         |WHERE c_acctbal > avg_bal
-        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
   )
 }
