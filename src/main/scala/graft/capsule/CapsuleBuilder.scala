@@ -1,12 +1,10 @@
 package graft.capsule
 
-import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.functions._
-
-import graft.graph.{Bfs, Lineage}
+import graft.graph.Lineage
 import graft.model._
 import graft.patterns.Patterns
 import graft.search.HybridSearch
+import graft.serve.{ColumnInfo, ModelInfo}
 import graft.util.Json
 
 /** Context-capsule assembly — the reference's flagship query
@@ -14,11 +12,15 @@ import graft.util.Json
   * intent detection → pivot selection → DAG expansion → three-level
   * skeletonization → greedy token-budgeted fill.
   *
-  * Execution split mirrors SURVEY.md §4.3: every scan/join/traversal is
-  * a Spark job (search, BFS seeded with the whole pivot set at once —
-  * which IS the reference's per-pivot min-distance merge), while the
-  * final assembly runs driver-side on collections that are bounded by
-  * the token budget itself.
+  * Runs entirely on the serving snapshot ([[graft.serve.Snapshot]]):
+  * every input relation is bounded catalog metadata and the output is
+  * bounded by the token budget itself, so the whole assembly is driver
+  * compute — the reference's warm-SQLite profile (P95 < 500 ms),
+  * without the dozens of per-capsule job-scheduling round-trips the
+  * distributed formulation pays. The distributed operators behind the
+  * same semantics (BFS, search, pattern mining) remain first-class in
+  * [[graft.graph.Bfs]] / [[graft.patterns.Patterns]] and are
+  * gate-checked on unbounded inputs.
   *
   * Greedy-fill edge semantics are preserved exactly (capsule.py:334-396):
   * pivot and test/macro loops SKIP items that overflow (a later smaller
@@ -37,14 +39,13 @@ class CapsuleBuilder(catalog: Catalog, search: HybridSearch,
     "debug" -> (2, 1), "add_feature" -> (1, 2), "refactor" -> (1, 3),
     "test" -> (0, 0), "document" -> (1, 1), "explore" -> (1, 1))
 
-  private def spark = catalog.models.sparkSession
+  private def snap = catalog.snapshot
 
   // ── Pivot selection (capsule.py:209-270) ────────────────────────────
 
-  private def lookupId(nameOrId: String): Option[String] = {
-    val hit = search.lookup(nameOrId).select("unique_id").collect()
-    hit.headOption.map(_.getString(0))
-  }
+  private def lookupId(nameOrId: String): Option[String] =
+    snap.idByNameLower.get(nameOrId.toLowerCase)
+      .orElse(if (snap.modelById.contains(nameOrId)) Some(nameOrId) else None)
 
   /** Returns (pivotIds, confidence, refinements). */
   def selectPivots(task: String, intent: String, focusModel: Option[String],
@@ -57,16 +58,15 @@ class CapsuleBuilder(catalog: Catalog, search: HybridSearch,
     focusModel.flatMap(lookupId).foreach { uid => add(uid); explicit = true }
     entryModels.flatMap(lookupId).foreach { uid => add(uid); explicit = true }
     if (entryPaths.nonEmpty) {
-      search.resolvePaths(entryPaths).collect().map(_.getString(0))
-        .foreach { uid => add(uid); explicit = true }
+      search.resolvePathIds(entryPaths).foreach { uid => add(uid); explicit = true }
     }
 
     var bm25Scores = Seq.empty[Double]
     if (pivots.size < maxP) {
-      val fill = search.search(task, intent, limit = maxP - pivots.size + 2,
-        excludeIds = pivots.toSeq).collect()
-      bm25Scores = fill.map(r => r.getAs[Double]("bm25_score")).toSeq
-      fill.foreach(r => add(r.getAs[String]("unique_id")))
+      val fill = search.searchHits(task, intent, limit = maxP - pivots.size + 2,
+        excludeIds = pivots.toSeq)
+      bm25Scores = fill.map(_.bm25Score)
+      fill.foreach(h => add(h.uniqueId))
     }
 
     val (confidence, refinements) = computeConfidence(explicit, bm25Scores)
@@ -78,8 +78,6 @@ class CapsuleBuilder(catalog: Catalog, search: HybridSearch,
   def build(task: String, focusModel: Option[String] = None,
       entryModels: Seq[String] = Nil, entryPaths: Seq[String] = Nil,
       tokenBudget: Option[Int] = None): ContextCapsule = {
-    val sp = spark
-    import sp.implicits._
     val budget = tokenBudget.getOrElse(defaultTokenBudget)
     val intent = detectIntent(task)
     val (du, dd) = intentDepths.getOrElse(intent, (1, 1))
@@ -89,39 +87,30 @@ class CapsuleBuilder(catalog: Catalog, search: HybridSearch,
 
     // DAG expansion: one BFS per direction seeded with ALL pivots —
     // equivalent to per-pivot traversal + min-distance merge.
+    val pivotSet = pivotIds.toSet
     def expand(up: Boolean, depth: Int): Seq[(String, Int)] =
       if (pivotIds.isEmpty || depth <= 0) Nil
-      else Bfs.traverse(catalog.edges, pivotIds.toDF("id"), depth, up)
-        .filter(col("id").startsWith("model.") && !col("id").isin(pivotIds: _*))
-        .orderBy(col("distance"), col("id"))
-        .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+      else snap.bfs(pivotIds, depth, up)
+        .filter { case (id, _) => id.startsWith("model.") && !pivotSet(id) }
+        .sortBy { case (id, d) => (d, id) }
     val upstreamIds = expand(up = true, du)
     val downstreamIds = expand(up = false, dd)
 
-    // Related context — one batched job per relation instead of one
-    // per pivot; rows re-sorted to pivot order for dedup-keeps-first
-    // parity with the reference's per-pivot loop.
-    val pivotIdx = pivotIds.zipWithIndex.toMap
+    // Related context — snapshot lookups in pivot order (dedup-keeps-
+    // first parity with the reference's per-pivot loop).
     val testRows = collectTests(pivotIds)
-    val macroRows =
-      if (pivotIds.isEmpty) Nil
-      else search.macrosForModels(pivotIds).collect()
-        .sortBy(r => (pivotIdx(r.getAs[String]("model_id")), r.getAs[String]("name")))
-        .map(r => Map("unique_id" -> r.getAs[String]("unique_id"),
-          "name" -> r.getAs[String]("name"),
-          "package_name" -> r.getAs[String]("package_name"),
-          "description" -> r.getAs[String]("description"))).toSeq
-    val sourceRows =
-      if (pivotIds.isEmpty) Nil
-      else search.sourcesForModels(pivotIds).collect()
-        .sortBy(r => (pivotIdx(r.getAs[String]("model_id")), r.getAs[String]("unique_id")))
-        .map(r => Map("unique_id" -> r.getAs[String]("unique_id"),
-          "name" -> r.getAs[String]("name"),
-          "source_name" -> r.getAs[String]("source_name"))).toSeq
+    val macroRows = search.macroRowsForModels(pivotIds).map { case (_, m) =>
+      Map("unique_id" -> m.uniqueId, "name" -> m.name,
+        "package_name" -> m.packageName, "description" -> m.description)
+    }
+    val sourceRows = search.sourceRowsForModels(pivotIds).map { case (_, src) =>
+      Map("unique_id" -> src.uniqueId, "name" -> src.name,
+        "source_name" -> src.sourceName)
+    }
 
     val known = (pivotIds ++ upstreamIds.map(_._1) ++ downstreamIds.map(_._1)).distinct
-    val similar = search.search(task, intent, limit = 5, excludeIds = known)
-      .select("name").collect().map(_.getString(0)).toSeq
+    val similar = search.searchHits(task, intent, limit = 5, excludeIds = known)
+      .map(_.name)
 
     val patternsMap = patternsDict()
 
@@ -130,27 +119,24 @@ class CapsuleBuilder(catalog: Catalog, search: HybridSearch,
       "pivot" -> (budget * 0.45).toInt, "upstream" -> (budget * 0.20).toInt,
       "downstream" -> (budget * 0.10).toInt, "tests_macros" -> (budget * 0.10).toInt)
 
-    val modelRows = collectModels(known)
-    val columnRows = collectColumns(known)
-
     // Pivots: full context, SKIP on overflow.
     val pivotCtxs = pivotIds.flatMap { pid =>
-      modelRows.get(pid).map(m =>
-        buildFull(m, columnRows.getOrElse(pid, Nil), testRows.filter(_("model_id") == pid)))
+      snap.modelById.get(pid).map(m =>
+        buildFull(m, cols(pid), testRows.filter(_("model_id") == pid)))
     }
     val (pivotModels, pivotTokens) =
       fillSkip(pivotCtxs, (c: FullModelContext) => Json.estimateTokens(c), alloc("pivot"))
 
     // Upstream: skeleton, BREAK on first overflow.
     val upCtxs = upstreamIds.sortBy(_._2).flatMap { case (uid, _) =>
-      modelRows.get(uid).map(m => buildSkeleton(m, columnRows.getOrElse(uid, Nil)))
+      snap.modelById.get(uid).map(m => buildSkeleton(m, cols(uid)))
     }
     val (upstreamModels, upTokens) =
       fillBreak(upCtxs, (c: SkeletonModelContext) => Json.estimateTokens(c), alloc("upstream"))
 
     // Downstream: minimal, BREAK on first overflow.
     val downCtxs = downstreamIds.sortBy(_._2).flatMap { case (uid, _) =>
-      modelRows.get(uid).map(m => buildMinimal(m, columnRows.getOrElse(uid, Nil)))
+      snap.modelById.get(uid).map(m => buildMinimal(m, cols(uid)))
     }
     val (downstreamModels, downTokens) =
       fillBreak(downCtxs, (c: MinimalModelContext) => Json.estimateTokens(c), alloc("downstream"))
@@ -180,100 +166,91 @@ class CapsuleBuilder(catalog: Catalog, search: HybridSearch,
   def discover(task: String, focusModel: Option[String] = None,
       entryModels: Seq[String] = Nil, entryPaths: Seq[String] = Nil,
       limit: Int = 40): Seq[DiscoverEntry] = {
-    val sp = spark
-    import sp.implicits._
     val cap = math.min(math.max(1, limit), 80)
     val intent = detectIntent(task)
     val (pivotIds, _, _) = selectPivots(task, intent, focusModel, entryModels,
       entryPaths, maxP = math.max(maxPivots, 5))
 
-    val rows = collectModels(allIds = Nil, all = true)
     val out = scala.collection.mutable.LinkedHashMap.empty[String, DiscoverEntry]
     def add(uid: String, rel: String, dist: Int): Unit =
-      if (out.size < cap && !out.contains(uid)) rows.get(uid).foreach { m =>
-        out(uid) = DiscoverEntry(uid, m.getAs[String]("name"),
-          Option(m.getAs[String]("layer")).getOrElse("other"),
-          Option(m.getAs[String]("file_path")).getOrElse(""), rel, dist)
+      if (out.size < cap && !out.contains(uid)) snap.modelById.get(uid).foreach { m =>
+        out(uid) = DiscoverEntry(uid, m.name, m.layerOrOther,
+          Option(m.filePath).getOrElse(""), rel, dist)
       }
 
     pivotIds.foreach(add(_, "pivot", 0))
     if (pivotIds.nonEmpty) {
-      def reach(up: Boolean) =
-        Bfs.traverse(catalog.edges, pivotIds.toDF("id"), 4, up)
-          .filter(col("id").startsWith("model."))
-          .orderBy(col("distance"), col("id")).collect()
-      reach(up = true).foreach(r => add(r.getString(0), "upstream", r.getInt(1)))
-      reach(up = false).foreach(r => add(r.getString(0), "downstream", r.getInt(1)))
+      def reach(up: Boolean) = snap.bfs(pivotIds, 4, up)
+        .filter(_._1.startsWith("model."))
+        .sortBy { case (id, d) => (d, id) }
+      reach(up = true).foreach { case (id, d) => add(id, "upstream", d) }
+      reach(up = false).foreach { case (id, d) => add(id, "downstream", d) }
     }
     if (out.size < cap)
-      search.search(task, intent, limit = cap - out.size + 5, excludeIds = out.keys.toSeq)
-        .collect().foreach(r => add(r.getAs[String]("unique_id"), "search", -1))
+      search.searchHits(task, intent, limit = cap - out.size + 5,
+        excludeIds = out.keys.toSeq)
+        .foreach(h => add(h.uniqueId, "search", -1))
 
     out.values.toSeq
   }
 
-  // ── Driver-side helpers ─────────────────────────────────────────────
+  // ── Snapshot-side helpers ───────────────────────────────────────────
 
-  private def collectModels(allIds: Seq[String], all: Boolean = false): Map[String, Row] = {
-    val df = if (all) catalog.models
-      else if (allIds.isEmpty) catalog.models.limit(0)
-      else catalog.models.filter(col("unique_id").isin(allIds: _*))
-    df.collect().map(r => r.getAs[String]("unique_id") -> r).toMap
-  }
-
-  private def collectColumns(ids: Seq[String]): Map[String, Seq[Row]] =
-    if (ids.isEmpty) Map.empty
-    else catalog.columns.filter(col("model_id").isin(ids: _*))
-      .orderBy("model_id", "name").collect()
-      .groupBy(_.getAs[String]("model_id")).map { case (k, v) => k -> v.toSeq }
+  private def cols(modelId: String): Seq[ColumnInfo] =
+    snap.columnsByModel.getOrElse(modelId, Vector.empty)
 
   private def collectTests(pivotIds: Seq[String]): Seq[Map[String, String]] =
-    if (pivotIds.isEmpty) Nil
-    else catalog.tests.filter(col("model_id").isin(pivotIds: _*))
-      .orderBy("unique_id").collect()
-      .map(r => Map(
-        "model_id" -> r.getAs[String]("model_id"),
-        "name" -> r.getAs[String]("name"),
-        "test_type" -> r.getAs[String]("test_type"),
-        "column_name" -> r.getAs[String]("column_name"),
-        "severity" -> r.getAs[String]("severity"))).toSeq
+    pivotIds.flatMap(pid => snap.testsByModel.getOrElse(pid, Vector.empty))
+      .sortBy(_.uniqueId)
+      .map(t => Map(
+        "model_id" -> t.modelId,
+        "name" -> t.name,
+        "test_type" -> t.testType,
+        "column_name" -> t.columnName,
+        "severity" -> t.severity))
 
-  private def buildFull(m: Row, cols: Seq[Row], tests: Seq[Map[String, String]]): FullModelContext = {
+  private def buildFull(m: ModelInfo, cols: Seq[ColumnInfo],
+      tests: Seq[Map[String, String]]): FullModelContext = {
     val testsByCol = tests.filter(_("column_name").nonEmpty)
       .groupBy(_("column_name")).map { case (k, v) => k -> v.map(_("test_type")) }
     FullModelContext(
-      m.getAs[String]("unique_id"), m.getAs[String]("name"),
-      Option(m.getAs[String]("layer")).getOrElse("other"),
-      m.getAs[String]("materialization"), m.getAs[String]("file_path"),
-      { val c = m.getAs[String]("compiled_code"); if (c != null && c.nonEmpty) c else m.getAs[String]("raw_code") },
-      m.getAs[String]("description"),
-      cols.map(c => SkeletonColumn(c.getAs[String]("name"), c.getAs[String]("data_type"),
-        c.getAs[String]("description"), testsByCol.getOrElse(c.getAs[String]("name"), Nil))),
-      m.getAs[scala.collection.Seq[String]]("tags").toSeq,
-      m.getAs[scala.collection.Seq[String]]("depends_on_nodes").toSeq
-        .filter(_.startsWith("model.")).map(_.split("\\.").last))
+      m.uniqueId, m.name, m.layerOrOther, m.materialization, m.filePath,
+      m.sqlText, m.description,
+      cols.map(c => SkeletonColumn(c.name, c.dataType, c.description,
+        testsByCol.getOrElse(c.name, Nil))),
+      m.tags,
+      m.dependsOnNodes.filter(_.startsWith("model.")).map(_.split("\\.").last))
   }
 
-  private def buildSkeleton(m: Row, cols: Seq[Row]): SkeletonModelContext =
-    SkeletonModelContext(m.getAs[String]("unique_id"), m.getAs[String]("name"),
-      Option(m.getAs[String]("layer")).getOrElse("other"),
-      m.getAs[String]("materialization"),
-      cols.map(c => (c.getAs[String]("name"), c.getAs[String]("data_type"))))
+  private def buildSkeleton(m: ModelInfo, cols: Seq[ColumnInfo]): SkeletonModelContext =
+    SkeletonModelContext(m.uniqueId, m.name, m.layerOrOther, m.materialization,
+      cols.map(c => (c.name, c.dataType)))
 
-  private def buildMinimal(m: Row, cols: Seq[Row]): MinimalModelContext =
-    MinimalModelContext(m.getAs[String]("unique_id"), m.getAs[String]("name"),
-      Option(m.getAs[String]("layer")).getOrElse("other"), cols.size,
-      cols.filter(c => c.getAs[Boolean]("is_primary_key") || c.getAs[Boolean]("is_foreign_key"))
-        .map(_.getAs[String]("name")).take(5))
+  private def buildMinimal(m: ModelInfo, cols: Seq[ColumnInfo]): MinimalModelContext =
+    MinimalModelContext(m.uniqueId, m.name, m.layerOrOther, cols.size.toLong,
+      cols.filter(c => c.isPrimaryKey || c.isForeignKey).map(_.name).take(5))
 
+  /** Project patterns for the capsule — same semantics as
+    * [[Patterns.naming]] / [[Patterns.materializationByLayer]], computed
+    * on the snapshot. */
   private def patternsDict(): Map[String, String] = {
-    val n = patterns.naming().collect().headOption
-    val mats = patterns.materializationByLayer().collect()
-      .map(r => s"${r.getAs[String]("layer")}:${r.getAs[String]("materialization")}")
+    val staging = snap.models.filter(_.layer == "staging")
+    val stagingExample = staging.map(_.name).sorted.headOption.getOrElse("")
+    val doubleUnderscore = staging.exists(_.name.contains("__"))
+    val mats = snap.models
+      .groupBy(m => (m.layer, m.materialization))
+      .map { case ((l, mat), ms) => (l, mat, ms.size) }.toSeq
+      .groupBy(_._1)
+      .map { case (l, rows) =>
+        val (_, mat, _) = rows.minBy { case (_, mat, n) => (-n, mat) }
+        (l, mat)
+      }.toSeq
+      .sortBy { case (l, _) => Option(l).getOrElse("") }
+      .map { case (l, mat) => s"$l:$mat" }
       .mkString(",")
     Map(
-      "staging_example" -> n.map(r => Option(r.getAs[String]("staging_example")).getOrElse("")).getOrElse(""),
-      "uses_double_underscore" -> n.map(_.getAs[Boolean]("uses_double_underscore").toString).getOrElse("false"),
+      "staging_example" -> stagingExample,
+      "uses_double_underscore" -> doubleUnderscore.toString,
       "common_materializations" -> mats)
   }
 }

@@ -1,84 +1,112 @@
 package graft.graph
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
 
 import graft.model.Catalog
 
 /** DAG analytics over the catalog edge list — lineage, impact, source
   * dependencies, centrality ranking
   * (`/root/reference/src/ariadne_dbt/graph.py:10-188`).
-  * Traversal itself is [[Bfs]]; this layer adds the enrichment joins
-  * the reference does with per-node loops (`server.py:272-300`) —
-  * replaced by joins so a million-node reach set never touches the
-  * driver.
+  *
+  * Serving tier: traversal runs on the [[graft.serve.Snapshot]]
+  * adjacency maps (the catalog graph is bounded project metadata — the
+  * reference walks the same edges with a Python queue over SQLite
+  * rows), so a depth-3 lineage is microseconds of driver compute
+  * instead of a Spark job per hop. The DISTRIBUTED traversal for
+  * unbounded graphs is [[Bfs]], which the gate queries
+  * (`graft.queries.Graph`) exercise end-to-end.
   */
 class Lineage(catalog: Catalog) {
 
-  private def spark: SparkSession = catalog.edges.sparkSession
+  private def snap = catalog.snapshot
+  private def spark = catalog.models.sparkSession
 
-  private def seed(id: String): DataFrame = {
-    val s = spark
-    import s.implicits._
-    Seq(id).toDF("id")
-  }
+  private def enriched(reach: Seq[(String, Int)])
+      : Seq[(String, Int, Option[String], Option[String], Option[String])] =
+    reach.map { case (id, d) =>
+      val m = snap.modelById.get(id)
+      (id, d, m.map(_.name), m.flatMap(x => Option(x.layer)),
+        m.flatMap(x => Option(x.materialization)))
+    }
 
   /** Upstream traversal with distances, enriched with model fields. */
-  def upstream(id: String, depth: Int): DataFrame =
-    enrich(Bfs.traverse(catalog.edges, seed(id), depth, up = true))
+  def upstream(id: String, depth: Int): DataFrame = {
+    val s = spark
+    import s.implicits._
+    enriched(snap.bfs(Seq(id), depth, up = true))
+      .sortBy { case (nid, d, _, _, _) => (d, nid) }
+      .toDF("id", "distance", "name", "layer", "materialization")
+  }
 
   /** Downstream traversal with distances. */
-  def downstream(id: String, depth: Int): DataFrame =
-    enrich(Bfs.traverse(catalog.edges, seed(id), depth, up = false))
+  def downstream(id: String, depth: Int): DataFrame = {
+    val s = spark
+    import s.implicits._
+    enriched(snap.bfs(Seq(id), depth, up = false))
+      .sortBy { case (nid, d, _, _, _) => (d, nid) }
+      .toDF("id", "distance", "name", "layer", "materialization")
+  }
 
   /** Both directions tagged with direction, ordered (direction,
     * distance, id) — `get_lineage` (server.py:240-307). */
-  def lineage(id: String, upDepth: Int, downDepth: Int): DataFrame =
-    enrich(Bfs.neighbors(catalog.edges, seed(id), upDepth, downDepth))
-      .orderBy(col("direction"), col("distance"), col("id"))
-
-  private def enrich(reach: DataFrame): DataFrame =
-    reach.join(
-      catalog.models.select(col("unique_id").as("id"), col("name"),
-        col("layer"), col("materialization")),
-      Seq("id"), "left")
+  def lineage(id: String, upDepth: Int, downDepth: Int): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val rows =
+      enriched(snap.bfs(Seq(id), upDepth, up = true)).map { case (nid, d, n, l, m) =>
+        (nid, d, "upstream", n, l, m)
+      } ++
+      enriched(snap.bfs(Seq(id), downDepth, up = false)).map { case (nid, d, n, l, m) =>
+        (nid, d, "downstream", n, l, m)
+      }
+    rows.sortBy { case (nid, d, dir, _, _, _) => (dir, d, nid) }
+      .toDF("id", "distance", "direction", "name", "layer", "materialization")
+  }
 
   /** Impact analysis (graph.py:79-132): downstream reach split by node
-    * type, test count via semi-join, rule-based risk level. */
+    * type, test count, rule-based risk level — one aggregation pass
+    * over the reach set. */
   def impact(id: String, depth: Int = 5): DataFrame = {
-    val reach = Bfs.traverse(catalog.edges, seed(id), math.min(depth, 10), up = false)
-    val modelsReached = reach.filter(col("id").startsWith("model."))
-    val exposuresReached = reach.filter(col("id").startsWith("exposure."))
-    val testsReached = catalog.tests
-      .join(modelsReached.select(col("id").as("model_id")), Seq("model_id"), "left_semi")
-    val martsCnt = modelsReached
-      .join(catalog.models.select(col("unique_id").as("id"), col("layer")), Seq("id"))
-      .agg(coalesce(sum(when(col("layer") === "marts", 1L).otherwise(0L)), lit(0L)).as("n_marts"))
-
-    modelsReached.agg(count(lit(1)).as("n_models"))
-      .crossJoin(exposuresReached.agg(count(lit(1)).as("n_exposures")))
-      .crossJoin(testsReached.agg(count(lit(1)).as("n_tests")))
-      .crossJoin(martsCnt)
-      .withColumn("risk",
-        when(col("n_exposures") > 0 || (col("n_marts") > 0 && col("n_models") > 5), "high")
-          .when(col("n_models") > 3 || col("n_marts") > 0, "medium")
-          .otherwise("low"))
+    val s = spark
+    import s.implicits._
+    val reach = snap.bfs(Seq(id), math.min(depth, 10), up = false).map(_._1)
+    val modelsReached = reach.filter(_.startsWith("model."))
+    val nExposures = reach.count(_.startsWith("exposure.")).toLong
+    val nTests = modelsReached
+      .map(m => snap.testsByModel.getOrElse(m, Vector.empty).size.toLong).sum
+    val nMarts = modelsReached
+      .count(m => snap.modelById.get(m).exists(_.layer == "marts")).toLong
+    val nModels = modelsReached.size.toLong
+    val risk =
+      if (nExposures > 0 || (nMarts > 0 && nModels > 5)) "high"
+      else if (nModels > 3 || nMarts > 0) "medium"
+      else "low"
+    Seq((nModels, nExposures, nTests, nMarts, risk))
+      .toDF("n_models", "n_exposures", "n_tests", "n_marts", "risk")
   }
 
   /** Source dependencies (graph.py:136-150): upstream depth 10, keep
     * source.* ids, enrich from sources. */
-  def sourceDeps(id: String): DataFrame =
-    Bfs.traverse(catalog.edges, seed(id), 10, up = true)
-      .filter(col("id").startsWith("source."))
-      .join(catalog.sources.withColumnRenamed("unique_id", "id"), Seq("id"))
-      .select(col("id"), col("name"), col("source_name"), col("distance"))
-      .orderBy(col("distance"), col("id"))
+  def sourceDeps(id: String): DataFrame = {
+    val s = spark
+    import s.implicits._
+    snap.bfs(Seq(id), 10, up = true)
+      .collect { case (nid, d) if nid.startsWith("source.") =>
+        snap.sources.get(nid).map(src => (nid, src.name, src.sourceName, d))
+      }
+      .flatten
+      .sortBy { case (nid, _, _, d) => (d, nid) }
+      .toDF("id", "name", "source_name", "distance")
+  }
 
   /** Top-k models by centrality (graph.py:178-188). */
-  def topCentral(k: Int = 10): DataFrame =
-    catalog.models
-      .select(col("unique_id"), col("name"), col("layer"),
-        col("centrality"), col("downstream_count"))
-      .orderBy(col("centrality").desc, col("downstream_count").desc, col("unique_id"))
-      .limit(k)
+  def topCentral(k: Int = 10): DataFrame = {
+    val s = spark
+    import s.implicits._
+    snap.models
+      .sortBy(m => (-m.centrality, -m.downstreamCount, m.uniqueId))
+      .take(k)
+      .map(m => (m.uniqueId, m.name, m.layer, m.centrality, m.downstreamCount))
+      .toDF("unique_id", "name", "layer", "centrality", "downstream_count")
+  }
 }

@@ -28,6 +28,11 @@ final case class Catalog(
       .foreach(_.cache())
     this
   }
+
+  /** Driver-side serving snapshot (bounded catalog metadata + collected
+    * inverted index) — built once, memoized, backing the interactive
+    * latency tier. See [[graft.serve.Snapshot]] for the scale rationale. */
+  lazy val snapshot: graft.serve.Snapshot = graft.serve.Snapshot.build(this)
 }
 
 /** One search hit with its score decomposition — mirror of the

