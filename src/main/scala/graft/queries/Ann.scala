@@ -35,13 +35,18 @@ object Ann {
   private val NumCentroids = 16 // centroid set: vec_id < 16
   private val NProbe = 4
 
-  /** L2-normalized vectors (norm computed once per vector). */
+  /** L2-normalized vectors, materialized via localCheckpoint: the
+    * normalization is an interpreted higher-order lambda (per-element —
+    * the known Spark 4.1 pitfall), and every ANN query derives corpus,
+    * centroid, AND query sets from this frame. Checkpointing makes it
+    * run once instead of once per consumer per stage. */
   private def vecs(s: SparkSession, d: String): DataFrame = {
     DotProduct.register(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v0"))
       .withColumn("nrm", sqrt(VectorOps.norm2(col("v0"))))
       .select(col("vec_id"), transform(col("v0"), x => x / col("nrm")).as("v"))
+      .localCheckpoint()
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -16,7 +16,9 @@ import graft.functions.TextHash._
   *      produces the identical pair set and slots in unchanged at
   *      100 TB — the higher doc_id of each surviving pair drops);
   *   3. quality filter (stopword/digit/length blend ≥ 0.5);
-  *   4. language filter (marker-based lang in {en, und}).
+  *   4. language filter: docs with ZERO English-marker stopwords drop
+  *      as `non_english` (the testdata corpus mixes en/de/zh/fr/es —
+  *      a marker count of 0 singles out the non-English cohort).
   *
   * Output: every document with its keep/drop verdict and the FIRST
   * applicable drop reason in pipeline order — the auditable ledger a
@@ -73,6 +75,7 @@ object CorpusClean {
           when(col("is_exact_dup"), "exact_dup")
             .when(col("is_near_dup"), "near_dup")
             .when(col("quality_score") < 0.5, "low_quality")
+            .when(col("c_en") === 0, "non_english")
             .otherwise("kept"))
         .select(col("doc_id"), round(col("quality_score"), 9).as("quality_score"),
           col("reason"), (col("reason") === "kept").as("keep"))
@@ -108,20 +111,25 @@ object CorpusClean {
         |            / CAST(len(string_split(text,' ')) AS DOUBLE)) * 0.3
         |        + (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
         |            / CAST(length(text) AS DOUBLE)) * 0.3 AS quality_score
-        |      FROM documents)
+        |      FROM documents),
+        |lg AS (SELECT doc_id, len(list_filter(string_split(text,' '),
+        |         t -> t IN ('the','a','of','and','is'))) AS c_en FROM documents)
         |SELECT d.doc_id, round(q.quality_score, 9) AS quality_score,
         |  CASE WHEN e.is_exact_dup THEN 'exact_dup'
         |       WHEN l.doc_id IS NOT NULL THEN 'near_dup'
         |       WHEN q.quality_score < 0.5 THEN 'low_quality'
+        |       WHEN lg.c_en = 0 THEN 'non_english'
         |       ELSE 'kept' END AS reason,
         |  CASE WHEN e.is_exact_dup THEN FALSE
         |       WHEN l.doc_id IS NOT NULL THEN FALSE
         |       WHEN q.quality_score < 0.5 THEN FALSE
+        |       WHEN lg.c_en = 0 THEN FALSE
         |       ELSE TRUE END AS keep
         |FROM documents d
         |JOIN exact e USING (doc_id)
         |JOIN q USING (doc_id)
         |LEFT JOIN losers l USING (doc_id)
+        |JOIN lg USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin
   )
 }

@@ -72,6 +72,23 @@ object Dedup {
        |      FROM ov JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id)
        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= $JaccardThreshold""".stripMargin
 
+  /** 60-bit SimHash signature per document — tf-weighted ±1 votes per
+    * bit of each token's md5-derived hash, bit set where the vote is
+    * positive. Broadcasting the 60-row bit table keeps this a single
+    * shuffle (the per-doc re-aggregation). */
+  private def simhashSig(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .withColumn("hv", h60(col("t")))
+    val bitsDf = s.range(0, 60).select(col("id").cast("int").as("b"))
+    tf.crossJoin(broadcast(bitsDf))
+      .groupBy("doc_id", "b")
+      .agg(sum(when(expr("shiftright(hv, b) & 1") === 1, col("c")).otherwise(-col("c"))).as("vote"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("vote") > 0, expr("shiftleft(cast(1 as bigint), b)")).otherwise(0L)).as("simhash"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: normalize → md5 → first doc_id per digest wins.
@@ -128,64 +145,75 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // SimHash: 60-bit signature — tf-weighted ±1 votes per bit of each
-    // token's md5-derived hash, bit set where the vote is positive.
-    // Broadcasting the 60-row bit table keeps this a single shuffle
-    // (the per-doc re-aggregation).
-    "d_simhash" -> ((s, d) => {
-      val tf = Tables.documents(s, d)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-        .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
-        .withColumn("hv", h60(col("t")))
-      val bitsDf = s.range(0, 60).select(col("id").cast("int").as("b"))
-      tf.crossJoin(broadcast(bitsDf))
-        .groupBy("doc_id", "b")
-        .agg(sum(when(expr("shiftright(hv, b) & 1") === 1, col("c")).otherwise(-col("c"))).as("vote"))
-        .groupBy("doc_id")
-        .agg(sum(when(col("vote") > 0, expr("shiftleft(cast(1 as bigint), b)")).otherwise(0L)).as("simhash"))
-        .orderBy(col("doc_id"))
+    // SimHash signatures (see [[simhashSig]]).
+    "d_simhash" -> ((s, d) => simhashSig(s, d).orderBy(col("doc_id"))),
+
+    // SimHash near-dup PAIRS via the pigeonhole hamming band join: for
+    // hamming distance ≤ 3 over 60 bits, split the signature into 4
+    // bands of 15 bits — any pair within distance 3 agrees exactly on
+    // ≥1 band (pigeonhole), so candidate discovery is a band-key
+    // equi-join (one shuffle), not an all-pairs scan; the exact
+    // `bit_count(xor)` check then removes band-collision false
+    // positives. Same find-candidates/verify shape as d_minhash_lsh —
+    // hot bands (boilerplate) would be count-capped at real scale.
+    "d_simhash_pairs" -> ((s, d) => {
+      val sig = simhashSig(s, d).localCheckpoint()
+      val bands = (0 until 4).map { b =>
+        sig.select(col("doc_id"), lit(b).as("band"),
+          expr(s"shiftright(simhash, ${b * 15}) & 32767").as("band_val"))
+      }.reduce(_ union _)
+      val cands = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.band_val") === col("y.band_val") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      cands
+        .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), "doc_a")
+        .join(sig.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), "doc_b")
+        .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+        .filter(col("hamming") <= 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
     }),
 
     // Embedding-cosine near-dup: pairs with cosine ≥ 0.45.
     //
-    // Vectors are L2-normalized once per vector in the declarative layer
-    // (so the fp order is shared with the oracle), then the O(n²) pair
-    // stage runs as a broadcast nested-loop: the normalized corpus is
-    // broadcast and each partition streams its rows against the
-    // broadcast side with a tight primitive loop — Spark's higher-order
-    // lambdas are interpreted per element, which is fine per-row but not
-    // for n²·dim evaluations. The accumulation is the same left-to-right
-    // double fold, so results stay bit-identical to the declarative
-    // form. At 100 TB exact all-pairs is not a thing — the LSH/banding
-    // path (d_minhash_lsh shape, sign-bit bands for vectors) is the
-    // scale route; this operator is the ground-truth verifier.
+    // Vectors are L2-normalized ONCE into a localCheckpoint (shared by
+    // both join sides — the interpreted higher-order normalization
+    // lambda runs n times, not 2n²), then the pair stage is a
+    // BroadcastNestedLoopJoin: the corpus streams once per partition
+    // against the broadcast side, never transiting the driver, and the
+    // dot product is the codegen'd `graft_dot` expression — the same
+    // left-to-right fold as the DuckDB oracle, so values stay
+    // bit-identical. At 100 TB exact all-pairs is not a thing — the
+    // LSH/banding path (d_minhash_lsh, d_simhash_pairs) is the scale
+    // route; this operator is the bounded-corpus ground-truth verifier
+    // and its plan shape (broadcast + single scan) survives a corpus
+    // that outgrows any single executor, unlike a driver collect.
     "d_embed_neardup" -> ((s, d) => {
-      import s.implicits._
+      graft.functions.DotProduct.register(s)
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v0"))
         .withColumn("nrm", sqrt(graft.functions.VectorOps.norm2(col("v0"))))
         .select(col("vec_id"), transform(col("v0"), x => x / col("nrm")).as("v"))
-      val rows = e.as[(Long, Array[Double])]
-      val all = rows.collect().sortBy(_._1)
-      val bc = s.sparkContext.broadcast(all)
-      rows.flatMap { case (id, v) =>
-        val corpus = bc.value
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-        var j = 0
-        while (j < corpus.length) {
-          val (jd, w) = corpus(j)
-          if (jd > id) {
-            var k = 0; var acc = 0.0
-            while (k < v.length) { acc += v(k) * w(k); k += 1 }
-            if (acc >= 0.45) out += ((id, jd, acc))
-          }
-          j += 1
-        }
-        out
-      }.toDF("vec_a", "vec_b", "cosine")
+        .localCheckpoint()
+      e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          expr("graft_dot(a.v, b.v)").as("cosine"))
+        .filter(col("cosine") >= 0.45)
         .orderBy(col("vec_a"), col("vec_b"))
     })
   )
+
+  /** DuckDB mirror of [[simhashSig]] (ends with CTE `sig`). */
+  private val simhashSqlCte =
+    """tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+      |tf AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      |h AS (SELECT doc_id, c, ('0x' || substr(md5(t),1,15))::BIGINT AS hv FROM tf),
+      |bits AS (SELECT doc_id, b, SUM(CASE WHEN (hv >> b) & 1 = 1 THEN c ELSE -c END) AS vote
+      |         FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) GROUP BY 1, 2),
+      |sig AS (SELECT doc_id, CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+      |        FROM bits GROUP BY doc_id)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "d_exact_dedup" ->
@@ -198,13 +226,18 @@ object Dedup {
     "d_ngram_jaccard" -> (jaccardPairsSql + "\nORDER BY doc_a, doc_b"),
     "d_minhash_lsh" -> (jaccardPairsSql + "\nORDER BY doc_a, doc_b"),
     "d_simhash" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
-        |tf AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
-        |h AS (SELECT doc_id, c, ('0x' || substr(md5(t),1,15))::BIGINT AS hv FROM tf),
-        |bits AS (SELECT doc_id, b, SUM(CASE WHEN (hv >> b) & 1 = 1 THEN c ELSE -c END) AS vote
-        |         FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) GROUP BY 1, 2)
-        |SELECT doc_id, CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
-        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $simhashSqlCte
+         |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,
+    // The oracle verifies the PAIR SET by definition (all-pairs hamming
+    // at test scale); the Spark side must find the identical set via
+    // banding — which pigeonhole guarantees at distance ≤ 3.
+    "d_simhash_pairs" ->
+      s"""WITH $simhashSqlCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "d_embed_neardup" ->
       """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
         |e AS (SELECT vec_id,

@@ -298,7 +298,7 @@ object Relational {
     "o6_contains_join" ->
       """SELECT DISTINCT n_name, c_mktsegment
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |WHERE n_name LIKE '%ATION_1%'
+        |WHERE contains(n_name, 'ATION_1')
         |ORDER BY n_name, c_mktsegment""".stripMargin,
     "o7_topk_orders" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20",

@@ -67,34 +67,64 @@ object EventStreams {
     spark.table(sinkName)
   }
 
-  private case class Ev(userId: Long, tsMicros: Long)
-  private case class SessionAgg(userId: Long, nSessions: Long, nEvents: Long)
+  case class SessionAgg(userId: Long, nSessions: Long, nEvents: Long)
+
+  /** O(1) per-user session state: NOT the event list. On a real stream
+    * per-key state must be bounded or the state store grows with the
+    * key's entire history; `(lastTs, nSessions, nEvents)` is sufficient
+    * because a gap-based session count is a running fold over
+    * time-ordered events. */
+  case class SessState(lastTs: Long, nSessions: Long, nEvents: Long)
 
   /** Stateful gap-based sessionization (30-min gap) with
     * mapGroupsWithState — the custom-state operator shape
-    * (KeyValueGroupedDataset) the DataFrame API can't express. Events
-    * are sorted inside the group because state functions see arrival
-    * order. */
+    * (KeyValueGroupedDataset) the DataFrame API can't express.
+    *
+    * Each micro-batch is sorted before folding into the state (state
+    * functions see arrival order); events later than the retained
+    * `lastTs` extend or open sessions, while a late event older than
+    * `lastTs` counts toward `nEvents` but cannot retroactively split an
+    * already-closed session — the standard bounded-state/out-of-order
+    * tradeoff a watermark formalizes.
+    *
+    * `idleTimeout` (e.g. "1 hour") enables ProcessingTimeTimeout
+    * eviction for a CONTINUOUS deployment: an idle user's state emits
+    * its final aggregate and is removed, so the store holds only the
+    * active key set. The default leaves it off because a bounded
+    * `Trigger.AvailableNow` replay (the deterministic gate/test path)
+    * would otherwise stay alive waiting for wall-clock timeouts to
+    * fire after the data is exhausted. */
   private val sessionSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  def sessionize(spark: SparkSession, dir: String, gapSeconds: Long = 1800): DataFrame = {
+  def sessionize(spark: SparkSession, dir: String, gapSeconds: Long = 1800,
+      idleTimeout: Option[String] = None): DataFrame = {
     import spark.implicits._
     val sinkName = s"stream_sessions_${sessionSeq.incrementAndGet()}"
+    val timeoutConf = if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     val q = readEvents(spark, dir)
       .select(col("user_id"), col("ts").cast("long").as("ts_sec"))
       .as[(Long, Long)]
       .groupByKey(_._1)
-      .mapGroupsWithState[List[Long], SessionAgg](GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[List[Long]]) =>
-          val all = (state.getOption.getOrElse(Nil) ++ rows.map(_._2)).sorted
-          state.update(all)
-          var sessions = 0L
-          var prev = Long.MinValue
-          all.foreach { t =>
-            if (prev == Long.MinValue || t - prev > gapSeconds) sessions += 1
-            prev = t
+      .mapGroupsWithState[SessState, SessionAgg](timeoutConf) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionAgg(user, s.nSessions, s.nEvents)
+          } else {
+            val batch = rows.map(_._2).toArray
+            java.util.Arrays.sort(batch)
+            var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L))
+            batch.foreach { t =>
+              val opens = st.lastTs == Long.MinValue || t - st.lastTs > gapSeconds
+              st = SessState(math.max(t, st.lastTs),
+                st.nSessions + (if (opens) 1L else 0L), st.nEvents + 1L)
+            }
+            state.update(st)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            SessionAgg(user, st.nSessions, st.nEvents)
           }
-          SessionAgg(user, sessions, all.size.toLong)
       }
       .toDF("user_id", "n_sessions", "n_events")
       .writeStream.format("memory").queryName(sinkName)
