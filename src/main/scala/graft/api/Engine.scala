@@ -9,6 +9,7 @@ import graft.ingest.ManifestReader
 import graft.model.{Catalog, ContextCapsule, DiscoverEntry}
 import graft.patterns.Patterns
 import graft.search.HybridSearch
+import graft.usage.UsageLog
 
 /** Capability facade mirroring the reference's 9 MCP tools + CLI verbs
   * (`/root/reference/src/ariadne_dbt/server.py:54-518`,
@@ -17,59 +18,103 @@ import graft.search.HybridSearch
   *
   *   get_context_capsule, discover_models, get_model_details,
   *   get_lineage, get_impact_analysis, search_models,
-  *   find_models_by_column, find_models_by_path, refresh_index
-  *   (+ rate_capsule via [[graft.usage.UsageLog]]).
+  *   find_models_by_column, find_models_by_path, refresh_index,
+  *   rate_capsule.
   *
   * Parameter clamps (limit ≤ 50, depth ≤ 10 — server.py:148,266,338,363)
   * live here, at the API boundary, exactly as in the reference.
+  *
+  * Telemetry: every tool call appends a usage row (server.py:101-110),
+  * and [[rateCapsule]] attaches a 1–5 rating to the most recent capsule
+  * call (server.py:496-520) — so the A10/A11 usage analytics run over
+  * the engine's OWN log, not just synthetic events.
   */
-class Engine private (spark: SparkSession, manifestPath: String, var catalog: Catalog) {
+class Engine private (spark: SparkSession, manifestPath: String,
+    usagePath: String, var catalog: Catalog) {
 
   private var hybrid = new HybridSearch(catalog)
   private var lineageOps = new Lineage(catalog)
   private var patternsOps = new Patterns(catalog)
   private var capsules = new CapsuleBuilder(catalog, hybrid, lineageOps, patternsOps)
 
+  /** The engine's own telemetry sink (usage.py UsageLogger). */
+  val usage = new UsageLog(spark, usagePath)
+  private var lastCapsuleLogId: Option[Long] = None
+
   private def clampLimit(l: Int, cap: Int = 50): Int = math.min(math.max(1, l), cap)
   private def clampDepth(d: Int): Int = math.min(math.max(0, d), 10)
+
+  /** Time + log one tool call (server.py:101-110 shape). */
+  private def logged[A](tool: String, taskText: String, intent: String = "",
+      focusModel: Option[String] = None)(body: => A)(
+      tokens: A => Long, pivots: A => Long = (_: A) => 0L): A = {
+    val t0 = System.nanoTime()
+    val out = body
+    val ms = (System.nanoTime() - t0) / 1000000
+    val id = usage.log(tool, taskText, intent, tokens(out), ms,
+      focusModel = focusModel, pivotCount = pivots(out))
+    if (tool == "get_context_capsule") lastCapsuleLogId = Some(id)
+    out
+  }
 
   def getContextCapsule(task: String, focusModel: Option[String] = None,
       entryModels: Seq[String] = Nil, entryPaths: Seq[String] = Nil,
       tokenBudget: Option[Int] = None): ContextCapsule =
-    capsules.build(task, focusModel, entryModels, entryPaths, tokenBudget)
+    logged("get_context_capsule", task, CapsuleBuilder.detectIntent(task), focusModel) {
+      capsules.build(task, focusModel, entryModels, entryPaths, tokenBudget)
+    }(tokens = _.tokenEstimate.toLong, pivots = _.pivotModels.size.toLong)
+
+  /** Rate the most recent capsule call 1–5 (server.py:496-520).
+    * Returns the rated log_id, or None when no capsule was built yet. */
+  def rateCapsule(rating: Int, notes: Option[String] = None): Option[Long] = {
+    lastCapsuleLogId.foreach(id => usage.rate(id, rating, notes))
+    lastCapsuleLogId
+  }
 
   def discoverModels(task: String, focusModel: Option[String] = None,
       entryModels: Seq[String] = Nil, entryPaths: Seq[String] = Nil,
       limit: Int = 40): Seq[DiscoverEntry] =
-    capsules.discover(task, focusModel, entryModels, entryPaths, clampLimit(limit, 80))
+    logged("discover_models", task, CapsuleBuilder.detectIntent(task), focusModel) {
+      capsules.discover(task, focusModel, entryModels, entryPaths, clampLimit(limit, 80))
+    }(tokens = _.size.toLong * 12) // ~12 tokens/entry (server.py:35,124)
 
-  def getModelDetails(modelName: String): DataFrame = {
-    val m = hybrid.lookup(modelName)
-    m.select(col("unique_id"), col("name"), col("layer"), col("materialization"),
-      col("file_path"), col("description"), col("upstream_count"),
-      col("downstream_count"), col("centrality"))
-  }
+  def getModelDetails(modelName: String): DataFrame =
+    logged("get_model_details", modelName) {
+      hybrid.lookup(modelName)
+        .select(col("unique_id"), col("name"), col("layer"), col("materialization"),
+          col("file_path"), col("description"), col("upstream_count"),
+          col("downstream_count"), col("centrality"))
+    }(tokens = _.count())
 
   def getColumns(modelId: String): DataFrame = hybrid.columnsWithTests(modelId)
 
   def getLineage(modelId: String, upDepth: Int = 3, downDepth: Int = 3): DataFrame =
-    lineageOps.lineage(modelId, clampDepth(upDepth), clampDepth(downDepth))
+    logged("get_lineage", modelId) {
+      lineageOps.lineage(modelId, clampDepth(upDepth), clampDepth(downDepth))
+    }(tokens = _.count())
 
   def getImpactAnalysis(modelId: String, depth: Int = 5): DataFrame =
-    lineageOps.impact(modelId, clampDepth(depth))
+    logged("get_impact_analysis", modelId) {
+      lineageOps.impact(modelId, clampDepth(depth))
+    }(tokens = _.count())
 
   def searchModels(query: String, limit: Int = 10, intent: String = "explore",
-      layer: Option[String] = None): DataFrame = {
-    val res = hybrid.search(query, intent, clampLimit(limit) * 2)
-    layer.fold(res)(l => res.filter(col("layer") === l))
-      .limit(clampLimit(limit))
-  }
+      layer: Option[String] = None): DataFrame =
+    logged("search_models", query, intent) {
+      val res = hybrid.search(query, intent, clampLimit(limit) * 2)
+      layer.fold(res)(l => res.filter(col("layer") === l))
+        .limit(clampLimit(limit))
+    }(tokens = _.count())
 
   def findModelsByColumn(columnName: String, limit: Int = 20): DataFrame =
-    hybrid.findByColumn(columnName, clampLimit(limit))
+    logged("find_models_by_column", columnName) {
+      hybrid.findByColumn(columnName, clampLimit(limit))
+    }(tokens = _.count())
 
   def findModelsByPath(pathPattern: String, limit: Int = 20): DataFrame =
-    hybrid.findByPath(pathPattern, clampLimit(limit))
+    logged("find_models_by_path", pathPattern) {
+      hybrid.findByPath(pathPattern, clampLimit(limit))
+    }(tokens = _.count())
 
   def getProjectStats(): DataFrame = patternsOps.stats()
   def getPatterns(): Patterns = patternsOps
@@ -88,7 +133,13 @@ class Engine private (spark: SparkSession, manifestPath: String, var catalog: Ca
 }
 
 object Engine {
-  /** `ariadne init`-equivalent: ingest a manifest and serve queries. */
-  def fromManifest(spark: SparkSession, manifestPath: String): Engine =
-    new Engine(spark, manifestPath, ManifestReader.read(spark, manifestPath))
+  /** `ariadne init`-equivalent: ingest a manifest and serve queries.
+    * `usagePath` is the engine's telemetry parquet (a temp dir when
+    * unspecified, as in the reference's per-db-path SQLite log). */
+  def fromManifest(spark: SparkSession, manifestPath: String,
+      usagePath: Option[String] = None): Engine = {
+    val up = usagePath.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_usage").toString + "/log")
+    new Engine(spark, manifestPath, up, ManifestReader.read(spark, manifestPath))
+  }
 }

@@ -1,6 +1,9 @@
 package graft.usage
 
+import java.util.concurrent.atomic.AtomicLong
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Append-only usage log + windowed stats
@@ -9,21 +12,94 @@ import org.apache.spark.sql.functions._
   * `substr(ts,1,10)` day-grouping become a real TimestampType +
   * `date_trunc` — an append-mode parquet table that Structured
   * Streaming could tail without schema changes.
+  *
+  * Two deltas from the SQLite original, both lake-idiomatic:
+  *   - `log()` is a BUFFERED append (the reference's INSERT is sub-ms;
+  *     a parquet write job is ~100 ms and would dominate the
+  *     interactive latencies it instruments) — rows batch in memory and
+  *     flush every [[UsageLog.FlushEvery]] calls, on [[flush]], and
+  *     before any read;
+  *   - ratings (an SQLite UPDATE in usage.py `rate`) become an
+  *     append-only rating EVENT table joined at read time: no in-place
+  *     mutation of immutable files, the newest event per `log_id` wins.
   */
 class UsageLog(spark: SparkSession, path: String) {
 
+  import UsageLog.FlushEvery
   import spark.implicits._
 
-  def log(toolName: String, taskText: String, intent: String,
-      tokenEstimate: Long, durationMs: Long, rating: Option[Int] = None): Unit =
-    Seq((java.time.Instant.now().toString, toolName, taskText, intent,
-      tokenEstimate, durationMs, rating.map(_.toLong)))
-      .toDF("ts", "tool_name", "task_text", "intent", "token_estimate",
-        "duration_ms", "rating")
-      .withColumn("ts", to_timestamp(col("ts")))
-      .write.mode("append").parquet(path)
+  private val ratingsPath = path + "_ratings"
 
-  def all(): DataFrame = spark.read.parquet(path)
+  private type UsageRow = (Long, String, String, String, String, String, Long, Long, Long, Option[Long])
+  private type RatingRow = (Long, Long, String, String)
+  private val pendingUsage = scala.collection.mutable.ArrayBuffer.empty[UsageRow]
+  private val pendingRatings = scala.collection.mutable.ArrayBuffer.empty[RatingRow]
+
+  /** Monotonic log ids (usage.py returns SQLite lastrowid); seeded past
+    * any ids already on disk so re-opened logs keep appending. */
+  private val nextId = new AtomicLong(
+    try spark.read.parquet(path).agg(max("log_id")).collect()
+      .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(0L)
+    catch { case _: Throwable => 0L })
+
+  /** Append one usage row; returns its log_id (usage.py:21-45). */
+  def log(toolName: String, taskText: String, intent: String,
+      tokenEstimate: Long, durationMs: Long, rating: Option[Int] = None,
+      focusModel: Option[String] = None, pivotCount: Long = 0L): Long = synchronized {
+    val id = nextId.incrementAndGet()
+    pendingUsage += ((id, java.time.Instant.now().toString, toolName, taskText,
+      intent, focusModel.orNull, pivotCount, tokenEstimate, durationMs,
+      rating.map(_.toLong)))
+    if (pendingUsage.length >= FlushEvery) flush()
+    id
+  }
+
+  /** Rate a logged call 1–5 (clamped, usage.py:47-52) — appends a
+    * rating event; the newest event per log_id wins at read time. */
+  def rate(logId: Long, rating: Int, notes: Option[String] = None): Unit = synchronized {
+    pendingRatings += ((logId, math.max(1, math.min(5, rating)).toLong,
+      notes.orNull, java.time.Instant.now().toString))
+    if (pendingRatings.length >= FlushEvery) flush()
+  }
+
+  /** Write buffered rows to the parquet sinks. */
+  def flush(): Unit = synchronized {
+    if (pendingUsage.nonEmpty) {
+      pendingUsage.toSeq
+        .toDF("log_id", "ts", "tool_name", "task_text", "intent", "focus_model",
+          "pivot_count", "token_estimate", "duration_ms", "rating")
+        .withColumn("ts", to_timestamp(col("ts")))
+        .write.mode("append").parquet(path)
+      pendingUsage.clear()
+    }
+    if (pendingRatings.nonEmpty) {
+      pendingRatings.toSeq
+        .toDF("log_id", "event_rating", "notes", "rated_at")
+        .withColumn("rated_at", to_timestamp(col("rated_at")))
+        .write.mode("append").parquet(ratingsPath)
+      pendingRatings.clear()
+    }
+  }
+
+  /** Usage rows with the effective rating: the newest rating event,
+    * else the rating captured at log time. */
+  def all(): DataFrame = {
+    flush()
+    val usage = spark.read.parquet(path)
+    val events =
+      try {
+        val w = Window.partitionBy(col("log_id"))
+          .orderBy(col("rated_at").desc, col("event_rating").desc)
+        Some(spark.read.parquet(ratingsPath)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("log_id"), col("event_rating"), col("notes")))
+      } catch { case _: Throwable => None }
+    events.fold(usage.withColumn("notes", lit(null).cast("string"))) { ev =>
+      usage.join(broadcast(ev), Seq("log_id"), "left")
+        .withColumn("rating", coalesce(col("event_rating"), col("rating")))
+        .drop("event_rating")
+    }
+  }
 
   /** Stats over the trailing `days` window (usage.py:57-127). */
   def stats(days: Int = 30): DataFrame = {
@@ -52,5 +128,10 @@ class UsageLog(spark: SparkSession, path: String) {
   }
 
   def recent(limit: Int = 20): DataFrame =
-    all().orderBy(col("ts").desc).limit(limit)
+    all().orderBy(col("ts").desc, col("log_id").desc).limit(limit)
+}
+
+object UsageLog {
+  /** Buffered rows per parquet append. */
+  val FlushEvery = 64
 }

@@ -36,4 +36,47 @@ class WriterUsageSpec extends SparkSuite {
     assert(log.recent(2).count() == 2)
     assert(log.daily().collect().map(_.getAs[Long]("n")).sum == 3L)
   }
+
+  test("rating events override the log-time rating, newest wins") {
+    val dir = Files.createTempDirectory("graft_usage").toString + "/log"
+    val log = new UsageLog(spark, dir)
+    val id = log.log("get_context_capsule", "debug x", "debug", 5000, 300)
+    log.rate(id, 2)
+    log.rate(id, 9, notes = Some("actually perfect")) // clamps to 5
+    val row = log.all().filter(org.apache.spark.sql.functions.col("log_id") === id)
+      .collect().head
+    assert(row.getAs[Long]("rating") == 5L)
+    assert(row.getAs[String]("notes") == "actually perfect")
+  }
+
+  test("engine telemetry loop: tool calls log rows, rate_capsule lands, A10/A11 run over them") {
+    val usagePath = Files.createTempDirectory("graft_engine_usage").toString + "/log"
+    val engine = graft.api.Engine.fromManifest(spark,
+      fixturePath("manifest.json"), usagePath = Some(usagePath))
+
+    val capsule = engine.getContextCapsule("debug the revenue totals",
+      focusModel = Some("fct_orders"))
+    engine.searchModels("orders", limit = 5).collect()
+    engine.getLineage("model.shoply.fct_orders").collect()
+    val ratedId = engine.rateCapsule(4, Some("good context"))
+    assert(ratedId.nonEmpty, "capsule call must be rateable")
+
+    val byTool = engine.usage.byTool().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byTool("get_context_capsule") == 1L)
+    assert(byTool("search_models") == 1L)
+    assert(byTool("get_lineage") == 1L)
+
+    // the capsule row carries its real token estimate + the rating
+    val capsuleRow = engine.usage.all()
+      .filter(org.apache.spark.sql.functions.col("log_id") === ratedId.get)
+      .collect().head
+    assert(capsuleRow.getAs[Long]("token_estimate") == capsule.tokenEstimate.toLong)
+    assert(capsuleRow.getAs[Long]("rating") == 4L)
+    assert(capsuleRow.getAs[Long]("pivot_count") == capsule.pivotModels.size.toLong)
+
+    // A10 daily rollup + A11 recent over the engine's own telemetry
+    assert(engine.usage.daily().collect().map(_.getAs[Long]("n")).sum == 3L)
+    assert(engine.usage.recent(2).count() == 2)
+  }
 }
