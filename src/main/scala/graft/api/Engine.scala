@@ -30,12 +30,13 @@ import graft.usage.UsageLog
   * the engine's OWN log, not just synthetic events.
   */
 class Engine private (spark: SparkSession, manifestPath: String,
-    usagePath: String, var catalog: Catalog) {
+    usagePath: String, config: graft.config.EngineConfig, var catalog: Catalog) {
 
   private var hybrid = new HybridSearch(catalog)
   private var lineageOps = new Lineage(catalog)
   private var patternsOps = new Patterns(catalog)
-  private var capsules = new CapsuleBuilder(catalog, hybrid, lineageOps, patternsOps)
+  private var capsules = new CapsuleBuilder(catalog, hybrid, lineageOps, patternsOps,
+    config.capsule)
 
   /** The engine's own telemetry sink (usage.py UsageLogger). */
   val usage = new UsageLog(spark, usagePath)
@@ -128,18 +129,29 @@ class Engine private (spark: SparkSession, manifestPath: String,
     hybrid = new HybridSearch(catalog)
     lineageOps = new Lineage(catalog)
     patternsOps = new Patterns(catalog)
-    capsules = new CapsuleBuilder(catalog, hybrid, lineageOps, patternsOps)
+    capsules = new CapsuleBuilder(catalog, hybrid, lineageOps, patternsOps,
+      config.capsule)
   }
 }
 
 object Engine {
   /** `ariadne init`-equivalent: ingest a manifest and serve queries.
     * `usagePath` is the engine's telemetry parquet (a temp dir when
-    * unspecified, as in the reference's per-db-path SQLite log). */
+    * unspecified, as in the reference's per-db-path SQLite log);
+    * `config` carries the TOML-loaded capsule tuning (S10). */
   def fromManifest(spark: SparkSession, manifestPath: String,
-      usagePath: Option[String] = None): Engine = {
+      usagePath: Option[String] = None,
+      config: graft.config.EngineConfig = graft.config.EngineConfig()): Engine = {
     val up = usagePath.getOrElse(
       java.nio.file.Files.createTempDirectory("graft_usage").toString + "/log")
-    new Engine(spark, manifestPath, up, ManifestReader.read(spark, manifestPath))
+    new Engine(spark, manifestPath, up, config, ManifestReader.read(spark, manifestPath))
+  }
+
+  /** Config-driven entry (config.py:88-160): discover `graft.toml`
+    * upward from `searchRoot`, resolve the manifest from it, and apply
+    * the capsule section. */
+  def fromConfig(spark: SparkSession, searchRoot: java.nio.file.Path): Engine = {
+    val cfg = graft.config.Config.load(searchRoot)
+    fromManifest(spark, cfg.manifestPath.toString, config = cfg)
   }
 }

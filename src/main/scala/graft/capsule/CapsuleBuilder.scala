@@ -28,16 +28,15 @@ import graft.util.Json
   * first overflow (nothing after it is admitted, even if it would fit).
   */
 class CapsuleBuilder(catalog: Catalog, search: HybridSearch,
-    lineage: Lineage, patterns: Patterns) {
+    lineage: Lineage, patterns: Patterns,
+    config: graft.config.CapsuleConfig = graft.config.CapsuleConfig()) {
 
   import CapsuleBuilder._
 
-  // ── Config (config.py:21-41) ────────────────────────────────────────
-  val maxPivots = 3
-  val defaultTokenBudget = 10000
-  val intentDepths: Map[String, (Int, Int)] = Map(
-    "debug" -> (2, 1), "add_feature" -> (1, 2), "refactor" -> (1, 3),
-    "test" -> (0, 0), "document" -> (1, 1), "explore" -> (1, 1))
+  // ── Config (config.py:21-41), TOML-overridable (S10) ────────────────
+  val maxPivots: Int = config.maxPivots
+  val defaultTokenBudget: Int = config.defaultTokenBudget
+  val intentDepths: Map[String, (Int, Int)] = config.intentDepths
 
   private def snap = catalog.snapshot
 

@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.capsule.CapsuleBuilder
+import graft.config.{CapsuleConfig, Config, Toml}
+import graft.graph.Lineage
+import graft.patterns.Patterns
+import graft.search.HybridSearch
+
+/** S10 TOML config surface (mirrors config.py:88-160 semantics):
+  * upward discovery, defaults, field-level overrides, intent-depth
+  * merge — and the capsule actually honoring the loaded knobs. */
+class ConfigSpec extends SparkSuite {
+
+  private val sampleToml =
+    """# graft engine config
+      |[project]
+      |target_dir = "target"  # trailing comment
+      |
+      |[capsule]
+      |default_token_budget = 4_000
+      |max_pivots = 2
+      |
+      |[capsule.intent_depths.debug]
+      |upstream = 0
+      |downstream = 0
+      |
+      |[generator]
+      |generate_skills = false
+      |targets = ["claude_code", "cursor"]
+      |""".stripMargin
+
+  test("toml subset parses sections, ints, bools, arrays, comments") {
+    val t = Toml.parse(sampleToml)
+    val capsule = t("capsule").asInstanceOf[Map[String, Any]]
+    assert(capsule("default_token_budget") == 4000L)
+    assert(capsule("max_pivots") == 2L)
+    val depths = capsule("intent_depths").asInstanceOf[Map[String, Any]]
+      .apply("debug").asInstanceOf[Map[String, Any]]
+    assert(depths("upstream") == 0L && depths("downstream") == 0L)
+    val gen = t("generator").asInstanceOf[Map[String, Any]]
+    assert(gen("generate_skills") == false)
+    assert(gen("targets") == Seq("claude_code", "cursor"))
+  }
+
+  test("config discovery walks upward and merges depths over defaults") {
+    val root = Files.createTempDirectory("graft_cfg")
+    val nested = Files.createDirectories(root.resolve("models/staging"))
+    Files.writeString(root.resolve(Config.ConfigFilename), sampleToml)
+
+    val cfg = Config.load(nested) // found two levels up
+    assert(cfg.capsule.defaultTokenBudget == 4000)
+    assert(cfg.capsule.maxPivots == 2)
+    assert(cfg.capsule.intentDepths("debug") == ((0, 0)), "overridden")
+    assert(cfg.capsule.intentDepths("refactor") == ((1, 3)), "default preserved")
+    assert(cfg.generator.targets == Seq("claude_code", "cursor"))
+    assert(cfg.manifestPath.endsWith("target/manifest.json"))
+  }
+
+  test("missing config file yields pure defaults") {
+    val cfg = Config.load(Files.createTempDirectory("graft_cfg_empty"))
+    assert(cfg.capsule == CapsuleConfig())
+  }
+
+  test("capsule honors TOML-loaded depths and budget") {
+    val cat = SparkSuite.catalog
+    val zeroDebug = CapsuleConfig(
+      defaultTokenBudget = 4000,
+      intentDepths = CapsuleConfig.DefaultDepths + ("debug" -> ((0, 0))))
+    val builder = new CapsuleBuilder(cat, new HybridSearch(cat),
+      new Lineage(cat), new Patterns(cat), zeroDebug)
+
+    val c = builder.build("debug wrong totals", focusModel = Some("fct_orders"))
+    assert(c.upstreamModels.isEmpty, "debug upstream depth overridden to 0")
+    assert(c.downstreamModels.isEmpty, "debug downstream depth overridden to 0")
+    assert(c.tokenBudget == 4000, "TOML default budget applied")
+
+    // same task through the default config still expands upstream
+    val dflt = new CapsuleBuilder(cat, new HybridSearch(cat),
+      new Lineage(cat), new Patterns(cat))
+    assert(dflt.build("debug wrong totals", focusModel = Some("fct_orders"))
+      .upstreamModels.nonEmpty)
+  }
+}
