@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.config.Config
+import graft.generate.ContextGenerator
+import graft.ingest.{ManifestReader, Writer}
+import graft.patterns.Patterns
+import graft.usage.UsageLog
+
+/** CLI verbs mirroring the reference's Typer app
+  * (`/root/reference/src/ariadne_dbt/cli.py:26-365`), minus `serve`
+  * (the MCP/stdio transport is out of scope; [[graft.api.Engine]] is
+  * the tool surface):
+  *
+  *   init  [root] [--target t]... [--skip-generate]  — index + generate
+  *   sync  [root] [--skip-generate]                  — full re-index
+  *   stats [root]                                    — project stats table
+  *   usage [root] [--days n]                         — telemetry rollup
+  *
+  * The "index" is the catalog parquet written by [[Writer]] under
+  * `<root>/.graft/index` (the reference's `.ariadne/index.db`), and
+  * configuration comes from upward `graft.toml` discovery exactly as
+  * `load_config` does.
+  */
+object Cli {
+
+  def main(args: Array[String]): Unit = {
+    val spark = Tables.configure(SparkSession.builder())
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val code = run(spark, args.toSeq, Console.out)
+    spark.stop()
+    if (code != 0) sys.exit(code)
+  }
+
+  /** Testable entry: returns a process exit code. */
+  def run(spark: SparkSession, args: Seq[String], out: java.io.PrintStream): Int = {
+    val (flags, positional) = args.partition(_.startsWith("--"))
+    val targets = {
+      val ts = flags.filter(_.startsWith("--target=")).map(_.stripPrefix("--target="))
+      if (ts.isEmpty) Seq("claude_code") else ts
+    }
+    val skipGenerate = flags.contains("--skip-generate")
+    val days = flags.find(_.startsWith("--days=")).map(_.stripPrefix("--days=").toInt)
+      .getOrElse(30)
+
+    positional.toList match {
+      case verb :: rest if Set("init", "sync")(verb) =>
+        initOrSync(spark, rootOf(rest), targets, skipGenerate, out)
+      case "stats" :: rest => stats(spark, rootOf(rest), out)
+      case "usage" :: rest => usageStats(spark, rootOf(rest), days, out)
+      case other =>
+        out.println(s"usage: graft.Cli (init|sync|stats|usage) [project_root] " +
+          s"[--target=t] [--skip-generate] [--days=n]" +
+          other.headOption.fold("")(v => s"  (got: $v)"))
+        2
+    }
+  }
+
+  private def rootOf(rest: List[String]): Path =
+    rest.headOption.map(Paths.get(_)).getOrElse(Paths.get("."))
+      .toAbsolutePath.normalize()
+
+  private def indexDir(root: Path): Path = root.resolve(".graft/index")
+
+  private def initOrSync(spark: SparkSession, root: Path, targets: Seq[String],
+      skipGenerate: Boolean, out: java.io.PrintStream): Int = {
+    val cfg = Config.load(root)
+    val manifest =
+      if (cfg.manifestPath.isAbsolute) cfg.manifestPath
+      else root.resolve(cfg.manifestPath)
+    if (!Files.exists(manifest)) {
+      out.println(s"Error: manifest.json not found at $manifest — run `dbt compile` first.")
+      return 1
+    }
+    val catalog = ManifestReader.read(spark, manifest.toString)
+    Writer.write(catalog, indexDir(root).toString)
+    val nModels = catalog.snapshot.models.size
+    out.println(s"Indexed $nModels models into ${indexDir(root)}")
+    if (!skipGenerate) {
+      val written = new ContextGenerator(catalog)
+        .generateAll(root, (cfg.generator.targets ++ targets).distinct)
+      written.foreach(p => out.println(s"  wrote $p"))
+    }
+    out.println("Sync complete. Index and context files are up to date.")
+    0
+  }
+
+  private def stats(spark: SparkSession, root: Path, out: java.io.PrintStream): Int = {
+    if (!Files.exists(indexDir(root))) {
+      out.println("Error: index not found. Run `init` first.")
+      return 1
+    }
+    val catalog = Writer.read(spark, indexDir(root).toString)
+    val s = new Patterns(catalog).stats().collect().head
+    val name = catalog.metadata.filter(org.apache.spark.sql.functions.col("key") === "project_name")
+      .collect().headOption.map(_.getString(1)).getOrElse("Unknown")
+    out.println(s"Project: $name")
+    Seq(
+      "Total models" -> s.getAs[Long]("models"),
+      "Sources" -> s.getAs[Long]("sources"),
+      "Tests" -> s.getAs[Long]("tests"),
+      "Macros" -> s.getAs[Long]("macros"),
+      "Exposures" -> s.getAs[Long]("exposures"))
+      .foreach { case (k, v) => out.println(f"  $k%-16s $v%6d") }
+    out.println(f"  Column coverage  ${s.getAs[Double]("column_coverage_pct")}%5.1f%%")
+    0
+  }
+
+  private def usageStats(spark: SparkSession, root: Path, days: Int,
+      out: java.io.PrintStream): Int = {
+    val path = root.resolve(".graft/usage/log").toString
+    val log = new UsageLog(spark, path)
+    val st = try log.stats(days).collect().head
+      catch { case _: Throwable => out.println("No usage recorded yet."); return 0 }
+    out.println(s"Usage, trailing $days days:")
+    out.println(s"  total calls      ${st.getAs[Long]("total_calls")}")
+    out.println(f"  avg tokens       ${Option(st.getAs[java.lang.Double]("avg_tokens")).fold(0.0)(_.toDouble)}%.0f")
+    out.println(f"  avg duration     ${Option(st.getAs[java.lang.Double]("avg_duration_ms")).fold(0.0)(_.toDouble)}%.0f ms")
+    log.byTool(days).collect().foreach { r =>
+      out.println(f"  ${r.getString(0)}%-24s ${r.getLong(1)}%5d calls")
+    }
+    0
+  }
+}
