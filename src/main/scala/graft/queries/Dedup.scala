@@ -74,19 +74,22 @@ object Dedup {
 
   /** 60-bit SimHash signature per document — tf-weighted ±1 votes per
     * bit of each token's md5-derived hash, bit set where the vote is
-    * positive. Broadcasting the 60-row bit table keeps this a single
-    * shuffle (the per-doc re-aggregation). */
+    * positive. All 60 bit votes are aggregated in ONE groupBy(doc_id)
+    * pass (60 agg columns over the token-frequency rows) instead of
+    * exploding rows × 60 through a bit-table crossJoin — same integer
+    * votes, 60× less shuffle input. */
   private def simhashSig(s: SparkSession, d: String): DataFrame = {
     val tf = Tables.documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
       .withColumn("hv", h60(col("t")))
-    val bitsDf = s.range(0, 60).select(col("id").cast("int").as("b"))
-    tf.crossJoin(broadcast(bitsDf))
-      .groupBy("doc_id", "b")
-      .agg(sum(when(expr("shiftright(hv, b) & 1") === 1, col("c")).otherwise(-col("c"))).as("vote"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("vote") > 0, expr("shiftleft(cast(1 as bigint), b)")).otherwise(0L)).as("simhash"))
+    val voteCols = (0 until 60).map { b =>
+      sum(when(expr(s"shiftright(hv, $b) & 1") === 1, col("c")).otherwise(-col("c"))).as(s"v$b")
+    }
+    tf.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Physical-plan shape assertions — the 100 TB story made checkable:
+  * broadcasts where a side is bounded, equi-joins (never cartesians)
+  * for candidate discovery, pushed filters, top-k as
+  * TakeOrderedAndProject. Runs against sf0.001 (planning + the small
+  * localCheckpoint stages only). */
+class PlanSpec extends SparkSuite {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, d).queryExecution.explainString(FormattedMode)
+
+  test("d_embed_neardup pairs via BroadcastNestedLoopJoin — corpus never transits the driver") {
+    assert(plan("d_embed_neardup").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("d_simhash_pairs candidate discovery is an equi-join, not a cartesian") {
+    val p = plan("d_simhash_pairs")
+    assert(!p.contains("CartesianProduct"), "band join must shuffle on band key")
+    assert(p.contains("Join"))
+  }
+
+  test("q5_star_join broadcasts every dimension") {
+    val p = plan("q5_star_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "no fact-side shuffle for the star")
+  }
+
+  test("top-k plans TakeOrderedAndProject, never a global sort") {
+    assert(plan("o7_topk_orders").contains("TakeOrderedAndProject"))
+  }
+
+  test("selective agg pushes its filter into the parquet scan") {
+    val p = plan("q6_selective_agg")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+      "scan must carry pushed filters")
+  }
+}
