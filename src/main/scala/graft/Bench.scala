@@ -19,8 +19,9 @@ import org.apache.spark.sql.SparkSession
   * survives log-tail truncation.
   */
 object Bench {
-  val Rounds = 10
-  val PerQueryCapSec = 30.0
+  val Rounds: Int = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "10").toInt
+  val PerQueryCapSec: Double =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_CAP_SEC", "30").toDouble
   val MinRounds = 3
 
   /** numpy-style linear-interpolated percentile (run.py:57-61). */

@@ -80,7 +80,18 @@ object Cli {
       out.println(s"Error: manifest.json not found at $manifest — run `dbt compile` first.")
       return 1
     }
-    val catalog = ManifestReader.read(spark, manifest.toString)
+    var catalog = ManifestReader.read(spark, manifest.toString)
+    // catalog.json / run_results.json enrichment when present (cli.py sync)
+    val catalogJson = manifest.getParent.resolve("catalog.json")
+    if (Files.exists(catalogJson)) {
+      catalog = graft.ingest.Enrichment.withCatalog(catalog, spark, catalogJson.toString)
+      out.println("  enriched from catalog.json")
+    }
+    val runResults = manifest.getParent.resolve("run_results.json")
+    if (Files.exists(runResults)) {
+      catalog = graft.ingest.Enrichment.withRunResults(catalog, spark, runResults.toString)
+      out.println("  enriched from run_results.json")
+    }
     Writer.write(catalog, indexDir(root).toString)
     val nModels = catalog.snapshot.models.size
     out.println(s"Indexed $nModels models into ${indexDir(root)}")

@@ -16,12 +16,14 @@ class CliSpec extends SparkSuite {
   test("init indexes the fixture project and renders context files") {
     val root = Files.createTempDirectory("graft_cli")
     Files.createDirectories(root.resolve("target"))
-    Files.copy(java.nio.file.Paths.get(fixturePath("manifest.json")),
-      root.resolve("target/manifest.json"))
+    for (f <- Seq("manifest.json", "catalog.json", "run_results.json"))
+      Files.copy(java.nio.file.Paths.get(fixturePath(f)), root.resolve(s"target/$f"))
 
     val (code, outText) = capture("init", root.toString, "--target=cursor")
     assert(code == 0, outText)
     assert(outText.contains("Indexed 6 models"))
+    assert(outText.contains("enriched from catalog.json"))
+    assert(outText.contains("enriched from run_results.json"))
     assert(Files.exists(root.resolve(".graft/index/models")))
     assert(Files.exists(root.resolve(".claude/CLAUDE.md")))
     assert(Files.exists(root.resolve(".cursor/rules/ariadne.mdc")))

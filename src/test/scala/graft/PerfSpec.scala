@@ -93,8 +93,20 @@ class PerfSpec extends SparkSuite {
       engine.getContextCapsule("debug metric model", focusModel = Some("fct_model_499")))
     assert(cap.pivotModels.nonEmpty)
 
+    // Token-reduction baseline (README.md:140 claims 50-65% vs the naive
+    // "dump every model" estimate, both as chars/4 — run.py:155-196).
+    val snap = engine.catalog.snapshot
+    val naiveTokens = snap.models.map(m => graft.util.Json.estimateTokens(Map(
+      "unique_id" -> m.uniqueId, "name" -> m.name, "sql" -> m.sqlText,
+      "description" -> m.description,
+      "columns" -> snap.columnsByModel.getOrElse(m.uniqueId, Vector.empty).map(_.name)))).sum
+    val reduction = 1.0 - cap.tokenEstimate.toDouble / naiveTokens
+    assert(reduction >= 0.5,
+      f"capsule ${cap.tokenEstimate} vs naive $naiveTokens — reduction $reduction%.2f below baseline")
+
     info(f"index_rebuild_500=${buildMs / 1000}%.2fs search=${searchMs}%.0fms " +
-      f"lineage=${lineageMs}%.0fms capsule=${capsuleMs}%.0fms")
+      f"lineage=${lineageMs}%.0fms capsule=${capsuleMs}%.0fms " +
+      f"token_reduction=${reduction * 100}%.0f%%")
     // Regression guards with slack for full-suite GC pressure; measured
     // in isolation (warm serving snapshot): rebuild ~2.0s (target 5s),
     // search ~31ms (target 100×2), lineage ~26ms (target 50×2),
