@@ -120,8 +120,14 @@ object Dedup {
       // (signatures, both verify sides, counts) — materialize it once
       // instead of re-running explode+md5 per consumer.
       val sh = shingleRows(s, d).withColumn("hm", h60(col("s")) % P).localCheckpoint()
-      val sigCols = (0 until NumPerms).map(i => min(minhashPerm(col("hm"), i)).as(s"m$i"))
-      val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      // one aggregation yields the 32 signature minima AND the per-doc
+      // shingle count the verifier needs — no second pass over sh.
+      val sigCols = (0 until NumPerms).map(i => min(minhashPerm(col("hm"), i)).as(s"m$i")) :+
+        count(lit(1)).as("n")
+      // checkpoint: the 16 band projections and the verifier's count
+      // side all read sig — without it each band branch re-runs the
+      // signature aggregation over the full shingle table.
+      val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*).localCheckpoint()
       val bands = (0 until NumBands).map { b =>
         val key = concat_ws("_", lit(b) +:
           (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*)
@@ -134,7 +140,7 @@ object Dedup {
       // Exact-Jaccard verify on the candidate pairs ONLY — this is the
       // whole point of LSH: the quadratic verifier touches just the
       // band-collision pairs, not all C(n,2).
-      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val cnt = sig.select(col("doc_id"), col("n"))
       val ov = cands
         .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
         .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
