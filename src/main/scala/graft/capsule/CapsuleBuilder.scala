@@ -241,7 +241,7 @@ class CapsuleBuilder(catalog: Catalog, search: HybridSearch,
       .map { case ((l, mat), ms) => (l, mat, ms.size) }.toSeq
       .groupBy(_._1)
       .map { case (l, rows) =>
-        val (_, mat, _) = rows.minBy { case (_, mat, n) => (-n, mat) }
+        val (_, mat, _) = rows.minBy { case (_, mat, n) => (-n, Option(mat).getOrElse("")) }
         (l, mat)
       }.toSeq
       .sortBy { case (l, _) => Option(l).getOrElse("") }

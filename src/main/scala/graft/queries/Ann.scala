@@ -34,6 +34,7 @@ object Ann {
   private val NumQueries = 5 // query set: vec_id < 5
   private val NumCentroids = 16 // centroid set: vec_id < 16
   private val NProbe = 4
+  private val SignBits = 8 // sign-LSH bucket bits (ann_lsh)
 
   /** L2-normalized vectors, materialized via localCheckpoint: the
     * normalization is an interpreted higher-order lambda (per-element —
@@ -82,6 +83,32 @@ object Ann {
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("vec_id"))
       e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), expr("graft_dot(qv, v)").as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Sign-bit LSH (SURVEY §9.10): bucket = the 8 sign bits of the
+    // first 8 normalized dimensions — the deterministic, oracle-
+    // mirrorable instance of random-hyperplane LSH (production would
+    // draw seeded hyperplanes; identical plan shape). A query probes
+    // ONLY its own bucket (expected corpus/2^8 of the vectors), so the
+    // scan is a bucket equi-join instead of the brute-force full pass;
+    // recall is partial by construction, which is the LSH contract —
+    // both engines compute the same bucket, so the gate is exact.
+    "ann_lsh" -> ((s, d) => {
+      val e = vecs(s, d)
+      val bucketExpr = (0 until SignBits)
+        .map(b => when(element_at(col("v"), b + 1) > 0, lit(1 << b)).otherwise(lit(0)))
+        .reduce(_ + _)
+      val bucketed = e.withColumn("bucket", bucketExpr)
+      val q = bucketed.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      bucketed.join(broadcast(q), Seq("bucket"))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"), expr("graft_dot(qv, v)").as("cosine"))
         .withColumn("rank", row_number().over(w))
@@ -162,6 +189,19 @@ object Ann {
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueries),
          |scored AS (SELECT q.query_id, x.vec_id, ${dotSql("q.qv", "x.v")} AS cosine
          |           FROM e x CROSS JOIN q WHERE x.vec_id <> q.query_id),
+         |ranked AS (SELECT query_id, vec_id, cosine,
+         |             ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                ORDER BY cosine DESC, vec_id) AS rank
+         |           FROM scored)
+         |SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
+    "ann_lsh" ->
+      s"""WITH $normCte,
+         |b AS (SELECT vec_id, v, (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END) + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END) + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END) + (CASE WHEN v[5] > 0 THEN 16 ELSE 0 END) + (CASE WHEN v[6] > 0 THEN 32 ELSE 0 END) + (CASE WHEN v[7] > 0 THEN 64 ELSE 0 END) + (CASE WHEN v[8] > 0 THEN 128 ELSE 0 END) AS bucket FROM e),
+         |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < $NumQueries),
+         |scored AS (SELECT q.query_id, x.vec_id, ${dotSql("q.qv", "x.v")} AS cosine
+         |           FROM b x JOIN q USING (bucket)
+         |           WHERE x.vec_id <> q.query_id),
          |ranked AS (SELECT query_id, vec_id, cosine,
          |             ROW_NUMBER() OVER (PARTITION BY query_id
          |                                ORDER BY cosine DESC, vec_id) AS rank
