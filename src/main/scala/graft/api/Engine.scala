@@ -89,6 +89,17 @@ class Engine private (spark: SparkSession, manifestPath: String,
 
   def getColumns(modelId: String): DataFrame = hybrid.columnsWithTests(modelId)
 
+  /** Full composite details payload (server.py:180-236): SQL, columns,
+    * tests, coverage summary + suggestions, 1-hop neighbors, sources,
+    * macros. None when the model doesn't resolve. */
+  def getModelContext(modelName: String): Option[graft.model.ModelContext] =
+    logged("get_model_details", modelName) {
+      hybrid.modelContext(modelName)
+    }(tokens = _.map(graft.util.Json.estimateTokens(_).toLong).getOrElse(0L))
+
+  def getTestCoverageSummary(modelId: String): graft.model.CoverageSummary =
+    hybrid.coverageSummary(modelId)
+
   def getLineage(modelId: String, upDepth: Int = 3, downDepth: Int = 3): DataFrame =
     logged("get_lineage", modelId) {
       lineageOps.lineage(modelId, clampDepth(upDepth), clampDepth(downDepth))

@@ -79,3 +79,17 @@ final case class ContextCapsule(
 final case class DiscoverEntry(
     uniqueId: String, name: String, layer: String, filePath: String,
     relationship: String, distance: Int)
+
+/** Test-coverage summary with suggestions (`search.py:295-328`). */
+final case class CoverageSummary(
+    modelId: String, totalColumns: Int, testedColumns: Int, coveragePct: Int,
+    untestedColumns: Seq[String], suggestions: Seq[String])
+
+/** The full get_model_details payload (`server.py:180-236`). */
+final case class ModelContext(
+    uniqueId: String, name: String, layer: String, materialization: String,
+    filePath: String, description: String, compiledSql: String,
+    columns: Seq[SkeletonColumn], tests: Seq[Map[String, String]],
+    testCoverage: CoverageSummary,
+    upstreamModels: Seq[String], downstreamModels: Seq[String],
+    sources: Seq[Map[String, String]], macrosUsed: Seq[Map[String, String]])

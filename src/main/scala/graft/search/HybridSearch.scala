@@ -272,6 +272,65 @@ class HybridSearch(catalog: Catalog) {
       .toDF("unique_id", "name", "source_name", "schema", "loader")
   }
 
+  /** Test-coverage summary with suggestions (search.py:295-328). */
+  def coverageSummary(modelId: String): graft.model.CoverageSummary = {
+    val columns = snap.columnsByModel.getOrElse(modelId, Vector.empty)
+    val tests = snap.testsByModel.getOrElse(modelId, Vector.empty)
+    val testedCols = tests.filter(_.columnName.nonEmpty).map(_.columnName).toSet
+    val testedCount = columns.count(c => testedCols(c.name))
+    val untested = columns.map(_.name).filterNot(testedCols)
+    val coveragePct =
+      if (columns.isEmpty) 0 else testedCount * 100 / columns.size
+    val testedTypes = tests.map(_.testType).toSet
+    val suggestions = Seq.newBuilder[String]
+    if (!testedTypes("not_null"))
+      suggestions += "Add not_null tests to key columns"
+    if (!testedTypes("unique")) {
+      val pks = columns
+        .filter(c => c.name.toLowerCase.contains("id") || c.isPrimaryKey)
+        .map(_.name)
+      if (pks.nonEmpty) suggestions += s"Add unique test to: ${pks.take(3).mkString(", ")}"
+    }
+    if (untested.nonEmpty && columns.size > 5)
+      suggestions += s"Untested columns (${untested.size}): ${untested.take(5).mkString(", ")}"
+    graft.model.CoverageSummary(modelId, columns.size, testedCount, coveragePct,
+      untested, suggestions.result())
+  }
+
+  /** The composite get_model_details payload (server.py:180-236):
+    * SQL, columns+tests, coverage summary, 1-hop neighbor names,
+    * direct sources, contained macros — all from the snapshot. */
+  def modelContext(nameOrId: String): Option[graft.model.ModelContext] = {
+    val uid = snap.idByNameLower.get(nameOrId.toLowerCase)
+      .orElse(if (snap.modelById.contains(nameOrId)) Some(nameOrId) else None)
+    uid.flatMap(snap.modelById.get).map { m =>
+      val tests = snap.testsByModel.getOrElse(m.uniqueId, Vector.empty)
+      val testsByCol = tests.filter(_.columnName.nonEmpty)
+        .groupBy(_.columnName).map { case (k, v) => k -> v.map(_.testType).sorted.toSeq }
+      def neighborNames(adj: Map[String, Vector[String]]): Seq[String] =
+        adj.getOrElse(m.uniqueId, Vector.empty).sorted
+          .flatMap(snap.modelById.get).map(_.name)
+      graft.model.ModelContext(
+        m.uniqueId, m.name, m.layerOrOther, m.materialization, m.filePath,
+        Option(m.description).getOrElse(""), m.sqlText,
+        snap.columnsByModel.getOrElse(m.uniqueId, Vector.empty)
+          .map(c => graft.model.SkeletonColumn(c.name, c.dataType, c.description,
+            testsByCol.getOrElse(c.name, Nil))),
+        tests.map(t => Map("name" -> t.name, "test_type" -> t.testType,
+          "column_name" -> t.columnName, "severity" -> t.severity)),
+        coverageSummary(m.uniqueId),
+        neighborNames(snap.parents), neighborNames(snap.children),
+        sourceRowsForModels(Seq(m.uniqueId)).map { case (_, src) =>
+          Map("unique_id" -> src.uniqueId, "name" -> src.name,
+            "source_name" -> src.sourceName)
+        },
+        macroRowsForModels(Seq(m.uniqueId)).map { case (_, mac) =>
+          Map("unique_id" -> mac.uniqueId, "name" -> mac.name,
+            "package_name" -> mac.packageName)
+        })
+    }
+  }
+
   /** Test-coverage report for a model (O12). */
   def testCoverage(modelId: String): DataFrame = {
     val s = spark

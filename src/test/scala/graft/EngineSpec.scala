@@ -36,6 +36,20 @@ class EngineSpec extends SparkSuite {
     assert(engine.getColumns("model.shoply.fct_orders").count() == 4)
   }
 
+  test("composite model context mirrors the reference's details payload") {
+    val ctx = engine.getModelContext("fct_orders").get
+    assert(ctx.uniqueId == "model.shoply.fct_orders")
+    assert(ctx.compiledSql.nonEmpty)
+    assert(ctx.columns.size == 4)
+    assert(ctx.upstreamModels.nonEmpty, "1-hop upstream names")
+    assert(ctx.testCoverage.coveragePct ==
+      ctx.testCoverage.testedColumns * 100 / ctx.testCoverage.totalColumns)
+    // an untested model draws suggestions
+    val stg = engine.getModelContext("stg_payments").get
+    assert(stg.testCoverage.suggestions.nonEmpty)
+    assert(engine.getModelContext("no_such_model").isEmpty)
+  }
+
   test("get_lineage clamps depth and tags directions") {
     val lin = engine.getLineage("model.shoply.fct_orders", upDepth = 99, downDepth = 99)
       .collect()
