@@ -72,8 +72,10 @@ class HybridSearch(catalog: Catalog) {
 
   /** Serving-tier BM25: same formula, same statistics, evaluated over
     * the snapshot's inverted index — O(Σ postings of the query terms)
-    * driver-side, deterministic left-to-right accumulation. */
-  private def bm25Scores(terms: Seq[String]): Seq[(String, Double)] = {
+    * driver-side, deterministic left-to-right accumulation.
+    * Package-visible so the parity spec can diff it against the
+    * distributed [[bm25]]. */
+  private[graft] def bm25Scores(terms: Seq[String]): Seq[(String, Double)] = {
     val acc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val n = snap.nDocs.toDouble
     for (t <- terms.distinct; p <- snap.postings.getOrElse(t, emptyPostings)) {
