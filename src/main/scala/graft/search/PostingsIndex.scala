@@ -1,0 +1,114 @@
+package graft.search
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted BM25 postings index — the distributed counterpart of the
+  * serving tier's collected posting cache (`serve/Snapshot.scala`), and
+  * the re-expression of the reference's persistent FTS5 index
+  * (`/root/reference/src/ariadne_dbt/schema.sql:201-210`): the index is
+  * BUILT ONCE and queried many times, so no per-query work may depend
+  * on corpus size beyond the probe itself.
+  *
+  * Build: [[Bm25.postings]] (explode + one groupBy shuffle) is written
+  * as a bucketed-by-term, sorted-by-term table. Bucketing is the 100 TB
+  * lever: a term-keyed probe (or a join against a term-keyed workload)
+  * reads only matching buckets and never re-shuffles the postings —
+  * the big side of every search touches disk pre-partitioned. The
+  * collection stats BM25 needs (N, avgdl, per-term df) are computed
+  * once at build time: N/avgdl collapse to two scalars (broadcast as
+  * literals into the scoring expression), df is a vocabulary-sized
+  * table checkpointed for reuse.
+  *
+  * Score: identical arithmetic to [[Bm25.score]] — same deterministic
+  * term-ordered fold, so scores are bit-identical to the unindexed path
+  * and to the DuckDB oracle — but the plan is
+  * `bucketed scan → broadcast semi-join(query terms) → broadcast
+  * join(df) → per-doc agg`: the only hash exchange left is the final
+  * per-doc aggregation over matched rows (output-sized, not
+  * corpus-sized).
+  */
+final class PostingsIndex private (
+    spark: SparkSession,
+    tableName: String,
+    termDf: DataFrame,
+    val nDocs: Long,
+    val avgdl: Double) {
+
+  /** The bucketed postings table: (term, doc, doclen, tf). */
+  def postings: DataFrame = spark.table(tableName)
+
+  /** BM25 scores for an OR-semantics term set; same contract and same
+    * bit-exact values as [[Bm25.score]], minus the per-query index and
+    * stats rebuild. */
+  def score(queryTerms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val q = queryTerms.distinct.toDF("term")
+    val perTerm = postings
+      .join(broadcast(q), "term")
+      .join(broadcast(termDf), "term")
+      .select(col("doc"), col("term"),
+        (log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") / (col("tf") +
+            lit(Bm25.K1) * (lit(1.0) - Bm25.B + lit(Bm25.B) * col("doclen") / lit(avgdl))))).as("s"))
+    perTerm.groupBy("doc")
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("term"), col("s")))),
+        lit(0.0), (acc, x) => acc + x.getField("s")).as("score"),
+        count(lit(1)).as("n_terms"))
+  }
+}
+
+object PostingsIndex {
+
+  /** Bucket count for the persisted table. 32 matches the local core
+    * count; a 1000-executor deployment would raise it (buckets are the
+    * unit of term-join parallelism). */
+  val NumBuckets = 32
+
+  // One index per (session, corpus key): queries against the same
+  // corpus — repeated bench rounds, o2 + o5 in one Verify run — reuse
+  // the built table instead of re-shuffling the corpus per query.
+  private val cache = new ConcurrentHashMap[String, PostingsIndex]()
+
+  /** Index over the `documents` table of `sfDir` (the gate corpus). */
+  def forDocuments(spark: SparkSession, sfDir: String): PostingsIndex =
+    of(graft.Tables.documents(spark, sfDir), "doc_id", "text", sfDir)
+
+  /** Build-or-reuse an index over `docs` (needs idCol + textCol).
+    * `corpusKey` names the corpus (e.g. its directory) for caching and
+    * table naming. */
+  def of(docs: DataFrame, idCol: String, textCol: String, corpusKey: String): PostingsIndex = {
+    val spark = docs.sparkSession
+    val key = System.identityHashCode(spark) + "|" + corpusKey
+    cache.computeIfAbsent(key, _ => build(spark, docs, idCol, textCol, corpusKey))
+  }
+
+  private def build(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, corpusKey: String): PostingsIndex = {
+    val tableName = "graft_postings_" + corpusKey.replaceAll("[^A-Za-z0-9]+", "_")
+    // Fresh location per build: the in-memory catalog starts empty each
+    // session, so a stale warehouse directory from a prior run would
+    // otherwise block the managed-table create.
+    val location = java.nio.file.Files.createTempDirectory("graft_postings")
+      .resolve(tableName).toString
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    Bm25.postings(docs, idCol, textCol)
+      .write.mode("overwrite")
+      .bucketBy(NumBuckets, "term").sortBy("term")
+      .option("path", location)
+      .saveAsTable(tableName)
+    val post = spark.table(tableName)
+    // Collection stats, computed once per build: N docs + average doc
+    // length (two scalars), per-term document frequency (vocab-sized).
+    val stats = post.select(col("doc"), col("doclen")).distinct()
+      .agg(count(lit(1)).as("n"), avg(col("doclen")).as("avgdl"))
+      .collect().head
+    val termDf = post.groupBy("term")
+      .agg(countDistinct(col("doc")).as("df"))
+      .localCheckpoint()
+    new PostingsIndex(spark, tableName, termDf, stats.getLong(0), stats.getDouble(1))
+  }
+}
