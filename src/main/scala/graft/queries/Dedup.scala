@@ -20,8 +20,8 @@ import graft.functions.TextHash._
   *   - MinHash+LSH is the scale path: signature cost is linear in
   *     shingle count, banding turns pair discovery into an equi-join
   *     (shuffle on band key), and only band-collision candidates reach
-  *     the Jaccard verifier. Hot bands (boilerplate docs) would be
-  *     count-capped at real scale;
+  *     the Jaccard verifier. Hot bands (boilerplate docs) are
+  *     count-capped before the self-join — see [[MaxBandSize]];
   *   - SimHash packs a document into one 60-bit word; the pigeonhole
   *     band join finds hamming-≤k pairs without comparing all pairs;
   *   - all hashes derive from md5 via [[graft.functions.TextHash.h60]],
@@ -34,6 +34,29 @@ object Dedup {
   private val NumPerms = 32 // 16 bands × 2 rows: P(miss | J=0.8) ≈ (1-0.64)^16 ≈ 1e-7
   private val NumBands = 16
   private val RowsPerBand = 2
+
+  /** Hot-band candidate cap. A band key shared by m documents emits
+    * m(m-1)/2 candidate pairs — a boilerplate-heavy corpus (cookie
+    * banners, license headers) turns one hot key quadratic at 100 TB.
+    * Bands larger than the cap are dropped BEFORE the self-join, so the
+    * candidate stage is bounded at cap²/2 pairs per key. Recall is
+    * unaffected for any pair that also agrees on a non-hot band (16
+    * minhash bands / 4 simhash bands give every true pair multiple
+    * chances); what a hot band loses is exactly the boilerplate
+    * near-dup mass a production pipeline caps deliberately. At test
+    * scale the largest observed band is ≲20 docs (BandCapSpec pins the
+    * headroom), so the gates still match the exact all-pairs oracle. */
+  private[graft] val MaxBandSize = 256
+
+  /** Drop rows of band keys exceeding `cap` members. The window count
+    * hash-partitions on the same key the candidate self-join shuffles
+    * on, so the exchange is reused, not added. */
+  private[graft] def capHotBands(bands: DataFrame, cap: Int, keyCols: String*): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    bands.withColumn("_band_n", count(lit(1)).over(w))
+      .filter(col("_band_n") <= cap)
+      .drop("_band_n")
+  }
 
   /** (doc_id, shingle) distinct pairs. */
   private def shingleRows(s: SparkSession, d: String): DataFrame =
@@ -115,44 +138,7 @@ object Dedup {
     // Matches the ground-truth oracle because recall at J≥0.8 with
     // these parameters is ~1-1e-7 and the verifier removes all false
     // positives.
-    "d_minhash_lsh" -> ((s, d) => {
-      // localCheckpoint: the shingle+hash stage feeds four consumers
-      // (signatures, both verify sides, counts) — materialize it once
-      // instead of re-running explode+md5 per consumer.
-      val sh = shingleRows(s, d).withColumn("hm", h60(col("s")) % P).localCheckpoint()
-      // one aggregation yields the 32 signature minima AND the per-doc
-      // shingle count the verifier needs — no second pass over sh.
-      val sigCols = (0 until NumPerms).map(i => min(minhashPerm(col("hm"), i)).as(s"m$i")) :+
-        count(lit(1)).as("n")
-      // checkpoint: the 16 band projections and the verifier's count
-      // side all read sig — without it each band branch re-runs the
-      // signature aggregation over the full shingle table.
-      val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*).localCheckpoint()
-      val bands = (0 until NumBands).map { b =>
-        val key = concat_ws("_", lit(b) +:
-          (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*)
-        sig.select(col("doc_id"), key.as("band_key"))
-      }.reduce(_ union _)
-      val cands = bands.as("x").join(bands.as("y"),
-          col("x.band_key") === col("y.band_key") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      // Exact-Jaccard verify on the candidate pairs ONLY — this is the
-      // whole point of LSH: the quadratic verifier touches just the
-      // band-collision pairs, not all C(n,2).
-      val cnt = sig.select(col("doc_id"), col("n"))
-      val ov = cands
-        .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("overlap"))
-      ov.join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-        .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-        .withColumn("jaccard",
-          col("overlap").cast("double") / (col("na") + col("nb") - col("overlap")).cast("double"))
-        .filter(col("jaccard") >= JaccardThreshold)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
-        .orderBy(col("doc_a"), col("doc_b"))
-    }),
+    "d_minhash_lsh" -> ((s, d) => minhashLsh(s, d, MaxBandSize)),
 
     // SimHash signatures (see [[simhashSig]]).
     "d_simhash" -> ((s, d) => simhashSig(s, d).orderBy(col("doc_id"))),
@@ -163,27 +149,9 @@ object Dedup {
     // ≥1 band (pigeonhole), so candidate discovery is a band-key
     // equi-join (one shuffle), not an all-pairs scan; the exact
     // `bit_count(xor)` check then removes band-collision false
-    // positives. Same find-candidates/verify shape as d_minhash_lsh —
-    // hot bands (boilerplate) would be count-capped at real scale.
-    "d_simhash_pairs" -> ((s, d) => {
-      val sig = simhashSig(s, d).localCheckpoint()
-      val bands = (0 until 4).map { b =>
-        sig.select(col("doc_id"), lit(b).as("band"),
-          expr(s"shiftright(simhash, ${b * 15}) & 32767").as("band_val"))
-      }.reduce(_ union _)
-      val cands = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.band_val") === col("y.band_val") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      cands
-        .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), "doc_a")
-        .join(sig.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), "doc_b")
-        .withColumn("hamming", expr("bit_count(ha ^ hb)"))
-        .filter(col("hamming") <= 3)
-        .select(col("doc_a"), col("doc_b"), col("hamming"))
-        .orderBy(col("doc_a"), col("doc_b"))
-    }),
+    // positives. Same find-candidates/verify shape as d_minhash_lsh,
+    // including the hot-band cap (see [[MaxBandSize]]).
+    "d_simhash_pairs" -> ((s, d) => simhashPairs(s, d, MaxBandSize)),
 
     // Embedding-cosine near-dup: pairs with cosine ≥ 0.45.
     //
@@ -213,6 +181,74 @@ object Dedup {
         .orderBy(col("vec_a"), col("vec_b"))
     })
   )
+
+  /** MinHash+LSH near-dup pipeline body (see the `d_minhash_lsh` entry
+    * in [[queries]]); `cap` is the hot-band cap, [[MaxBandSize]] in
+    * production, varied by BandCapSpec. */
+  private[graft] def minhashLsh(s: SparkSession, d: String, cap: Int): DataFrame = {
+    // localCheckpoint: the shingle+hash stage feeds four consumers
+    // (signatures, both verify sides, counts) — materialize it once
+    // instead of re-running explode+md5 per consumer.
+    val sh = shingleRows(s, d).withColumn("hm", h60(col("s")) % P).localCheckpoint()
+    // one aggregation yields the 32 signature minima AND the per-doc
+    // shingle count the verifier needs — no second pass over sh.
+    val sigCols = (0 until NumPerms).map(i => min(minhashPerm(col("hm"), i)).as(s"m$i")) :+
+      count(lit(1)).as("n")
+    // checkpoint: the 16 band projections and the verifier's count
+    // side all read sig — without it each band branch re-runs the
+    // signature aggregation over the full shingle table.
+    val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*).localCheckpoint()
+    val bands = capHotBands(
+      (0 until NumBands).map { b =>
+        val key = concat_ws("_", lit(b) +:
+          (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*)
+        sig.select(col("doc_id"), key.as("band_key"))
+      }.reduce(_ union _),
+      cap, "band_key")
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band_key") === col("y.band_key") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // Exact-Jaccard verify on the candidate pairs ONLY — this is the
+    // whole point of LSH: the quadratic verifier touches just the
+    // band-collision pairs, not all C(n,2).
+    val cnt = sig.select(col("doc_id"), col("n"))
+    val ov = cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("overlap"))
+    ov.join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("overlap").cast("double") / (col("na") + col("nb") - col("overlap")).cast("double"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash pair pipeline body (see the `d_simhash_pairs` entry in
+    * [[queries]]); `cap` as in [[minhashLsh]]. */
+  private[graft] def simhashPairs(s: SparkSession, d: String, cap: Int): DataFrame = {
+    val sig = simhashSig(s, d).localCheckpoint()
+    val bands = capHotBands(
+      (0 until 4).map { b =>
+        sig.select(col("doc_id"), lit(b).as("band"),
+          expr(s"shiftright(simhash, ${b * 15}) & 32767").as("band_val"))
+      }.reduce(_ union _),
+      cap, "band", "band_val")
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), "doc_b")
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 
   /** DuckDB mirror of [[simhashSig]] (ends with CTE `sig`). */
   private val simhashSqlCte =

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Dedup
+
+/** The LSH hot-band cap must (a) actually drop oversized band keys,
+  * (b) leave the gate results untouched at test scale — the corpus'
+  * bands all fit under [[Dedup.MaxBandSize]], so the capped pipelines
+  * still match the exact all-pairs oracles. */
+class BandCapSpec extends SparkSuite {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("capHotBands drops keys over the cap and keeps the rest") {
+    import spark.implicits._
+    // key "hot" has 3 members, "cold" has 2
+    val bands = Seq(("d1", "hot"), ("d2", "hot"), ("d3", "hot"),
+      ("d4", "cold"), ("d5", "cold")).toDF("doc_id", "band_key")
+    val kept = Dedup.capHotBands(bands, 2, "band_key")
+      .select("band_key").distinct().as[String].collect().toSet
+    assert(kept === Set("cold"))
+    val all = Dedup.capHotBands(bands, 3, "band_key")
+      .select("band_key").distinct().as[String].collect().toSet
+    assert(all === Set("hot", "cold"))
+  }
+
+  test("production cap has headroom at test scale: capped == uncapped pairs") {
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+    assert(canon(Dedup.minhashLsh(spark, d, Dedup.MaxBandSize)) ===
+      canon(Dedup.minhashLsh(spark, d, Int.MaxValue)))
+    assert(canon(Dedup.simhashPairs(spark, d, Dedup.MaxBandSize)) ===
+      canon(Dedup.simhashPairs(spark, d, Int.MaxValue)))
+  }
+
+  test("a tiny cap suppresses candidate discovery (cap is live, not decorative)") {
+    // cap=1 drops every band key with >=2 members — no band can emit a
+    // candidate pair, so the verified pair set must be empty
+    assert(Dedup.minhashLsh(spark, d, 1).count() === 0)
+    assert(Dedup.simhashPairs(spark, d, 1).count() === 0)
+    // the uncapped run does find pairs on this corpus
+    assert(Dedup.minhashLsh(spark, d, Int.MaxValue).count() > 0)
+  }
+
+  test("cap does not add an exchange: window and join share one band_key shuffle per side") {
+    val plan = Dedup.minhashLsh(spark, d, Dedup.MaxBandSize)
+      .queryExecution.executedPlan.toString
+    val bandKeyExchanges = "Exchange hashpartitioning\\(band_key".r.findAllIn(plan).size
+    // each self-join side shuffles band_key once, below the window; the
+    // join consumes the window's partitioning directly. A cap that
+    // re-shuffled between window and join would show 4.
+    assert(bandKeyExchanges <= 2,
+      s"expected one band_key shuffle per join side, got $bandKeyExchanges:\n$plan")
+  }
+}
