@@ -57,6 +57,10 @@ object Ann {
     // on round()'s tie rule), reconstruction MSE in the shared fold
     // order. The compression step a 100 TB vector store runs before
     // indexing; qsum is the exact integer checksum of the code vector.
+    // The code array is materialized ONCE per row (a non-cheap HOF
+    // referenced twice survives CollapseProject), then folded twice —
+    // floor() is exact so the cached codes are bit-identical to the
+    // oracle's recomputed ones.
     "v_quantize" -> ((s, d) => {
       val v = col("embedding").cast("array<double>")
       val mx = aggregate(transform(v, x => abs(x)), lit(0.0),
@@ -64,12 +68,12 @@ object Ann {
       Tables.embeddings(s, d)
         .select(col("vec_id"), v.as("v"), mx.as("mx"))
         .withColumn("scale", lit(127.0) / col("mx"))
+        .withColumn("code", transform(col("v"), x => floor(x * col("scale") + 0.5)))
         .select(col("vec_id"),
-          aggregate(transform(col("v"), x => floor(x * col("scale") + 0.5)),
-            lit(0.0), (acc, x) => acc + x).cast("long").as("qsum"),
-          aggregate(transform(col("v"),
-            x => (x - floor(x * col("scale") + 0.5) / col("scale")) *
-              (x - floor(x * col("scale") + 0.5) / col("scale"))),
+          aggregate(col("code"), lit(0.0), (acc, x) => acc + x)
+            .cast("long").as("qsum"),
+          aggregate(zip_with(col("v"), col("code"),
+              (x, c) => (x - c / col("scale")) * (x - c / col("scale"))),
             lit(0.0), (acc, x) => acc + x).as("sq_err"))
         .select(col("vec_id"), col("qsum"), round(col("sq_err") / 64.0, 12).as("mse"))
         .orderBy(col("vec_id"))
