@@ -1,23 +1,26 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: opaque binary payloads + typed metadata,
-  * with decode / feature-extraction running partition-parallel over the
-  * binary column.
+  * with decode / feature-extraction running as pure column pipelines.
   *
   * The container has no image/audio codecs, so the decoder is a
   * DETERMINISTIC STUB (byte-level statistics standing in for
   * decode→resize→feature-extract); the Spark-side contract — binary
-  * column schema, metadata struct, partition-parallel batch processing,
-  * typed output schema — is real and oracle-checked. A real codec would
-  * replace only the inner loop of [[decodeFeatures]] (or an equivalent
-  * `mapInPandas`/`mapInArrow` stage in PySpark, which batches rows the
-  * same way).
+  * column schema, metadata struct, typed output schema, one-row-per-
+  * frame generation — is real and oracle-checked. The byte kernel is
+  * the native codegen expression [[ByteSum]] (`graft_byte_sum`), so the
+  * whole decode stays inside WholeStageCodegen with no
+  * DataFrame→RDD→DataFrame encoder round-trip; a real codec would
+  * replace that kernel with an `mapInArrow`/`mapInPandas` stage that
+  * batches rows the same way.
   */
 object Multimodal {
+
+  private val Mod = 1000000007L
 
   /** Attach an opaque binary payload + metadata struct to documents —
     * the shape of an image/audio table: (id, payload binary, meta). */
@@ -44,44 +47,35 @@ object Multimodal {
   /** Frame sampling: cut the payload into fixed 64-byte frames and keep
     * every `stride`-th one with a per-frame checksum — the shape of
     * video frame-sampling / audio windowing, one output row per kept
-    * frame. Partition-parallel like [[decodeFeatures]]. */
+    * frame. explode(sequence(...)) generates the kept-frame indices and
+    * `substring` windows the payload, so frame extraction is columnar
+    * (one codegen stage) instead of an RDD flatMap. */
   def sampleFrames(binary: DataFrame, frameSize: Int = 64, stride: Int = 4): DataFrame = {
-    val spark = binary.sparkSession
-    val rdd = binary.select(col("doc_id"), col("payload")).rdd.mapPartitions { rows =>
-      rows.flatMap { r =>
-        val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        val nFrames = bytes.length / frameSize
-        (0 until nFrames by stride).map { f =>
-          var i = f * frameSize
-          val end = i + frameSize
-          var checksum = 0L
-          while (i < end) { checksum += (bytes(i) & 0xff); i += 1 }
-          Row(id, f, frameSize, checksum % 1000000007L)
-        }
-      }
-    }
-    spark.createDataFrame(rdd, frameSchema)
+    ByteSum.register(binary.sparkSession)
+    binary
+      .select(col("doc_id"), col("payload"),
+        expr(s"cast(octet_length(payload) div $frameSize as int)").as("n_frames"))
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        lit(frameSize).as("frame_bytes"),
+        (expr(s"graft_byte_sum(substring(payload, frame_idx * $frameSize + 1, $frameSize))")
+          % Mod).as("frame_checksum"))
   }
 
-  /** Partition-parallel "decode": per row a tight loop over the bytes
-    * producing size / first-byte / additive-checksum / fake frame count
-    * (n_bytes/64, a stand-in for frame sampling). mapPartitions so a
-    * real decoder could amortize codec init per partition, exactly like
-    * a Pandas-UDF batch would. */
+  /** Columnar "decode": size / first-byte / additive-checksum / fake
+    * frame count (n_bytes/64, a stand-in for frame sampling), all from
+    * codegen'd built-ins plus the [[ByteSum]] kernel. */
   def decodeFeatures(binary: DataFrame): DataFrame = {
-    val spark = binary.sparkSession
-    val rdd = binary.select(col("doc_id"), col("payload")).rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        var i = 0
-        var checksum = 0L
-        while (i < bytes.length) { checksum += (bytes(i) & 0xff); i += 1 }
-        Row(id, bytes.length, if (bytes.nonEmpty) bytes(0) & 0xff else 0,
-          checksum % 1000000007L, bytes.length / 64)
-      }
-    }
-    spark.createDataFrame(rdd, featureSchema)
+    ByteSum.register(binary.sparkSession)
+    binary.select(
+      col("doc_id"),
+      octet_length(col("payload")).as("n_bytes"),
+      when(octet_length(col("payload")) > 0,
+        conv(hex(substring(col("payload"), 1, 1)), 16, 10).cast("int"))
+        .otherwise(lit(0)).as("first_byte"),
+      (expr("graft_byte_sum(payload)") % Mod).as("checksum"),
+      expr("cast(octet_length(payload) div 64 as int)").as("n_frames"))
   }
 }

@@ -39,4 +39,18 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
       "scan must carry pushed filters")
   }
+
+  test("multimodal decode runs the graft_byte_sum kernel in-plan, no RDD round-trip") {
+    val p = plan("mm_decode_features")
+    assert(p.contains("graft_byte_sum"), "codegen byte kernel must be in the plan")
+    assert(!p.contains("ExistingRDD") && !p.contains("Scan ExistingRDD"),
+      "decode must stay on the parquet scan, not exit to an RDD")
+  }
+
+  test("multimodal frame sampling is a columnar generate over the scan") {
+    val p = plan("mm_frame_sample")
+    assert(p.contains("graft_byte_sum"))
+    assert(p.contains("Generate"), "frame indices come from explode(sequence)")
+    assert(!p.contains("ExistingRDD"), "no RDD flatMap")
+  }
 }
