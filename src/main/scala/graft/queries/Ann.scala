@@ -17,9 +17,10 @@ import graft.functions.{DotProduct, VectorOps}
   *     nearest centroid (one shuffle at build time, amortized across
   *     queries), a query probes only the closest `nprobe` centroid
   *     buckets, cutting scanned vectors by ~centroids/nprobe.
-  *     Centroids here are a deterministic subset (vec_id < 16) so the
-  *     whole pipeline is oracle-checkable; k-means iterations would
-  *     slot in without changing the query shape.
+  *     Centroids are trained with spherical k-means (Lloyd) from a
+  *     deterministic seed set (vec_id < 16) for a fixed iteration
+  *     count, with integer-quantized component sums so the training
+  *     loop is order-independent and oracle-checkable.
   *
   * Vectors are L2-normalized once up front, so every similarity is a
   * single dot product — computed by the native codegen expression
@@ -32,9 +33,11 @@ object Ann {
 
   private val K = 10
   private val NumQueries = 5 // query set: vec_id < 5
-  private val NumCentroids = 16 // centroid set: vec_id < 16
+  private val NumCentroids = 16 // centroid seed set: vec_id < 16
   private val NProbe = 4
   private val SignBits = 8 // sign-LSH bucket bits (ann_lsh)
+  private val KMeansIters = 2 // Lloyd iterations from the seed centroids
+  private val QuantScale = 1000000.0 // integer-quantization scale for means
 
   /** L2-normalized vectors, materialized via localCheckpoint: the
     * normalization is an interpreted higher-order lambda (per-element —
@@ -120,21 +123,59 @@ object Ann {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // IVF: assign corpus to nearest centroid, probe top-4 centroids
-    // per query, exact top-k within the probed buckets.
+    // IVF: train centroids with spherical k-means (Lloyd, fixed seed set
+    // + fixed iteration count so the DuckDB oracle mirrors the training
+    // exactly), assign corpus to nearest trained centroid, probe top-4
+    // centroids per query, exact top-k within the probed buckets.
+    //
+    // Determinism of the mean: a double sum is order-sensitive and
+    // Spark/DuckDB aggregate in different orders, so each component is
+    // integer-quantized (floor(x·1e6 + 0.5) as BIGINT) before summing —
+    // integer sums are exact and order-independent — then the mean is
+    // de-quantized and L2-normalized with the shared left-to-right
+    // fold. Per-iteration cost at scale: one broadcast assign pass over
+    // the corpus + a (cid, dim)-keyed partial aggregation (map-side
+    // combined to ≤ centroids×dim rows per partition); no corpus
+    // shuffle grows with data size.
     "ann_ivf" -> ((s, d) => {
       val e = vecs(s, d)
-      val cent = e.filter(col("vec_id") < NumCentroids)
+      var cent = e.filter(col("vec_id") < NumCentroids)
         .select(col("vec_id").as("cid"), col("v").as("cv"))
+      // Per-vector argmax as max_by under groupBy (NOT a row_number
+      // window): partial aggregation combines map-side, so the shuffle
+      // moves n rows instead of n×centroids. Tie-break (ccos desc, cid
+      // asc) via the (ccos, -cid) key struct matches the oracle's
+      // ROW_NUMBER ordering.
+      for (_ <- 1 to KMeansIters) {
+        val assigned = e.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("v"), col("cid"), expr("graft_dot(v, cv)").as("ccos"))
+          .groupBy(col("vec_id"))
+          .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"),
+            any_value(col("v")).as("v"))
+          .select(col("cid"), posexplode(col("v")).as(Seq("dim", "val")))
+        val means = assigned
+          .groupBy(col("cid"), col("dim"))
+          .agg(sum(floor(col("val") * QuantScale + 0.5)).as("sq"),
+            count(lit(1)).as("n"))
+          .groupBy(col("cid"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("dim"),
+              (col("sq").cast("double") / col("n").cast("double") / QuantScale)
+                .as("comp")))),
+            x => x.getField("comp")).as("cv0"))
+        cent = means
+          .withColumn("nrm", sqrt(VectorOps.norm2(col("cv0"))))
+          .select(col("cid"), transform(col("cv0"), x => x / col("nrm")).as("cv"))
+      }
+      cent = cent.localCheckpoint() // train once; 3 consumers below
       val q = e.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("v").as("qv"))
 
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("ccos").desc, col("cid"))
       val assigned = e.crossJoin(broadcast(cent))
         .select(col("vec_id"), col("v"), col("cid"), expr("graft_dot(v, cv)").as("ccos"))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"),
+          any_value(col("v")).as("v"))
         .select(col("vec_id"), col("v"), col("cid"))
 
       val wProbe = Window.partitionBy(col("query_id"))
@@ -159,6 +200,31 @@ object Ann {
   /** DuckDB fold over two already-normalized vectors. */
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, 64), i -> $a[i] * $b[i])), (x,y) -> x + y)"
+
+  /** One Lloyd iteration as DuckDB CTEs: assign to nearest centroid
+    * c{t-1} (same ROW_NUMBER tie-break as the Spark window), sum the
+    * integer-quantized components per (cid, dim) — exact, order-
+    * independent — then de-quantize the mean and L2-normalize with the
+    * shared left-to-right fold. Mirrors the Spark loop bit-for-bit. */
+  private def kmeansIterCte(t: Int): String = {
+    val prev = s"c${t - 1}"
+    s"""a$t AS (SELECT vec_id, v, cid FROM (
+       |    SELECT e.vec_id, e.v, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                         ORDER BY ${dotSql("e.v", "c.cv")} DESC, c.cid) AS rn
+       |    FROM e CROSS JOIN $prev c) WHERE rn = 1),
+       |s$t AS (SELECT cid, i AS dim,
+       |          SUM(CAST(floor(v[i] * 1000000.0 + 0.5) AS BIGINT)) AS sq,
+       |          COUNT(*) AS n
+       |        FROM a$t CROSS JOIN generate_series(1, 64) t(i) GROUP BY cid, i),
+       |m$t AS (SELECT cid,
+       |          list(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 ORDER BY dim) AS cv0
+       |        FROM s$t GROUP BY cid),
+       |c$t AS (SELECT cid, list_transform(cv0, x -> x / sqrt(
+       |          list_reduce(list_prepend(0.0::DOUBLE, list_transform(cv0, y -> y * y)),
+       |            (p,q) -> p + q))) AS cv
+       |        FROM m$t)""".stripMargin
+  }
 
   /** Shared normalization CTE (identical fp order to vecs()). */
   private val normCte =
@@ -214,7 +280,9 @@ object Ann {
          |ORDER BY query_id, rank""".stripMargin,
     "ann_ivf" ->
       s"""WITH $normCte,
-         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $NumCentroids),
+         |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $NumCentroids),
+         |${(1 to KMeansIters).map(kmeansIterCte).mkString(",\n")},
+         |c AS (SELECT cid, cv FROM c$KMeansIters),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueries),
          |assigned AS (
          |  SELECT vec_id, v, cid FROM (
