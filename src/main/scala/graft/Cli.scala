@@ -11,14 +11,17 @@ import graft.patterns.Patterns
 import graft.usage.UsageLog
 
 /** CLI verbs mirroring the reference's Typer app
-  * (`/root/reference/src/ariadne_dbt/cli.py:26-365`), minus `serve`
-  * (the MCP/stdio transport is out of scope; [[graft.api.Engine]] is
-  * the tool surface):
+  * (`/root/reference/src/ariadne_dbt/cli.py:26-365`):
   *
   *   init  [root] [--target t]... [--skip-generate]  — index + generate
   *   sync  [root] [--skip-generate]                  — full re-index
   *   stats [root]                                    — project stats table
   *   usage [root] [--days n]                         — telemetry rollup
+  *   serve [root]                                    — JSON-lines tool loop
+  *
+  * `serve` (cli.py:154-161) runs [[graft.serve.JsonLineServer]] over
+  * the [[graft.api.Engine]] facade: the reference's 10-tool contract on
+  * a JSON-lines stdin/stdout transport instead of MCP stdio.
   *
   * The "index" is the catalog parquet written by [[Writer]] under
   * `<root>/.graft/index` (the reference's `.ariadne/index.db`), and
@@ -41,7 +44,13 @@ object Cli {
   }
 
   /** Testable entry: returns a process exit code. */
-  def run(spark: SparkSession, args: Seq[String], out: java.io.PrintStream): Int = {
+  def run(spark: SparkSession, args: Seq[String], out: java.io.PrintStream): Int =
+    run(spark, args, out,
+      new java.io.BufferedReader(new java.io.InputStreamReader(System.in)))
+
+  /** Testable entry with an explicit request stream (for `serve`). */
+  def run(spark: SparkSession, args: Seq[String], out: java.io.PrintStream,
+      in: java.io.BufferedReader): Int = {
     val (flags, positional) = args.partition(_.startsWith("--"))
     val targets = {
       val ts = flags.filter(_.startsWith("--target=")).map(_.stripPrefix("--target="))
@@ -56,12 +65,30 @@ object Cli {
         initOrSync(spark, rootOf(rest), targets, skipGenerate, out)
       case "stats" :: rest => stats(spark, rootOf(rest), out)
       case "usage" :: rest => usageStats(spark, rootOf(rest), days, out)
+      case "serve" :: rest => serve(spark, rootOf(rest), out, in)
       case other =>
-        out.println(s"usage: graft.Cli (init|sync|stats|usage) [project_root] " +
+        out.println(s"usage: graft.Cli (init|sync|stats|usage|serve) [project_root] " +
           s"[--target=t] [--skip-generate] [--days=n]" +
           other.headOption.fold("")(v => s"  (got: $v)"))
         2
     }
+  }
+
+  /** `ariadne serve` equivalent: ingest the project's manifest, then
+    * answer JSON-lines tool requests until EOF/`exit`. */
+  private def serve(spark: SparkSession, root: Path,
+      out: java.io.PrintStream, in: java.io.BufferedReader): Int = {
+    val cfg = Config.load(root)
+    val manifest =
+      if (cfg.manifestPath.isAbsolute) cfg.manifestPath
+      else root.resolve(cfg.manifestPath)
+    if (!Files.exists(manifest)) {
+      out.println(s"Error: manifest.json not found at $manifest — run `dbt compile` first.")
+      return 1
+    }
+    val engine = graft.api.Engine.fromManifest(spark, manifest.toString,
+      Some(root.resolve(".graft/usage").toString), cfg)
+    graft.serve.JsonLineServer.loop(engine, in, out)
   }
 
   private def rootOf(rest: List[String]): Path =
