@@ -80,6 +80,40 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // Language ID via the full character-trigram profile classifier
+    // (functions.LangId made columnar): space-padded letter-normalized
+    // text → sliding trigrams → per-language profile-hit density →
+    // argmax with the same tie priority and 0.05 'und' floor. Densities
+    // are int/int divisions, so both engines produce identical doubles.
+    "t_langid_trigram" -> ((s, d) => {
+      import graft.functions.LangId
+      val norm = concat(lit(" "),
+        trim(regexp_replace(lower(col("text")), "[^\\p{L}]+", " ")), lit(" "))
+      def density(lang: String): Column = {
+        val prof = array(LangId.profiles.toMap.apply(lang).toSeq.sorted.map(lit): _*)
+        when(size(col("tg")) === 0, lit(0.0))
+          .otherwise(size(filter(col("tg"), t => array_contains(prof, t))).cast("double") /
+            size(col("tg")).cast("double"))
+      }
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), norm.as("norm"))
+        .withColumn("tg",
+          when(length(col("norm")) < 3, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(1), length(col("norm")) - 2),
+              i => col("norm").substr(i, lit(3)))))
+        .select(col("doc_id"), col("lang"),
+          density("en").as("s_en"), density("es").as("s_es"),
+          density("de").as("s_de"), density("fr").as("s_fr"))
+        .withColumn("lang_pred",
+          when(greatest(col("s_en"), col("s_es"), col("s_de"), col("s_fr")) < 0.05, "und")
+            .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") &&
+              col("s_en") >= col("s_fr"), "en")
+            .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+            .when(col("s_de") >= col("s_fr"), "de")
+            .otherwise("fr"))
+        .orderBy(col("doc_id"))
+    }),
+
     // BPE-ish regex token counting: splits into letter runs / digit
     // runs / single non-space symbols (the GPT-2-style pretokenizer
     // shape, minus merges), vs whitespace tokens — the two counts a
@@ -139,6 +173,39 @@ object TextAnalysis {
          |    ${sqlCountIn(deStop)} AS c_de, ${sqlCountIn(frStop)} AS c_fr
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    "t_langid_trigram" -> {
+      def profSql(lang: String): String =
+        graft.functions.LangId.profiles.toMap.apply(lang).toSeq.sorted
+          .map("'" + _ + "'").mkString("[", ", ", "]")
+      def densSql(lang: String): String =
+        s"""CASE WHEN len(tg) = 0 THEN 0.0
+           |      ELSE CAST(len(list_filter(tg, x -> list_contains(${profSql(lang)}, x))) AS DOUBLE)
+           |           / CAST(len(tg) AS DOUBLE) END AS s_$lang""".stripMargin
+      s"""WITH n AS (
+         |  SELECT doc_id, lang,
+         |    ' ' || trim(regexp_replace(lower(text), '[^\\p{L}]+', ' ', 'g')) || ' ' AS norm
+         |  FROM documents),
+         |t AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN length(norm) < 3 THEN []::VARCHAR[]
+         |         ELSE list_transform(generate_series(1, length(norm) - 2),
+         |                i -> substr(norm, i, 3)) END AS tg
+         |  FROM n),
+         |s AS (
+         |  SELECT doc_id, lang,
+         |    ${densSql("en")},
+         |    ${densSql("es")},
+         |    ${densSql("de")},
+         |    ${densSql("fr")}
+         |  FROM t)
+         |SELECT doc_id, lang, s_en, s_es, s_de, s_fr,
+         |  CASE WHEN greatest(s_en, s_es, s_de, s_fr) < 0.05 THEN 'und'
+         |       WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+         |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+         |       WHEN s_de >= s_fr THEN 'de'
+         |       ELSE 'fr' END AS lang_pred
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
     "t_token_bpe" ->
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS n_ws_tokens,

@@ -45,4 +45,19 @@ class PropertySpec extends SparkSuite {
       assert(intents(graft.capsule.CapsuleBuilder.detectIntent(s)))
     }
   }
+
+  test("columnar trigram lang-id matches LangId.detect on real documents") {
+    import graft.functions.LangId
+    val rows = SparkEntry.queries("t_langid_trigram")(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "lang_pred").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val texts = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(texts.nonEmpty)
+    texts.foreach { case (id, text) =>
+      assert(rows(id) == LangId.detect(text),
+        s"doc $id: column pipeline ${rows(id)} != library ${LangId.detect(text)}")
+    }
+  }
 }
