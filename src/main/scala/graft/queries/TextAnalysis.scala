@@ -80,6 +80,79 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // Repetition filter (the Gopher/RefinedWeb duplicate-n-gram signal):
+    // fraction of non-distinct 3-gram shingles per document; pipelines
+    // drop documents whose duplicate-shingle ratio exceeds a threshold
+    // (looping boilerplate, lyrics, template spam). Per-row projection
+    // — scales with the scan.
+    "t_repetition" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val grams = when(size(toks) < 3, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - 2),
+          i => concat_ws(" ", slice(toks, i, lit(3)))))
+      Tables.documents(s, d)
+        .select(col("doc_id"), grams.as("g"))
+        .select(col("doc_id"),
+          size(col("g")).as("n_grams"),
+          size(array_distinct(col("g"))).as("n_distinct"))
+        .withColumn("dup_ratio",
+          when(col("n_grams") === 0, lit(0.0))
+            .otherwise((col("n_grams") - col("n_distinct")).cast("double") /
+              col("n_grams").cast("double")))
+        .withColumn("is_repetitive", col("dup_ratio") > 0.2)
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII masking: regex-redact emails and phone numbers, count the
+    // redactions. The corpus carries no PII, so a deterministic contact
+    // line derived from doc_id is appended to every third document
+    // inside the query — the masking arithmetic (extract-count +
+    // global-replace) is what's under test, on both engines.
+    "t_pii_mask" -> ((s, d) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+      val withPii = when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+          lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), withPii.as("t"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(emailRe), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("t"), lit(phoneRe), lit(0))).as("n_phones"),
+          md5(regexp_replace(regexp_replace(col("t"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>")).as("masked_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic stratified sampling: per-language keep rates (en
+    // 10%, everything else 50% — downsample the dominant stratum, the
+    // standard mix-rebalancing move), membership decided by an
+    // md5-derived hash of the doc id — reproducible across engines and
+    // runs, no RNG. Pure filter: scales with the scan.
+    "s_stratified_sample" -> ((s, d) => {
+      val bucket = h60(concat(lit("sample#"), col("doc_id").cast("string"))) % 100
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+        .withColumn("rate", when(col("lang") === "en", 10).otherwise(50))
+        .filter(col("bucket") < col("rate"))
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus length histogram: digit-count buckets of n_chars (exact
+    // in both engines, unlike floor(log2) whose fp rounding can differ)
+    // with per-bucket doc counts and exact mean length.
+    "t_len_histogram" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(length(col("n_chars").cast("string")).as("len_digits"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .withColumn("avg_chars",
+          col("sum_chars").cast("double") / col("n_docs").cast("double"))
+        .orderBy(col("len_digits"))),
+
     // Language ID via the full character-trigram profile classifier
     // (functions.LangId made columnar): space-padded letter-normalized
     // text → sliding trigrams → per-language profile-hit density →
@@ -173,6 +246,52 @@ object TextAnalysis {
          |    ${sqlCountIn(deStop)} AS c_de, ${sqlCountIn(frStop)} AS c_fr
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    "t_repetition" ->
+      """SELECT doc_id, n_grams, n_distinct,
+        |  CASE WHEN n_grams = 0 THEN 0.0
+        |       ELSE CAST(n_grams - n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE) END AS dup_ratio,
+        |  (CASE WHEN n_grams = 0 THEN 0.0
+        |        ELSE CAST(n_grams - n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE) END) > 0.2 AS is_repetitive
+        |FROM (
+        |  SELECT doc_id, len(g) AS n_grams, len(list_distinct(g)) AS n_distinct
+        |  FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN len(ts) < 3 THEN []::VARCHAR[]
+        |           ELSE list_transform(generate_series(1, len(ts) - 2),
+        |                  i -> array_to_string(ts[i:i+2], ' ')) END AS g
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)))
+        |ORDER BY doc_id""".stripMargin,
+    "t_pii_mask" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN text || ' contact user' || doc_id || '@example.com or 555-'
+        |              || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+        |              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |         ELSE text END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(t, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS masked_md5
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "s_stratified_sample" ->
+      """SELECT doc_id, lang, bucket FROM (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5('sample#' || doc_id), 1, 15))::BIGINT % 100 AS bucket,
+        |    CASE WHEN lang = 'en' THEN 10 ELSE 50 END AS rate
+        |  FROM documents)
+        |WHERE bucket < rate ORDER BY doc_id""".stripMargin,
+    "t_len_histogram" ->
+      """SELECT len_digits, n_docs, sum_chars,
+        |  CAST(sum_chars AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avg_chars
+        |FROM (
+        |  SELECT length(CAST(n_chars AS VARCHAR)) AS len_digits, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents GROUP BY 1)
+        |ORDER BY len_digits""".stripMargin,
     "t_langid_trigram" -> {
       def profSql(lang: String): String =
         graft.functions.LangId.profiles.toMap.apply(lang).toSeq.sorted
