@@ -64,12 +64,19 @@ object Dedup {
       .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("s"))
 
   /** Exact pair Jaccard over distinct 3-token shingles for pairs
-    * sharing ≥1 shingle; emits pairs with J ≥ threshold. */
+    * sharing ≥1 shingle; emits pairs with J ≥ threshold. Shingle
+    * identity rides the 60-bit md5 hash (see the same move in
+    * [[minhashLsh]]): the self-join shuffles and compares 8-byte longs
+    * instead of ~20-byte strings, exact up to 2^-60 collisions. The
+    * hash stage is localCheckpoint'ed — it feeds the count side and
+    * both join sides. */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     val sh = shingleRows(s, d)
+      .select(col("doc_id"), h60(col("s")).as("h"))
+      .localCheckpoint()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val ov = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("overlap"))
     ov.join(cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
