@@ -175,19 +175,60 @@ object Dedup {
     // and its plan shape (broadcast + single scan) survives a corpus
     // that outgrows any single executor, unlike a driver collect.
     "d_embed_neardup" -> ((s, d) => {
-      graft.functions.DotProduct.register(s)
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v0"))
-        .withColumn("nrm", sqrt(graft.functions.VectorOps.norm2(col("v0"))))
-        .select(col("vec_id"), transform(col("v0"), x => x / col("nrm")).as("v"))
-        .localCheckpoint()
+      val e = normalizedVecs(s, d)
       e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           expr("graft_dot(a.v, b.v)").as("cosine"))
         .filter(col("cosine") >= 0.45)
         .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
+    // Embedding near-dup, the SCALE route: sign-LSH banded candidate
+    // discovery instead of all-pairs. Eight 8-bit sign bands tile all
+    // 64 dims of the normalized vector; a pair is a candidate when it
+    // agrees on ANY band — band-key equi-join over the exploded band
+    // table, one shuffle, capped like the text LSH paths — then the
+    // exact codegen dot product keeps only cosine ≥ 0.45. Expected
+    // candidates ≈ bands·n²/2⁸ ≪ n²; recall is partial by the LSH
+    // contract (both engines compute the same bands, so the gate is
+    // exact). This is the pair-finding shape that replaces
+    // d_embed_neardup's O(n²) when the corpus outgrows a broadcast.
+    "d_embed_lsh_pairs" -> ((s, d) => {
+      val e = normalizedVecs(s, d)
+      def bandKey(lo: Int): Column = (0 until 8)
+        .map(b => when(element_at(col("v"), lo + b + 1) > 0, lit(1 << b)).otherwise(lit(0)))
+        .reduce(_ + _)
+      val bands = capHotBands(
+        e.select(col("vec_id"),
+          explode(array((0 until 8).map(g =>
+            struct(lit(g).as("band"), bandKey(g * 8).as("key"))): _*)).as("bk"))
+          .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key")),
+        MaxBandSize, "band", "key")
+      val cands = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+        .distinct()
+      cands
+        .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
+        .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
+        .select(col("vec_a"), col("vec_b"), expr("graft_dot(va, vb)").as("cosine"))
+        .filter(col("cosine") >= 0.45)
+        .orderBy(col("vec_a"), col("vec_b"))
     })
   )
+
+  /** L2-normalized embeddings, localCheckpoint'ed: shared by the
+    * all-pairs verifier and the banded LSH pair path (the interpreted
+    * normalization lambda runs n times, not per consumer). */
+  private def normalizedVecs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v0"))
+      .withColumn("nrm", sqrt(graft.functions.VectorOps.norm2(col("v0"))))
+      .select(col("vec_id"), transform(col("v0"), x => x / col("nrm")).as("v"))
+      .localCheckpoint()
+  }
 
   /** MinHash+LSH near-dup pipeline body (see the `d_minhash_lsh` entry
     * in [[queries]]); `cap` is the hot-band cap, [[MaxBandSize]] in
@@ -306,19 +347,45 @@ object Dedup {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
     "d_embed_neardup" ->
-      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
-        |e AS (SELECT vec_id,
-        |        list_transform(v0, x -> x / sqrt(
-        |          list_reduce(list_prepend(0.0::DOUBLE,
-        |            list_transform(generate_series(1, 64), i -> v0[i] * v0[i])),
-        |            (p,q) -> p + q))) AS v
-        |      FROM e0),
-        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |        list_reduce(list_prepend(0.0::DOUBLE,
-        |          list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])),
-        |          (x,y) -> x + y) AS cosine
-        |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
-        |SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.45
-        |ORDER BY vec_a, vec_b""".stripMargin
+      s"""WITH $embNormCte,
+         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |        ${embDotSql("a.v", "b.v")} AS cosine
+         |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.45
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "d_embed_lsh_pairs" ->
+      s"""WITH $embNormCte,
+         |u AS (${(0 until 8).map(g =>
+             s"SELECT vec_id, $g AS band, ${embBandSql(g * 8)} AS key FROM e")
+             .mkString("\n      UNION ALL\n      ")}),
+         |c AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |      FROM u x JOIN u y
+         |        ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id),
+         |p AS (SELECT vec_a, vec_b, ${embDotSql("a.v", "b.v")} AS cosine
+         |      FROM c JOIN e a ON c.vec_a = a.vec_id JOIN e b ON c.vec_b = b.vec_id)
+         |SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.45
+         |ORDER BY vec_a, vec_b""".stripMargin
   )
+
+  /** Shared DuckDB normalization CTE for the embedding pair oracles
+    * (identical fp order to [[normalizedVecs]]). */
+  private val embNormCte =
+    """e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+      |e AS (SELECT vec_id,
+      |        list_transform(v0, x -> x / sqrt(
+      |          list_reduce(list_prepend(0.0::DOUBLE,
+      |            list_transform(generate_series(1, 64), i -> v0[i] * v0[i])),
+      |            (p,q) -> p + q))) AS v
+      |      FROM e0)""".stripMargin
+
+  /** Left-to-right dot fold (mirrors graft_dot). */
+  private def embDotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE,
+       |          list_transform(generate_series(1, 64), i -> $a[i] * $b[i])),
+       |          (x,y) -> x + y)""".stripMargin
+
+  /** 8 sign bits of dims lo+1..lo+8 (mirrors the Spark bandKey). */
+  private def embBandSql(lo: Int): String =
+    (0 until 8).map(b => s"(CASE WHEN v[${lo + b + 1}] > 0 THEN ${1 << b} ELSE 0 END)")
+      .mkString(" + ")
 }
