@@ -29,6 +29,17 @@ object StreamQ {
       EventStreams.sessionize(s, d)
         .orderBy(col("user_id"))),
 
+    // Streaming dedup: at-least-once delivery (every 10th event
+    // re-delivered) deduped in-stream with watermark-bounded state;
+    // per-type batch rollup of the deduped sink proves the duplicates
+    // are gone.
+    "st_dedup" -> ((s, d) =>
+      EventStreams.dedupedStream(s, d, s"stream_dedup_${streamSeq.incrementAndGet()}")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy(col("event_type"))),
+
     // Multimodal: binary payload + metadata struct → partition-parallel
     // decode-stub features.
     "mm_decode_features" -> ((s, d) =>
@@ -54,6 +65,10 @@ object StreamQ {
         |          LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
         |        FROM events))
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "st_dedup" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "mm_decode_features" ->
       """SELECT doc_id, strlen(text) AS n_bytes,
         |  unicode(substr(text, 1, 1)) AS first_byte,

@@ -67,6 +67,29 @@ object EventStreams {
     spark.table(sinkName)
   }
 
+  /** Streaming exact dedup under at-least-once delivery: the source is
+    * unioned with a deterministic re-delivery of every 10th event (the
+    * duplicate shape a replayed Kafka partition produces), then
+    * `dropDuplicatesWithinWatermark` on the event id removes the
+    * duplicates with BOUNDED state — dedup keys are evicted once their
+    * event time falls behind the watermark, so the state store holds
+    * only the delay window, not the full key history (the scale
+    * contract; plain dropDuplicates would grow forever). Append-mode
+    * memory sink; the bounded AvailableNow replay makes the result the
+    * exact batch row set. */
+  def dedupedStream(spark: SparkSession, dir: String, sinkName: String): DataFrame = {
+    val redelivered = readEvents(spark, dir).filter(col("event_id") % 10 === 0)
+    val q = readEvents(spark, dir).unionByName(redelivered)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+  }
+
   case class SessionAgg(userId: Long, nSessions: Long, nEvents: Long)
 
   /** O(1) per-user session state: NOT the event list. On a real stream
