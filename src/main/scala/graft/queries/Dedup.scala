@@ -244,9 +244,16 @@ object Dedup {
     // 60-bit collisions (birthday ≈ n²/2⁶¹ — ~4e-7 at a million
     // distinct shingles), the same contract production shingle-hash
     // dedup runs at 100 TB.
+    // xxhash64, not md5-h60: every value derived from the shingle hash
+    // here (signature minima, band keys, verify identity) is INTERNAL —
+    // the oracle checks only the final verified pairs — so the hash
+    // just needs to be a consistent uniform identity, and xxhash64 is a
+    // native codegen'd long vs md5's hex-string round-trip. The md5
+    // discipline stays where hash VALUES cross engines (d_simhash,
+    // t_fingerprint, s_stratified_sample).
     val sh = shingleRows(s, d)
-      .select(col("doc_id"), h60(col("s")).as("h"))
-      .withColumn("hm", col("h") % P)
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .withColumn("hm", pmod(col("h"), lit(P)))
       .localCheckpoint()
     // one aggregation yields the 32 signature minima AND the per-doc
     // shingle count the verifier needs — no second pass over sh.
