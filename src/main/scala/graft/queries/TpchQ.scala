@@ -91,6 +91,61 @@ object TpchQ {
     // Q22 shape: customers with above-average balance and no URGENT
     // orders (scalar subquery + anti-join). Anti side is a filtered
     // orders subset so the gate is non-vacuous (every customer orders).
+    // Q4 shape: EXISTS correlated subquery → left-semi join with a
+    // non-equi conjunct (late-shipment proxy: any lineitem shipped
+    // after its order date).
+    "q4_order_priority" -> ((s, d) => {
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey") && col("l_shipdate") > col("o_orderdate"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Q15 shape: revenue "view" + global-max selection (the correlated
+    // = (SELECT MAX(..)) decorrelated as a 1-row broadcast).
+    "q15_top_supplier" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey")).agg(revenue.as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_revenue") === col("mx"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // Q16 shape: distinct-supplier counts per part attribute with a
+    // NOT-IN exclusion (negative-balance suppliers) as an anti-join
+    // before the distinct aggregation.
+    "q16_supplier_cnt" -> ((s, d) => {
+      val bad = Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey").as("l_suppkey"))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(bad), Seq("l_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+    }),
+
+    // Q17 shape: correlated per-part average subquery, decorrelated as
+    // a grouped aggregate joined back on the part key; threshold
+    // arithmetic (sum/count*0.2) is explicit so both engines produce
+    // identical doubles.
+    "q17_small_quantity" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val avgq = li.groupBy(col("l_partkey"))
+        .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1)) * 0.2).as("thresh"))
+      li.join(broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#1")),
+          col("l_partkey") === col("p_partkey"))
+        .join(avgq, "l_partkey")
+        .filter(col("l_quantity") < col("thresh"))
+        .agg((sum(dec(col("l_extendedprice"))).cast("double") / 7.0).as("avg_yearly"))
+    }),
+
     "q22_global_sales" -> ((s, d) => {
       val cust = Tables.customer(s, d)
       val avgBal = cust.filter(col("c_acctbal") > 0.0)
@@ -143,6 +198,40 @@ object TpchQ {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         | AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40))""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH r AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem GROUP BY l_suppkey),
+        |m AS (SELECT MAX(total_revenue) AS mx FROM r)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM r, m
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = mx
+        |ORDER BY s_suppkey""".stripMargin,
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+    "q17_small_quantity" ->
+      """WITH a AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 0.2 AS thresh
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN a USING (l_partkey)
+        |WHERE p_brand = 'Brand#1' AND l_quantity < thresh""".stripMargin,
     "q22_global_sales" ->
       """WITH a AS (SELECT CAST(AVG(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS avg_bal
         |           FROM customer WHERE c_acctbal > 0.0)
