@@ -138,49 +138,20 @@ object Ann {
     // combined to ≤ centroids×dim rows per partition); no corpus
     // shuffle grows with data size.
     "ann_ivf" -> ((s, d) => {
-      val e = vecs(s, d)
-      var cent = e.filter(col("vec_id") < NumCentroids)
-        .select(col("vec_id").as("cid"), col("v").as("cv"))
-      // Per-vector argmax as max_by under groupBy (NOT a row_number
-      // window): partial aggregation combines map-side, so the shuffle
-      // moves n rows instead of n×centroids. Tie-break (ccos desc, cid
-      // asc) via the (ccos, -cid) key struct matches the oracle's
-      // ROW_NUMBER ordering.
-      for (_ <- 1 to KMeansIters) {
-        val assigned = e.crossJoin(broadcast(cent))
-          .select(col("vec_id"), col("v"), col("cid"), expr("graft_dot(v, cv)").as("ccos"))
-          .groupBy(col("vec_id"))
-          .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"),
-            any_value(col("v")).as("v"))
-          .select(col("cid"), posexplode(col("v")).as(Seq("dim", "val")))
-        val means = assigned
-          .groupBy(col("cid"), col("dim"))
-          .agg(sum(floor(col("val") * QuantScale + 0.5)).as("sq"),
-            count(lit(1)).as("n"))
-          .groupBy(col("cid"))
-          .agg(transform(
-            array_sort(collect_list(struct(col("dim"),
-              (col("sq").cast("double") / col("n").cast("double") / QuantScale)
-                .as("comp")))),
-            x => x.getField("comp")).as("cv0"))
-        cent = means
-          .withColumn("nrm", sqrt(VectorOps.norm2(col("cv0"))))
-          .select(col("cid"), transform(col("cv0"), x => x / col("nrm")).as("cv"))
-      }
-      cent = cent.localCheckpoint() // train once; 3 consumers below
-      val q = e.filter(col("vec_id") < NumQueries)
+      // Build-or-reuse the persisted index (train + assign once per
+      // corpus — see IvfIndex); the query pays only probe selection and
+      // the probed-bucket scan. The query set reads its normalized
+      // vectors back from the index table too (doubles round-trip
+      // parquet exactly), so a warm query never re-runs the
+      // normalization pass over the corpus.
+      DotProduct.register(s)
+      val idx = IvfIndex.of(s, d, vecs(s, d), NumCentroids, KMeansIters, QuantScale)
+      val q = idx.assigned.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("v").as("qv"))
-
-      val assigned = e.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("v"), col("cid"), expr("graft_dot(v, cv)").as("ccos"))
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"),
-          any_value(col("v")).as("v"))
-        .select(col("vec_id"), col("v"), col("cid"))
 
       val wProbe = Window.partitionBy(col("query_id"))
         .orderBy(col("qcos").desc, col("cid"))
-      val probes = q.crossJoin(broadcast(cent))
+      val probes = q.crossJoin(broadcast(idx.centroids))
         .select(col("query_id"), col("qv"), col("cid"), expr("graft_dot(qv, cv)").as("qcos"))
         .withColumn("rn", row_number().over(wProbe))
         .filter(col("rn") <= NProbe)
@@ -188,7 +159,7 @@ object Ann {
 
       val wTop = Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("vec_id"))
-      assigned.join(broadcast(probes), Seq("cid"))
+      idx.assigned.join(broadcast(probes), Seq("cid"))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"), expr("graft_dot(qv, v)").as("cosine"))
         .withColumn("rank", row_number().over(wTop))

@@ -1,0 +1,96 @@
+package graft.queries
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Persisted IVF index — the ANN counterpart of
+  * [[graft.search.PostingsIndex]]: an index is BUILT ONCE per corpus
+  * (k-means training + corpus assignment) and probed many times, so no
+  * per-query work may depend on corpus size beyond the probed buckets.
+  *
+  * Build: spherical k-means (Lloyd) from a deterministic seed set with
+  * integer-quantized component sums (order-independent, so the DuckDB
+  * oracle replays training exactly — see `Ann.kmeansIterCte`), then the
+  * corpus is assigned to its nearest centroid and written as a
+  * bucketed-by-cid, sorted-by-cid table. Bucketing is the 100 TB lever:
+  * a probe workload joined on cid shuffles only the workload side — the
+  * corpus sits on disk pre-partitioned by centroid, and bucket-pruned
+  * scans serve single-centroid probes without touching the rest.
+  *
+  * The trained centroid table is tiny (numCentroids rows) and kept as a
+  * localCheckpoint for broadcast into probe selection.
+  */
+object IvfIndex {
+
+  final class Index(spark: SparkSession, tableName: String,
+      val centroids: DataFrame) {
+    /** (vec_id, v, cid), bucketed by cid. */
+    def assigned: DataFrame = spark.table(tableName)
+  }
+
+  // One index per (session, corpus): repeated queries — bench rounds,
+  // Verify — probe the built table instead of re-training per call.
+  private val cache = new ConcurrentHashMap[String, Index]()
+
+  /** Build-or-reuse the IVF index for corpus `corpusKey`. `e` (the
+    * normalized (vec_id, v) frame with `graft_dot` registered) is
+    * by-name: on a cache hit the normalization pass never runs — the
+    * index table already stores the normalized vectors, so repeated
+    * queries are probe-only. */
+  def of(spark: SparkSession, corpusKey: String, e: => DataFrame,
+      numCentroids: Int, iters: Int, quantScale: Double): Index = {
+    val key = System.identityHashCode(spark) + "|" + corpusKey
+    cache.computeIfAbsent(key,
+      _ => build(spark, corpusKey, e, numCentroids, iters, quantScale))
+  }
+
+  private def build(spark: SparkSession, corpusKey: String, e: DataFrame,
+      numCentroids: Int, iters: Int, quantScale: Double): Index = {
+    var cent = e.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    // Per-vector argmax as max_by under groupBy (NOT a row_number
+    // window): partial aggregation combines map-side, so the shuffle
+    // moves n rows instead of n×centroids. Tie-break (ccos desc, cid
+    // asc) via the (ccos, -cid) key struct matches the oracle's
+    // ROW_NUMBER ordering.
+    def assign(toCent: DataFrame): DataFrame =
+      e.crossJoin(broadcast(toCent))
+        .select(col("vec_id"), col("v"), col("cid"), expr("graft_dot(v, cv)").as("ccos"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"),
+          any_value(col("v")).as("v"))
+    for (_ <- 1 to iters) {
+      val means = assign(cent)
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "val")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(sum(floor(col("val") * quantScale + 0.5)).as("sq"),
+          count(lit(1)).as("n"))
+        .groupBy(col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"),
+            (col("sq").cast("double") / col("n").cast("double") / quantScale)
+              .as("comp")))),
+          x => x.getField("comp")).as("cv0"))
+      cent = means
+        .withColumn("nrm", sqrt(VectorOps.norm2(col("cv0"))))
+        .select(col("cid"), transform(col("cv0"), x => x / col("nrm")).as("cv"))
+    }
+    cent = cent.localCheckpoint()
+
+    val tableName = "graft_ivf_" + corpusKey.replaceAll("[^A-Za-z0-9]+", "_")
+    val location = java.nio.file.Files.createTempDirectory("graft_ivf")
+      .resolve(tableName).toString
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    assign(cent)
+      .select(col("vec_id"), col("v"), col("cid"))
+      .write.mode("overwrite")
+      .bucketBy(numCentroids, "cid").sortBy("cid")
+      .option("path", location)
+      .saveAsTable(tableName)
+    new Index(spark, tableName, cent)
+  }
+}
