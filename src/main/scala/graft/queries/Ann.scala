@@ -151,15 +151,28 @@ object Ann {
 
       val wProbe = Window.partitionBy(col("query_id"))
         .orderBy(col("qcos").desc, col("cid"))
+      // Materialized once (queries × nprobe rows, tiny): reused by the
+      // bucket-prune filter below and the probe join.
       val probes = q.crossJoin(broadcast(idx.centroids))
         .select(col("query_id"), col("qv"), col("cid"), expr("graft_dot(qv, cv)").as("qcos"))
         .withColumn("rn", row_number().over(wProbe))
         .filter(col("rn") <= NProbe)
         .select(col("query_id"), col("qv"), col("cid"))
+        .localCheckpoint()
+      // Driver-side collect of the probed centroid ids — ≤ numCentroids
+      // ints, the 1-row-scalar pattern, NOT corpus-sized. A broadcast
+      // join alone never bucket-prunes; a literal IN list over the
+      // bucket column does (SelectedBucketsCount in the scan), so the
+      // probe reads ONLY the probed buckets off disk. That is the whole
+      // point of the IVF layout at 100 TB: per-probe IO is
+      // buckets_probed/buckets of the corpus, not a full scan.
+      val probedCids = probes.select(col("cid").cast("long")).distinct()
+        .collect().map(_.getLong(0)).sorted
 
       val wTop = Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("vec_id"))
-      idx.assigned.join(broadcast(probes), Seq("cid"))
+      idx.assigned.filter(col("cid").isin(probedCids.toIndexedSeq: _*))
+        .join(broadcast(probes), Seq("cid"))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"), expr("graft_dot(qv, v)").as("cosine"))
         .withColumn("rank", row_number().over(wTop))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
+import graft.util.Scratch
 
 /** Persisted IVF index — the ANN counterpart of
   * [[graft.search.PostingsIndex]]: an index is BUILT ONCE per corpus
@@ -16,10 +17,12 @@ import graft.functions.VectorOps
   * integer-quantized component sums (order-independent, so the DuckDB
   * oracle replays training exactly — see `Ann.kmeansIterCte`), then the
   * corpus is assigned to its nearest centroid and written as a
-  * bucketed-by-cid, sorted-by-cid table. Bucketing is the 100 TB lever:
-  * a probe workload joined on cid shuffles only the workload side — the
-  * corpus sits on disk pre-partitioned by centroid, and bucket-pruned
-  * scans serve single-centroid probes without touching the rest.
+  * bucketed-by-cid, sorted-by-cid table (repartitioned by cid first so
+  * each bucket is exactly one file). Bucketing is the 100 TB lever: a
+  * probe that filters `cid IN (probed…)` bucket-PRUNES the scan —
+  * `SelectedBucketsCount` in the plan — so a probe reads only the
+  * probed buckets off disk, never the rest of the corpus
+  * (plan-asserted by PlanSpec).
   *
   * The trained centroid table is tiny (numCentroids rows) and kept as a
   * localCheckpoint for broadcast into probe selection.
@@ -34,6 +37,8 @@ object IvfIndex {
 
   // One index per (session, corpus): repeated queries — bench rounds,
   // Verify — probe the built table instead of re-training per call.
+  // Keyed on sessionUUID (guaranteed unique, unlike identityHashCode
+  // which can collide or be reused after GC).
   private val cache = new ConcurrentHashMap[String, Index]()
 
   /** Build-or-reuse the IVF index for corpus `corpusKey`. `e` (the
@@ -43,7 +48,7 @@ object IvfIndex {
     * queries are probe-only. */
   def of(spark: SparkSession, corpusKey: String, e: => DataFrame,
       numCentroids: Int, iters: Int, quantScale: Double): Index = {
-    val key = System.identityHashCode(spark) + "|" + corpusKey
+    val key = graft.util.Scratch.sessionId(spark) + "|" + corpusKey
     cache.computeIfAbsent(key,
       _ => build(spark, corpusKey, e, numCentroids, iters, quantScale))
   }
@@ -81,15 +86,18 @@ object IvfIndex {
     }
     cent = cent.localCheckpoint()
 
-    val tableName = "graft_ivf_" + corpusKey.replaceAll("[^A-Za-z0-9]+", "_")
-    val location = java.nio.file.Files.createTempDirectory("graft_ivf")
-      .resolve(tableName).toString
+    val tableName = Scratch.tableName("graft_ivf", corpusKey)
     spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    // One shuffle by cid so each bucket lands as a single file: the
+    // bucketed-table writer emits one file per (task, bucket), so
+    // without this a 32-partition input fans out into up to 32×buckets
+    // small files and every probe pays the file-open overhead.
     assign(cent)
       .select(col("vec_id"), col("v"), col("cid"))
+      .repartition(numCentroids, col("cid"))
       .write.mode("overwrite")
       .bucketBy(numCentroids, "cid").sortBy("cid")
-      .option("path", location)
+      .option("path", Scratch.dir(tableName))
       .saveAsTable(tableName)
     new Index(spark, tableName, cent)
   }

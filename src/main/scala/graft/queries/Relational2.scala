@@ -180,6 +180,36 @@ object Relational2 {
         .limit(25)
     }),
 
+    // Skew-safe JOIN (the join-side companion to a_salted_topk): 90%
+    // of lineitem rows funnel onto one hot key, so an unsalted shuffle
+    // join would put ~90% of the probe side on a single reducer — the
+    // classic straggler at 100 TB. The dim side is replicated ×8 and
+    // the fact side salted deterministically (xxhash64 of the row key),
+    // so the hot key spreads over 8 reducers; the post-join regroup by
+    // k collapses the salt. Merge-hinted: broadcast would dodge the
+    // skew demonstration (and at real dim sizes isn't available).
+    // PlanSpec asserts the SMJ keys include the salt.
+    "j_skew_salted" -> ((s, d) => {
+      val Salts = 8
+      val k = when(col("l_orderkey") % 100 < 90, lit(0L))
+        .otherwise(col("l_orderkey") % 100)
+      val fact = Tables.lineitem(s, d)
+        .select(k.as("k"), col("l_extendedprice"), col("l_discount"),
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(Salts))
+            .as("salt"))
+      val dim = Tables.orders(s, d)
+        .groupBy((col("o_orderkey") % 100).as("k"))
+        .agg(count(lit(1)).as("k_orders"))
+        .crossJoin(s.range(Salts).select(col("id").as("salt")))
+      fact.hint("merge").join(dim, Seq("k", "salt"))
+        .groupBy(col("k"))
+        .agg(max(col("k_orders")).as("k_orders"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("k"))
+    }),
+
     // Scalar string-function battery.
     "f_string_battery" -> ((s, d) => {
       Tables.part(s, d)
@@ -324,6 +354,17 @@ object Relational2 {
         |  COUNT(*) AS n_lines
         |FROM lineitem GROUP BY l_partkey
         |ORDER BY total_qty DESC, l_partkey LIMIT 25""".stripMargin,
+    "j_skew_salted" ->
+      """WITH f AS (
+        |  SELECT CASE WHEN l_orderkey % 100 < 90 THEN 0 ELSE l_orderkey % 100 END AS k,
+        |         l_extendedprice, l_discount
+        |  FROM lineitem),
+        |d AS (SELECT o_orderkey % 100 AS k, COUNT(*) AS k_orders FROM orders GROUP BY 1)
+        |SELECT k, MAX(k_orders) AS k_orders,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM f JOIN d USING (k)
+        |GROUP BY k ORDER BY k""".stripMargin,
     "f_string_battery" ->
       """SELECT p_partkey, upper(p_name) AS up, substr(p_name, 1, 5) AS pfx,
         |  length(p_name) AS len, strpos(p_name, 'o') AS pos_o,

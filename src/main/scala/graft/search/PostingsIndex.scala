@@ -79,26 +79,24 @@ object PostingsIndex {
 
   /** Build-or-reuse an index over `docs` (needs idCol + textCol).
     * `corpusKey` names the corpus (e.g. its directory) for caching and
-    * table naming. */
+    * table naming. Cache key uses sessionUUID (guaranteed unique,
+    * unlike identityHashCode — ADVICE r4). */
   def of(docs: DataFrame, idCol: String, textCol: String, corpusKey: String): PostingsIndex = {
     val spark = docs.sparkSession
-    val key = System.identityHashCode(spark) + "|" + corpusKey
+    val key = graft.util.Scratch.sessionId(spark) + "|" + corpusKey
     cache.computeIfAbsent(key, _ => build(spark, docs, idCol, textCol, corpusKey))
   }
 
   private def build(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String, corpusKey: String): PostingsIndex = {
-    val tableName = "graft_postings_" + corpusKey.replaceAll("[^A-Za-z0-9]+", "_")
-    // Fresh location per build: the in-memory catalog starts empty each
-    // session, so a stale warehouse directory from a prior run would
-    // otherwise block the managed-table create.
-    val location = java.nio.file.Files.createTempDirectory("graft_postings")
-      .resolve(tableName).toString
+    // Stable hash-disambiguated table name + overwritten scratch path
+    // under target/ (no temp-dir leak across runs — ADVICE r4).
+    val tableName = graft.util.Scratch.tableName("graft_postings", corpusKey)
     spark.sql(s"DROP TABLE IF EXISTS $tableName")
     Bm25.postings(docs, idCol, textCol)
       .write.mode("overwrite")
       .bucketBy(NumBuckets, "term").sortBy("term")
-      .option("path", location)
+      .option("path", graft.util.Scratch.dir(tableName))
       .saveAsTable(tableName)
     val post = spark.table(tableName)
     // Collection stats, computed once per build: N docs + average doc

@@ -40,6 +40,24 @@ class PlanSpec extends SparkSuite {
       "scan must carry pushed filters")
   }
 
+  test("j_skew_salted joins on the salt (SMJ, no broadcast dodge)") {
+    val p = plan("j_skew_salted")
+    assert(p.contains("SortMergeJoin"), "salted join must be the shuffle join")
+    assert("""Left keys \[2\]: \[k#\d+L?, salt#\d+L?\]""".r.findFirstIn(p).isDefined,
+      "join keys must be (k, salt):\n" + p)
+  }
+
+  test("ann_ivf probe bucket-prunes the assigned table (SelectedBucketsCount < total)") {
+    val p = plan("ann_ivf")
+    val m = """SelectedBucketsCount: (\d+) out of (\d+)""".r
+      .findFirstMatchIn(p)
+    assert(m.isDefined, "probe scan must report bucket pruning:\n" + p)
+    val (selected, total) = (m.get.group(1).toInt, m.get.group(2).toInt)
+    assert(selected < total,
+      s"probe must read a strict subset of buckets ($selected of $total)")
+    assert(p.contains("In(cid, "), "probed-cid IN list must be pushed to the scan")
+  }
+
   test("multimodal decode runs the graft_byte_sum kernel in-plan, no RDD round-trip") {
     val p = plan("mm_decode_features")
     assert(p.contains("graft_byte_sum"), "codegen byte kernel must be in the plan")

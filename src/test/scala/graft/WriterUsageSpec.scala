@@ -20,6 +20,22 @@ class WriterUsageSpec extends SparkSuite {
     assert(back.models.filter(org.apache.spark.sql.functions.col("layer") === "marts").count() == 2)
   }
 
+  test("layer-filtered read of the partitioned models table prunes partitions") {
+    val dir = Files.createTempDirectory("graft_writer_prune").toString
+    Writer.write(SparkSuite.catalog, dir)
+    val filtered = Writer.read(spark, dir).models
+      .filter(org.apache.spark.sql.functions.col("layer") === "marts")
+    val plan = filtered.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val m = """PartitionFilters: \[([^\]]*)\]""".r.findFirstMatchIn(plan)
+    assert(m.isDefined, "scan must report partition filters:\n" + plan)
+    assert(m.get.group(1).trim.nonEmpty,
+      "layer filter must land in PartitionFilters (partition pruning), " +
+        "not in the data filters:\n" + plan)
+    // and the pruned read returns exactly the marts rows
+    assert(filtered.count() == 2)
+  }
+
   test("usage log appends and aggregates") {
     val dir = Files.createTempDirectory("graft_usage").toString + "/log"
     val log = new UsageLog(spark, dir)
