@@ -193,30 +193,36 @@ object Dedup {
     // contract (both engines compute the same bands, so the gate is
     // exact). This is the pair-finding shape that replaces
     // d_embed_neardup's O(n²) when the corpus outgrows a broadcast.
-    "d_embed_lsh_pairs" -> ((s, d) => {
-      val e = normalizedVecs(s, d)
-      def bandKey(lo: Int): Column = (0 until 8)
-        .map(b => when(element_at(col("v"), lo + b + 1) > 0, lit(1 << b)).otherwise(lit(0)))
-        .reduce(_ + _)
-      val bands = capHotBands(
-        e.select(col("vec_id"),
-          explode(array((0 until 8).map(g =>
-            struct(lit(g).as("band"), bandKey(g * 8).as("key"))): _*)).as("bk"))
-          .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key")),
-        MaxBandSize, "band", "key")
-      val cands = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-            col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-        .distinct()
-      cands
-        .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
-        .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
-        .select(col("vec_a"), col("vec_b"), expr("graft_dot(va, vb)").as("cosine"))
-        .filter(col("cosine") >= 0.45)
-        .orderBy(col("vec_a"), col("vec_b"))
-    })
+    "d_embed_lsh_pairs" -> ((s, d) => embedLshPairs(s, d, MaxBandSize))
   )
+
+  /** Banded embedding pair discovery (see the map entry's doc); `cap`
+    * exposed so BandCapSpec can pin capped == uncapped headroom at
+    * test scale — the oracle has no cap, so the gate is honest only
+    * while every band stays under it (r4 ADVICE). */
+  def embedLshPairs(s: SparkSession, d: String, cap: Int): DataFrame = {
+    val e = normalizedVecs(s, d)
+    def bandKey(lo: Int): Column = (0 until 8)
+      .map(b => when(element_at(col("v"), lo + b + 1) > 0, lit(1 << b)).otherwise(lit(0)))
+      .reduce(_ + _)
+    val bands = capHotBands(
+      e.select(col("vec_id"),
+        explode(array((0 until 8).map(g =>
+          struct(lit(g).as("band"), bandKey(g * 8).as("key"))): _*)).as("bk"))
+        .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key")),
+      cap, "band", "key")
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cands
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"), expr("graft_dot(va, vb)").as("cosine"))
+      .filter(col("cosine") >= 0.45)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
 
   /** L2-normalized embeddings, localCheckpoint'ed: shared by the
     * all-pairs verifier and the banded LSH pair path (the interpreted

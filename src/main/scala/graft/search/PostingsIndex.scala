@@ -35,10 +35,45 @@ final class PostingsIndex private (
     tableName: String,
     termDf: DataFrame,
     val nDocs: Long,
-    val avgdl: Double) {
+    val totalDoclen: Long) {
+
+  /** Average doc length, derived from exact integer totals: doclen is
+    * integral, so `totalDoclen` is exact no matter the aggregation
+    * order and the division reproduces a full rebuild's avg(doclen)
+    * bit-for-bit — the invariant the append path relies on. */
+  val avgdl: Double = totalDoclen.toDouble / nDocs
 
   /** The bucketed postings table: (term, doc, doclen, tf). */
   def postings: DataFrame = spark.table(tableName)
+
+  /** Incrementally index `newDocs` (disjoint NEW doc ids — the append
+    * contract of a continuously-fed corpus; appending an existing id
+    * double-counts it) and return the updated index. The delta's
+    * postings are appended to the SAME bucketed table (one new file
+    * per bucket per append — a production deployment compacts
+    * periodically), df merges additively, and N/totalDoclen are two
+    * scalar adds — nothing corpus-sized is recomputed, which is the
+    * point at 100 TB: cost scales with the delta, not the corpus.
+    * Scores from the returned index are bit-identical to a full
+    * rebuild over old∪new (PostingsAppendSpec). Prior handles to this
+    * index see the appended rows but keep STALE stats — use the
+    * returned instance. */
+  def append(newDocs: DataFrame, idCol: String, textCol: String): PostingsIndex = {
+    val delta = Bm25.postings(newDocs, idCol, textCol).localCheckpoint()
+    delta.write.mode("append")
+      .bucketBy(PostingsIndex.NumBuckets, "term").sortBy("term")
+      .option("path", graft.util.Scratch.dir(tableName))
+      .saveAsTable(tableName)
+    val stats = delta.select(col("doc"), col("doclen")).distinct()
+      .agg(count(lit(1)).as("n"), sum(col("doclen")).as("len")).collect().head
+    val deltaDf = delta.groupBy("term")
+      .agg(countDistinct(col("doc")).as("df"))
+    val mergedDf = termDf.unionByName(deltaDf)
+      .groupBy("term").agg(sum(col("df")).as("df"))
+      .localCheckpoint()
+    new PostingsIndex(spark, tableName, mergedDf,
+      nDocs + stats.getLong(0), totalDoclen + stats.getLong(1))
+  }
 
   /** BM25 scores for an OR-semantics term set; same contract and same
     * bit-exact values as [[Bm25.score]], minus the per-query index and
@@ -99,14 +134,16 @@ object PostingsIndex {
       .option("path", graft.util.Scratch.dir(tableName))
       .saveAsTable(tableName)
     val post = spark.table(tableName)
-    // Collection stats, computed once per build: N docs + average doc
-    // length (two scalars), per-term document frequency (vocab-sized).
+    // Collection stats, computed once per build: N docs + total doc
+    // length (two exact integer scalars — avgdl derives from them so
+    // append-merged stats reproduce a rebuild bit-for-bit), per-term
+    // document frequency (vocab-sized).
     val stats = post.select(col("doc"), col("doclen")).distinct()
-      .agg(count(lit(1)).as("n"), avg(col("doclen")).as("avgdl"))
+      .agg(count(lit(1)).as("n"), sum(col("doclen")).as("len"))
       .collect().head
     val termDf = post.groupBy("term")
       .agg(countDistinct(col("doc")).as("df"))
       .localCheckpoint()
-    new PostingsIndex(spark, tableName, termDf, stats.getLong(0), stats.getDouble(1))
+    new PostingsIndex(spark, tableName, termDf, stats.getLong(0), stats.getLong(1))
   }
 }

@@ -51,10 +51,13 @@ object EventStreams {
     d.toString
   }
 
-  private def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventSchema)
-      .parquet(streamDir(dir))
+  private def readEvents(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(eventSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(streamDir(dir))
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
 
   /** Daily tumbling-window counts + exact decimal sums per event type,
     * with a 1-hour watermark. Complete-mode memory sink: the driver
@@ -92,8 +95,9 @@ object EventStreams {
     * and — since a duplicate is emitted in the same micro-batch as its
     * original — a multi-file batch split can never strand a duplicate
     * behind an advanced watermark (r4 ADVICE robustness note). */
-  def dedupedStream(spark: SparkSession, dir: String, sinkName: String): DataFrame = {
-    val q = readEvents(spark, dir)
+  def dedupedStream(spark: SparkSession, dir: String, sinkName: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val q = readEvents(spark, dir, maxFilesPerTrigger)
       .withColumn("copies",
         when(col("event_id") % 10 === 0, lit(2)).otherwise(lit(1)))
       .withColumn("dup", explode(sequence(lit(1), col("copies"))))

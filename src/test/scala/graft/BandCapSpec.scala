@@ -31,6 +31,14 @@ class BandCapSpec extends SparkSuite {
       canon(Dedup.minhashLsh(spark, d, Int.MaxValue)))
     assert(canon(Dedup.simhashPairs(spark, d, Dedup.MaxBandSize)) ===
       canon(Dedup.simhashPairs(spark, d, Int.MaxValue)))
+    // sign-bit bands cluster easily (e.g. an all-positive region), so
+    // the embedding path needs its own headroom pin (r4 ADVICE) — at
+    // BOTH gate scales, since band load grows with the corpus
+    assert(canon(Dedup.embedLshPairs(spark, d, Dedup.MaxBandSize)) ===
+      canon(Dedup.embedLshPairs(spark, d, Int.MaxValue)))
+    val d001 = "/root/testdata/sf0.01"
+    assert(canon(Dedup.embedLshPairs(spark, d001, Dedup.MaxBandSize)) ===
+      canon(Dedup.embedLshPairs(spark, d001, Int.MaxValue)))
   }
 
   test("a tiny cap suppresses candidate discovery (cap is live, not decorative)") {
