@@ -51,9 +51,17 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      // Full materialization via the compiled physical plan — NOT
+      // df.count(): under count() Catalyst prunes every unused
+      // computed column, drops sorts, and eliminates 1:1 left joins,
+      // so ledger/projection-shaped queries measured a fraction of
+      // their real work (round-5 finding: pipe_corpus_clean 14.7×
+      // under-measured, q1 3×, v_quantize 2×). toRdd executes the
+      // same plan Verify's parquet write runs, minus sink IO.
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
       // Streaming queries are stateful per run; their first run IS
@@ -79,7 +87,7 @@ object Bench {
     val total = results.map { case (_, ts) => percentile(ts, 50) }.sum
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$p50s,""" +
       s""""p95":$p95s,"rounds":$roundsUsed,""" +
-      s""""protocol":"p50 of <=$Rounds rounds, warm, ${PerQueryCapSec.toInt}s/query cap","sf":"$sfDir"}"""
+      s""""protocol":"p50 of <=$Rounds rounds, warm, full materialization (toRdd), ${PerQueryCapSec.toInt}s/query cap","sf":"$sfDir"}"""
     try Files.writeString(Paths.get(outPath), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
     println(json)

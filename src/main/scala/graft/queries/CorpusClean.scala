@@ -11,10 +11,12 @@ import graft.functions.TextHash._
   * pipeline runs over raw documents, as ONE declarative query:
   *
   *   1. exact dedup (normalized md5, first doc_id keeps);
-  *   2. near-dup removal (3-gram Jaccard ≥ 0.8 pairs — at test scale
-  *      the exact ground truth; the MinHash+LSH path of `d_minhash_lsh`
-  *      produces the identical pair set and slots in unchanged at
-  *      100 TB — the higher doc_id of each surviving pair drops);
+  *   2. near-dup removal (3-gram Jaccard ≥ 0.8 pairs via the capped
+  *      MinHash+LSH kernel shared with `d_minhash_lsh` — candidates
+  *      from band collisions, exact Jaccard verified on candidates
+  *      only; the oracle stays the all-pairs ground truth, which the
+  *      LSH route reproduces at ≈1−1e-7 recall — the higher doc_id of
+  *      each surviving pair drops);
   *   3. quality filter (stopword/digit/length blend ≥ 0.5);
   *   4. language filter: docs with ZERO English-marker stopwords drop
   *      as `non_english` (the testdata corpus mixes en/de/zh/fr/es —
@@ -40,21 +42,17 @@ object CorpusClean {
         .withColumn("is_exact_dup", row_number().over(wDup) > 1)
         .select(col("doc_id"), col("is_exact_dup"))
 
-      // 2. near-dup pairs (exact Jaccard ground truth) — survivors of
-      // step 1 only; drop the higher id of each pair.
-      val sh = docs.select(col("doc_id"), explode(shingles(toks, 3)).as("s"))
-      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val ov = sh.as("a").join(sh.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("overlap"))
-      val nearDupLosers = ov
-        .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-        .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-        .filter(col("overlap").cast("double") /
-          (col("na") + col("nb") - col("overlap")).cast("double") >= 0.8)
-        .join(exact.filter(!col("is_exact_dup")).select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
-        .join(exact.filter(!col("is_exact_dup")).select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+      // 2. near-dup removal — the SCALE route, not the all-pairs
+      // verifier: capped MinHash+LSH candidate discovery with
+      // exact-Jaccard verification on candidates only (the shared
+      // kernel behind d_minhash_lsh, which is gated against the exact
+      // all-pairs oracle; recall at J≥0.8 with 16×2-row bands ≈
+      // 1−(1−0.8²)¹⁶ ≈ 1−1e-7, and BandCapSpec pins cap headroom).
+      // Survivors of step 1 only; drop the higher id of each pair.
+      val exactSurvivors = exact.filter(!col("is_exact_dup"))
+      val nearDupLosers = Dedup.minhashLsh(s, d, Dedup.MaxBandSize)
+        .join(exactSurvivors.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+        .join(exactSurvivors.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
         .select(col("doc_b").as("doc_id")).distinct()
         .withColumn("is_near_dup", lit(true))
 

@@ -30,10 +30,42 @@ import graft.util.Scratch
 object IvfIndex {
 
   final class Index(spark: SparkSession, tableName: String,
-      val centroids: DataFrame) {
+      val centroids: DataFrame, numCentroids: Int) {
     /** (vec_id, v, cid), bucketed by cid. */
     def assigned: DataFrame = spark.table(tableName)
+
+    /** Incrementally index `e2` (normalized (vec_id, v) rows with NEW
+      * vec_ids) under FROZEN centroids: the delta is assigned to its
+      * nearest existing centroid and appended into the bucketed table
+      * — cost scales with the delta, never the corpus. Centroids are
+      * deliberately not retrained (retraining is a rebuild decision a
+      * production pipeline takes offline when drift warrants it); the
+      * appended table is bit-identical to assigning old∪new under the
+      * same centroids (IvfAppendSpec). Returns this index — probes see
+      * the appended buckets immediately. */
+    def append(e2: DataFrame): Index = {
+      assign(e2, centroids)
+        .select(col("vec_id"), col("v"), col("cid"))
+        .repartition(numCentroids, col("cid"))
+        .write.mode("append")
+        .bucketBy(numCentroids, "cid").sortBy("cid")
+        .option("path", Scratch.dir(tableName))
+        .saveAsTable(tableName)
+      this
+    }
   }
+
+  /** Per-vector argmax as max_by under groupBy (NOT a row_number
+    * window): partial aggregation combines map-side, so the shuffle
+    * moves n rows instead of n×centroids. Tie-break (ccos desc, cid
+    * asc) via the (ccos, -cid) key struct matches the oracle's
+    * ROW_NUMBER ordering. */
+  private def assign(e: DataFrame, toCent: DataFrame): DataFrame =
+    e.crossJoin(broadcast(toCent))
+      .select(col("vec_id"), col("v"), col("cid"), expr("graft_dot(v, cv)").as("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"),
+        any_value(col("v")).as("v"))
 
   // One index per (session, corpus): repeated queries — bench rounds,
   // Verify — probe the built table instead of re-training per call.
@@ -57,19 +89,8 @@ object IvfIndex {
       numCentroids: Int, iters: Int, quantScale: Double): Index = {
     var cent = e.filter(col("vec_id") < numCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    // Per-vector argmax as max_by under groupBy (NOT a row_number
-    // window): partial aggregation combines map-side, so the shuffle
-    // moves n rows instead of n×centroids. Tie-break (ccos desc, cid
-    // asc) via the (ccos, -cid) key struct matches the oracle's
-    // ROW_NUMBER ordering.
-    def assign(toCent: DataFrame): DataFrame =
-      e.crossJoin(broadcast(toCent))
-        .select(col("vec_id"), col("v"), col("cid"), expr("graft_dot(v, cv)").as("ccos"))
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"),
-          any_value(col("v")).as("v"))
     for (_ <- 1 to iters) {
-      val means = assign(cent)
+      val means = assign(e, cent)
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "val")))
         .groupBy(col("cid"), col("dim"))
         .agg(sum(floor(col("val") * quantScale + 0.5)).as("sq"),
@@ -92,13 +113,13 @@ object IvfIndex {
     // bucketed-table writer emits one file per (task, bucket), so
     // without this a 32-partition input fans out into up to 32×buckets
     // small files and every probe pays the file-open overhead.
-    assign(cent)
+    assign(e, cent)
       .select(col("vec_id"), col("v"), col("cid"))
       .repartition(numCentroids, col("cid"))
       .write.mode("overwrite")
       .bucketBy(numCentroids, "cid").sortBy("cid")
       .option("path", Scratch.dir(tableName))
       .saveAsTable(tableName)
-    new Index(spark, tableName, cent)
+    new Index(spark, tableName, cent, numCentroids)
   }
 }

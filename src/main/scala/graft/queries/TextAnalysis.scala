@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -86,15 +87,27 @@ object TextAnalysis {
     // (looping boilerplate, lyrics, template spam). Per-row projection
     // — scales with the scan.
     "t_repetition" -> ((s, d) => {
-      val toks = tokens(col("text"))
-      val grams = when(size(toks) < 3, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), size(toks) - 2),
-          i => concat_ws(" ", slice(toks, i, lit(3)))))
-      Tables.documents(s, d)
-        .select(col("doc_id"), grams.as("g"))
+      // Relational 3-gram build (round 5): posexplode the tokens and
+      // stitch grams with lead() windows instead of a per-row
+      // transform(slice+concat) HOF — the interpreted lambda was this
+      // query's whole cost once the bench measured unpruned plans.
+      // Same grams, same integer counts; short docs re-enter with 0
+      // grams via the left join.
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val grams = t
+        .select(col("doc_id"), col("tok"),
+          lead(col("tok"), 1).over(w).as("t1"), lead(col("tok"), 2).over(w).as("t2"))
+        .filter(col("t2").isNotNull)
+        .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("g"))
+      val counts = grams.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"), countDistinct(col("g")).as("n_distinct"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(counts, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          size(col("g")).as("n_grams"),
-          size(array_distinct(col("g"))).as("n_distinct"))
+          coalesce(col("n_grams"), lit(0L)).cast("int").as("n_grams"),
+          coalesce(col("n_distinct"), lit(0L)).cast("int").as("n_distinct"))
         .withColumn("dup_ratio",
           when(col("n_grams") === 0, lit(0.0))
             .otherwise((col("n_grams") - col("n_distinct")).cast("double") /
@@ -162,18 +175,42 @@ object TextAnalysis {
       import graft.functions.LangId
       val norm = concat(lit(" "),
         trim(regexp_replace(lower(col("text")), "[^\\p{L}]+", " ")), lit(" "))
-      def density(lang: String): Column = {
-        val prof = array(LangId.profiles.toMap.apply(lang).toSeq.sorted.map(lit): _*)
-        when(size(col("tg")) === 0, lit(0.0))
-          .otherwise(size(filter(col("tg"), t => array_contains(prof, t))).cast("double") /
-            size(col("tg")).cast("double"))
+      // Relational reshape of the per-row profile scan (round 5): the
+      // original form ran 4 interpreted filter(array_contains(prof))
+      // HOF passes per document — O(len × langs × |profile|)
+      // interpreted, ~7 s at sf0.1 once the bench stopped letting
+      // count() prune it. Instead: explode each trigram occurrence
+      // (codegen substring over an exploded index — no HOF at all),
+      // LEFT-join the tiny one-row-per-distinct-trigram flag table
+      // (broadcast), and take conditional integer sums per doc. Same
+      // exact hit/total integers → identical densities; docs shorter
+      // than one trigram re-enter via the left join with 0 totals.
+      val langs = Seq("en", "es", "de", "fr")
+      val profMap = LangId.profiles.toMap
+      val prof = {
+        import s.implicits._
+        langs.flatMap(l => profMap(l)).distinct.sorted
+          .map(t => (t, langs.map(l => if (profMap(l)(t)) 1 else 0)))
+          .map { case (t, f) => (t, f(0), f(1), f(2), f(3)) }
+          .toDF("t", "p_en", "p_es", "p_de", "p_fr")
       }
-      Tables.documents(s, d)
+      val base = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), norm.as("norm"))
-        .withColumn("tg",
-          when(length(col("norm")) < 3, array().cast("array<string>"))
-            .otherwise(transform(sequence(lit(1), length(col("norm")) - 2),
-              i => col("norm").substr(i, lit(3)))))
+      val hits = base.filter(length(col("norm")) >= 3)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), length(col("norm")) - 2)).as("i"), col("norm"))
+        .select(col("doc_id"), col("norm").substr(col("i"), lit(3)).as("t"))
+        .join(broadcast(prof), Seq("t"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tg"),
+          sum(coalesce(col("p_en"), lit(0))).as("h_en"),
+          sum(coalesce(col("p_es"), lit(0))).as("h_es"),
+          sum(coalesce(col("p_de"), lit(0))).as("h_de"),
+          sum(coalesce(col("p_fr"), lit(0))).as("h_fr"))
+      def density(lang: String): Column =
+        when(coalesce(col("n_tg"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col(s"h_$lang").cast("double") / col("n_tg").cast("double"))
+      base.join(hits, Seq("doc_id"), "left")
         .select(col("doc_id"), col("lang"),
           density("en").as("s_en"), density("es").as("s_es"),
           density("de").as("s_de"), density("fr").as("s_fr"))
