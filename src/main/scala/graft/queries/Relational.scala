@@ -200,8 +200,13 @@ object Relational {
       val cust = Tables.customer(s, d)
       val ordCnt = Tables.orders(s, d).groupBy(col("o_custkey").as("c_custkey"))
         .agg(count(lit(1)).as("n_orders"))
+      // localCheckpoint: the customer⋈orders aggregate feeds both the
+      // global-max scalar and the scoring projection; without it both
+      // scans and the join run twice (exchange reuse does not fire
+      // across the differently-pruned branches).
       val joined = cust.join(ordCnt, Seq("c_custkey"), "left")
         .na.fill(0L, Seq("n_orders"))
+        .localCheckpoint()
       val mx = joined.agg(max(col("n_orders")).as("mx_orders"),
                           max(col("c_acctbal")).as("mx_bal"))
       joined.crossJoin(broadcast(mx))

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -105,10 +106,15 @@ object TpchQ {
     }),
 
     // Q15 shape: revenue "view" + global-max selection (the correlated
-    // = (SELECT MAX(..)) decorrelated as a 1-row broadcast).
+    // = (SELECT MAX(..)) decorrelated as a 1-row broadcast). The view
+    // is localCheckpoint'ed so the fact scan + revenue groupBy run
+    // ONCE and both consumers (global max, join side) read the
+    // materialized aggregate — exchange reuse does not fire here
+    // because the max branch prunes to a narrower schema.
     "q15_top_supplier" -> ((s, d) => {
       val rev = Tables.lineitem(s, d)
         .groupBy(col("l_suppkey")).agg(revenue.as("total_revenue"))
+        .localCheckpoint()
       val mx = rev.agg(max(col("total_revenue")).as("mx"))
       rev.crossJoin(broadcast(mx))
         .filter(col("total_revenue") === col("mx"))
@@ -132,22 +138,32 @@ object TpchQ {
     }),
 
     // Q17 shape: correlated per-part average subquery, decorrelated as
-    // a grouped aggregate joined back on the part key; threshold
-    // arithmetic (sum/count*0.2) is explicit so both engines produce
-    // identical doubles.
+    // a window average over the part key — a single lineitem scan
+    // (the grouped-agg-join-back form scanned and aggregated the fact
+    // twice). Because p_partkey is unique, the Brand#1 join keeps
+    // every lineitem row of each surviving part, so the window
+    // average over the joined frame equals the whole-table per-part
+    // average. Threshold arithmetic (decimal sum → double / count *
+    // 0.2) is replicated exactly so both engines produce identical
+    // doubles.
     "q17_small_quantity" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-      val avgq = li.groupBy(col("l_partkey"))
-        .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1)) * 0.2).as("thresh"))
-      li.join(broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#1")),
+      val w = Window.partitionBy(col("l_partkey"))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#1")),
           col("l_partkey") === col("p_partkey"))
-        .join(avgq, "l_partkey")
+        .withColumn("thresh",
+          sum(dec(col("l_quantity"))).over(w).cast("double") / count(lit(1)).over(w) * 0.2)
         .filter(col("l_quantity") < col("thresh"))
         .agg((sum(dec(col("l_extendedprice"))).cast("double") / 7.0).as("avg_yearly"))
     }),
 
     "q22_global_sales" -> ((s, d) => {
+      // The customer projection is localCheckpoint'ed so the scan runs
+      // once for both the global-average scalar and the main filter —
+      // only the three consumed columns are materialized.
       val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+        .localCheckpoint()
       val avgBal = cust.filter(col("c_acctbal") > 0.0)
         .agg(avg(dec(col("c_acctbal"))).cast("double").as("avg_bal"))
       cust.crossJoin(broadcast(avgBal))

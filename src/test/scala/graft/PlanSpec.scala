@@ -65,6 +65,31 @@ class PlanSpec extends SparkSuite {
       "decode must stay on the parquet scan, not exit to an RDD")
   }
 
+  /** Occurrences of `<table>.parquet` in the formatted plan — one per
+    * scan node (the path prints once, in the node's Location detail). */
+  private def scanCount(q: String, table: String): Int =
+    s"$table.parquet".r.findAllIn(plan(q)).size
+
+  test("q15_top_supplier scans lineitem at most once (rev view checkpointed)") {
+    assert(scanCount("q15_top_supplier", "lineitem") <= 1,
+      "global-max branch must not re-scan the fact")
+  }
+
+  test("q17_small_quantity computes the per-part average in one lineitem scan") {
+    assert(scanCount("q17_small_quantity", "lineitem") == 1,
+      "window form must not duplicate the fact scan")
+  }
+
+  test("q22_global_sales scans customer at most once (projection checkpointed)") {
+    assert(scanCount("q22_global_sales", "customer") <= 1,
+      "global-average scalar must not re-scan customer")
+  }
+
+  test("o5_hybrid_rank derives max signals without re-running the join") {
+    assert(scanCount("o5_hybrid_rank", "customer") <= 1)
+    assert(scanCount("o5_hybrid_rank", "orders") <= 1)
+  }
+
   test("multimodal frame sampling is a columnar generate over the scan") {
     val p = plan("mm_frame_sample")
     assert(p.contains("graft_byte_sum"))
