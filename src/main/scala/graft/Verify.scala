@@ -41,10 +41,23 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // A filtered run (SPARK_GRAFT_VERIFY_ONLY) into an outDir holding a
+    // prior full run MERGES its oracle entries into the existing file
+    // instead of overwriting it with only the subset — otherwise the
+    // remaining query parquet dirs silently lose their oracle rows
+    // (ADVICE r5). Unfiltered runs still rewrite from scratch.
+    val oraclePath = Paths.get(s"$outDir/oracle_sql.json")
+    val prior: Map[String, String] =
+      if (only.isDefined && Files.exists(oraclePath))
+        graft.util.JsonParse.parse(Files.readString(oraclePath))
+          .asInstanceOf[scala.collection.immutable.ListMap[String, Any]]
+          .map { case (k, v) => k -> v.toString }
+      else Map.empty
+    val merged = prior ++ SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
+    val json = merged
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(oraclePath, json)
     spark.stop()
   }
 }

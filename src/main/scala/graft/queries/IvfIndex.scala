@@ -29,21 +29,38 @@ import graft.util.Scratch
   */
 object IvfIndex {
 
-  final class Index(spark: SparkSession, tableName: String,
-      val centroids: DataFrame, numCentroids: Int) {
+  final class Index private[IvfIndex] (spark: SparkSession, baseName: String,
+      generation: Int, val centroids: DataFrame, numCentroids: Int,
+      cacheKey: String) {
+
+    /** Catalog name of this generation's assigned table: compaction
+      * rewrites into a fresh `_gN` table (drop-after-write swap). */
+    def tableName: String =
+      if (generation == 0) baseName else s"${baseName}_g$generation"
+
     /** (vec_id, v, cid), bucketed by cid. */
     def assigned: DataFrame = spark.table(tableName)
 
     /** Incrementally index `e2` (normalized (vec_id, v) rows with NEW
-      * vec_ids) under FROZEN centroids: the delta is assigned to its
+      * vec_ids — ENFORCED: the guard semi-joins the delta's ids
+      * against the assigned table's id column and throws on overlap;
+      * the assigned table holds one row per vector, so the check is a
+      * single-column pruned scan of the id inventory, never the
+      * vectors) under FROZEN centroids: the delta is assigned to its
       * nearest existing centroid and appended into the bucketed table
       * — cost scales with the delta, never the corpus. Centroids are
       * deliberately not retrained (retraining is a rebuild decision a
       * production pipeline takes offline when drift warrants it); the
       * appended table is bit-identical to assigning old∪new under the
       * same centroids (IvfAppendSpec). Returns this index — probes see
-      * the appended buckets immediately. */
+      * the appended buckets immediately, and stats (centroids) are
+      * append-invariant so no cache refresh is needed. */
     def append(e2: DataFrame): Index = {
+      val deltaIds = e2.select(col("vec_id")).localCheckpoint()
+      val clashes = assigned.select(col("vec_id"))
+        .join(broadcast(deltaIds), "vec_id").limit(1).count()
+      require(clashes == 0,
+        s"append violates the disjointness contract: delta contains vec_ids already in $tableName")
       assign(e2, centroids)
         .select(col("vec_id"), col("v"), col("cid"))
         .repartition(numCentroids, col("cid"))
@@ -52,6 +69,36 @@ object IvfIndex {
         .option("path", Scratch.dir(tableName))
         .saveAsTable(tableName)
       this
+    }
+
+    /** Rewrite the assigned table into a fresh generation with ONE
+      * file per bucket (each append leaves a file per bucket behind;
+      * probes pay a file-open per file per probed bucket). Content is
+      * untouched, so probe results are identical pre/post
+      * (CompactionSpec); the old generation is dropped after the
+      * rewrite commits and the of() cache is refreshed. */
+    def compact(): Index = {
+      val next = s"${baseName}_g${generation + 1}"
+      spark.sql(s"DROP TABLE IF EXISTS $next")
+      // Read the files by PATH, not through the table: a bucketed-table
+      // scan advertises HashPartitioning(cid), which lets Catalyst
+      // elide the repartition below — while the actual read coalesces
+      // files arbitrarily, splitting one bucket across tasks and
+      // writing MORE per-(task,bucket) files than before. The raw file
+      // scan keeps the shuffle, so each output task holds exactly one
+      // bucket and writes exactly one file.
+      spark.read.parquet(Scratch.dir(tableName))
+        .repartition(numCentroids, col("cid"))
+        .write.mode("overwrite")
+        .bucketBy(numCentroids, "cid").sortBy("cid")
+        .option("path", Scratch.dir(next))
+        .saveAsTable(next)
+      spark.sql(s"DROP TABLE IF EXISTS $tableName")
+      Scratch.delete(tableName)
+      val compacted = new Index(spark, baseName, generation + 1,
+        centroids, numCentroids, cacheKey)
+      cache.put(cacheKey, compacted)
+      compacted
     }
   }
 
@@ -82,11 +129,12 @@ object IvfIndex {
       numCentroids: Int, iters: Int, quantScale: Double): Index = {
     val key = graft.util.Scratch.sessionId(spark) + "|" + corpusKey
     cache.computeIfAbsent(key,
-      _ => build(spark, corpusKey, e, numCentroids, iters, quantScale))
+      _ => build(spark, corpusKey, e, numCentroids, iters, quantScale, key))
   }
 
   private def build(spark: SparkSession, corpusKey: String, e: DataFrame,
-      numCentroids: Int, iters: Int, quantScale: Double): Index = {
+      numCentroids: Int, iters: Int, quantScale: Double,
+      cacheKey: String): Index = {
     var cent = e.filter(col("vec_id") < numCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     for (_ <- 1 to iters) {
@@ -107,7 +155,9 @@ object IvfIndex {
     }
     cent = cent.localCheckpoint()
 
-    val tableName = Scratch.tableName("graft_ivf", corpusKey)
+    // Session-scoped table name + scratch path (two sessions building
+    // the same corpus never clobber each other — ADVICE r5).
+    val tableName = Scratch.tableName(spark, "graft_ivf", corpusKey)
     spark.sql(s"DROP TABLE IF EXISTS $tableName")
     // One shuffle by cid so each bucket lands as a single file: the
     // bucketed-table writer emits one file per (task, bucket), so
@@ -120,6 +170,6 @@ object IvfIndex {
       .bucketBy(numCentroids, "cid").sortBy("cid")
       .option("path", Scratch.dir(tableName))
       .saveAsTable(tableName)
-    new Index(spark, tableName, cent, numCentroids)
+    new Index(spark, tableName, 0, cent, numCentroids, cacheKey)
   }
 }

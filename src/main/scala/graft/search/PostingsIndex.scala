@@ -20,7 +20,9 @@ import org.apache.spark.sql.functions._
   * collection stats BM25 needs (N, avgdl, per-term df) are computed
   * once at build time: N/avgdl collapse to two scalars (broadcast as
   * literals into the scoring expression), df is a vocabulary-sized
-  * table checkpointed for reuse.
+  * table checkpointed for reuse. A `_docs` side table ((doc, doclen),
+  * one row per document) carries the doc inventory so append can
+  * enforce its disjointness contract at O(n_docs), not O(postings).
   *
   * Score: identical arithmetic to [[Bm25.score]] — same deterministic
   * term-ordered fold, so scores are bit-identical to the unindexed path
@@ -32,10 +34,21 @@ import org.apache.spark.sql.functions._
   */
 final class PostingsIndex private (
     spark: SparkSession,
-    tableName: String,
+    baseName: String,
+    generation: Int,
     termDf: DataFrame,
     val nDocs: Long,
-    val totalDoclen: Long) {
+    val totalDoclen: Long,
+    cacheKey: String) {
+
+  /** Catalog name of this generation's postings table: compaction
+    * rewrites into a fresh `_gN` table (a reader of the old generation
+    * is never raced by its deletion mid-scan — the swap is
+    * drop-after-write). */
+  def tableName: String =
+    if (generation == 0) baseName else s"${baseName}_g$generation"
+
+  private def docsTable: String = tableName + "_docs"
 
   /** Average doc length, derived from exact integer totals: doclen is
     * integral, so `totalDoclen` is exact no matter the aggregation
@@ -46,33 +59,83 @@ final class PostingsIndex private (
   /** The bucketed postings table: (term, doc, doclen, tf). */
   def postings: DataFrame = spark.table(tableName)
 
-  /** Incrementally index `newDocs` (disjoint NEW doc ids — the append
-    * contract of a continuously-fed corpus; appending an existing id
-    * double-counts it) and return the updated index. The delta's
-    * postings are appended to the SAME bucketed table (one new file
-    * per bucket per append — a production deployment compacts
-    * periodically), df merges additively, and N/totalDoclen are two
-    * scalar adds — nothing corpus-sized is recomputed, which is the
-    * point at 100 TB: cost scales with the delta, not the corpus.
-    * Scores from the returned index are bit-identical to a full
-    * rebuild over old∪new (PostingsAppendSpec). Prior handles to this
-    * index see the appended rows but keep STALE stats — use the
-    * returned instance. */
+  /** Incrementally index `newDocs` (disjoint NEW doc ids — ENFORCED:
+    * a delta carrying an already-indexed doc id would silently
+    * double-count it, so the append guard semi-joins the delta's ids
+    * against the `_docs` side table and throws on overlap; the check
+    * costs O(existing docs), never O(postings)). The delta's postings
+    * are appended to the SAME bucketed table (one new file per bucket
+    * per append — [[compact]] periodically coalesces), df merges
+    * additively, and N/totalDoclen are two scalar adds — nothing
+    * corpus-sized is recomputed, which is the point at 100 TB: cost
+    * scales with the delta, not the corpus. Scores from the returned
+    * index are bit-identical to a full rebuild over old∪new
+    * (PostingsAppendSpec). The shared of() cache is refreshed with the
+    * returned instance, so later of() calls for the same corpus see
+    * the merged stats (ADVICE r5 — prior handles keep stale stats;
+    * use the returned instance). */
   def append(newDocs: DataFrame, idCol: String, textCol: String): PostingsIndex = {
     val delta = Bm25.postings(newDocs, idCol, textCol).localCheckpoint()
+    val deltaDocs = delta.select(col("doc"), col("doclen")).distinct()
+      .localCheckpoint()
+    val clashes = spark.table(docsTable)
+      .join(broadcast(deltaDocs.select(col("doc"))), "doc")
+      .limit(1).count()
+    require(clashes == 0,
+      s"append violates the disjointness contract: delta contains doc ids already in $tableName")
     delta.write.mode("append")
       .bucketBy(PostingsIndex.NumBuckets, "term").sortBy("term")
       .option("path", graft.util.Scratch.dir(tableName))
       .saveAsTable(tableName)
-    val stats = delta.select(col("doc"), col("doclen")).distinct()
+    deltaDocs.write.mode("append")
+      .option("path", graft.util.Scratch.dir(docsTable))
+      .saveAsTable(docsTable)
+    val stats = deltaDocs
       .agg(count(lit(1)).as("n"), sum(col("doclen")).as("len")).collect().head
     val deltaDf = delta.groupBy("term")
       .agg(countDistinct(col("doc")).as("df"))
     val mergedDf = termDf.unionByName(deltaDf)
       .groupBy("term").agg(sum(col("df")).as("df"))
       .localCheckpoint()
-    new PostingsIndex(spark, tableName, mergedDf,
-      nDocs + stats.getLong(0), totalDoclen + stats.getLong(1))
+    val merged = new PostingsIndex(spark, baseName, generation, mergedDf,
+      nDocs + stats.getLong(0), totalDoclen + stats.getLong(1), cacheKey)
+    PostingsIndex.refresh(cacheKey, merged)
+    merged
+  }
+
+  /** Rewrite the postings into a fresh generation with ONE file per
+    * bucket (each append leaves a file per bucket behind; a
+    * continuously-fed corpus degrades to many-small-files scans
+    * without periodic compaction). One shuffle on the bucket key so
+    * every output task holds exactly one bucket; scores are identical
+    * pre/post (CompactionSpec) because content is untouched. The old
+    * generation's table and files are dropped after the rewrite
+    * commits; the cache is refreshed with the compacted instance. */
+  def compact(): PostingsIndex = {
+    val next = s"${baseName}_g${generation + 1}"
+    val nextDocs = next + "_docs"
+    spark.sql(s"DROP TABLE IF EXISTS $next")
+    spark.sql(s"DROP TABLE IF EXISTS $nextDocs")
+    // Path read, not table read: the bucketed scan's advertised
+    // partitioning would elide the repartition while the files are
+    // read coalesced — see IvfIndex.compact.
+    spark.read.parquet(graft.util.Scratch.dir(tableName))
+      .repartition(PostingsIndex.NumBuckets, col("term"))
+      .write.mode("overwrite")
+      .bucketBy(PostingsIndex.NumBuckets, "term").sortBy("term")
+      .option("path", graft.util.Scratch.dir(next))
+      .saveAsTable(next)
+    spark.table(docsTable).coalesce(1).write.mode("overwrite")
+      .option("path", graft.util.Scratch.dir(nextDocs))
+      .saveAsTable(nextDocs)
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    spark.sql(s"DROP TABLE IF EXISTS $docsTable")
+    graft.util.Scratch.delete(tableName)
+    graft.util.Scratch.delete(docsTable)
+    val compacted = new PostingsIndex(spark, baseName, generation + 1,
+      termDf, nDocs, totalDoclen, cacheKey)
+    PostingsIndex.refresh(cacheKey, compacted)
+    compacted
   }
 
   /** BM25 scores for an OR-semantics term set; same contract and same
@@ -106,7 +169,12 @@ object PostingsIndex {
   // One index per (session, corpus key): queries against the same
   // corpus — repeated bench rounds, o2 + o5 in one Verify run — reuse
   // the built table instead of re-shuffling the corpus per query.
+  // append()/compact() replace the entry so a later of() never
+  // re-issues a stale-stats handle (ADVICE r5).
   private val cache = new ConcurrentHashMap[String, PostingsIndex]()
+
+  private[search] def refresh(key: String, idx: PostingsIndex): Unit =
+    cache.put(key, idx)
 
   /** Index over the `documents` table of `sfDir` (the gate corpus). */
   def forDocuments(spark: SparkSession, sfDir: String): PostingsIndex =
@@ -119,31 +187,39 @@ object PostingsIndex {
   def of(docs: DataFrame, idCol: String, textCol: String, corpusKey: String): PostingsIndex = {
     val spark = docs.sparkSession
     val key = graft.util.Scratch.sessionId(spark) + "|" + corpusKey
-    cache.computeIfAbsent(key, _ => build(spark, docs, idCol, textCol, corpusKey))
+    cache.computeIfAbsent(key, _ => build(spark, docs, idCol, textCol, corpusKey, key))
   }
 
   private def build(spark: SparkSession, docs: DataFrame, idCol: String,
-      textCol: String, corpusKey: String): PostingsIndex = {
-    // Stable hash-disambiguated table name + overwritten scratch path
-    // under target/ (no temp-dir leak across runs — ADVICE r4).
-    val tableName = graft.util.Scratch.tableName("graft_postings", corpusKey)
+      textCol: String, corpusKey: String, cacheKey: String): PostingsIndex = {
+    // Session-scoped table name + scratch path (two sessions building
+    // the same corpus never clobber each other — ADVICE r5); scratch
+    // lives under target/ and is reclaimed at JVM exit.
+    val tableName = graft.util.Scratch.tableName(spark, "graft_postings", corpusKey)
+    val docsTable = tableName + "_docs"
     spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    spark.sql(s"DROP TABLE IF EXISTS $docsTable")
     Bm25.postings(docs, idCol, textCol)
       .write.mode("overwrite")
       .bucketBy(NumBuckets, "term").sortBy("term")
       .option("path", graft.util.Scratch.dir(tableName))
       .saveAsTable(tableName)
     val post = spark.table(tableName)
-    // Collection stats, computed once per build: N docs + total doc
-    // length (two exact integer scalars — avgdl derives from them so
-    // append-merged stats reproduce a rebuild bit-for-bit), per-term
-    // document frequency (vocab-sized).
-    val stats = post.select(col("doc"), col("doclen")).distinct()
+    // Doc inventory side table ((doc, doclen), one row per doc): the
+    // append guard's membership set, and the exact-integer source of
+    // the collection stats (N docs + total doclen — avgdl derives from
+    // them so append-merged stats reproduce a rebuild bit-for-bit).
+    post.select(col("doc"), col("doclen")).distinct()
+      .coalesce(1).write.mode("overwrite")
+      .option("path", graft.util.Scratch.dir(docsTable))
+      .saveAsTable(docsTable)
+    val stats = spark.table(docsTable)
       .agg(count(lit(1)).as("n"), sum(col("doclen")).as("len"))
       .collect().head
     val termDf = post.groupBy("term")
       .agg(countDistinct(col("doc")).as("df"))
       .localCheckpoint()
-    new PostingsIndex(spark, tableName, termDf, stats.getLong(0), stats.getLong(1))
+    new PostingsIndex(spark, tableName, 0, termDf,
+      stats.getLong(0), stats.getLong(1), cacheKey)
   }
 }

@@ -38,15 +38,29 @@ object EventStreams {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val src = Paths.get(s"$dir/events.parquet")
-    val d = Paths.get(s"/tmp/graft_stream_${Math.abs(dir.hashCode)}")
-    if (!Files.exists(d)) {
-      Files.createDirectories(d)
+    // Keyed by a path DIGEST, not hashCode: Math.abs(Int.MinValue) is
+    // negative and two corpora can share a hashCode (ADVICE r5).
+    val d = Paths.get(
+      s"/tmp/graft_stream_${graft.util.Scratch.md5hex(src.toAbsolutePath.toString, 16)}")
+    val wanted: Map[String, java.nio.file.Path] =
       if (Files.isDirectory(src))
         Files.list(src).iterator().asScala
           .filter(_.getFileName.toString.endsWith(".parquet"))
-          .foreach(p => Files.createSymbolicLink(d.resolve(p.getFileName), p))
-      else
-        Files.createSymbolicLink(d.resolve("events.parquet"), src)
+          .map(p => p.getFileName.toString -> p).toMap
+      else Map("events.parquet" -> src)
+    // Refresh when the source listing changed (a regenerated ScaleUp
+    // corpus writes new part-file names — the old code left dangling
+    // symlinks and never linked the new files): wipe and relink.
+    val existing: Set[String] =
+      if (Files.isDirectory(d))
+        Files.list(d).iterator().asScala.map(_.getFileName.toString).toSet
+      else Set.empty
+    if (existing != wanted.keySet) {
+      if (Files.isDirectory(d))
+        Files.list(d).iterator().asScala.foreach(Files.delete(_))
+      Files.createDirectories(d)
+      wanted.foreach { case (name, p) =>
+        Files.createSymbolicLink(d.resolve(name), p) }
     }
     d.toString
   }

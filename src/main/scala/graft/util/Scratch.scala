@@ -20,10 +20,24 @@ object Scratch {
     * can never collide on table name and clobber each other's data. */
   def tableName(prefix: String, key: String): String = {
     val sane = key.replaceAll("[^A-Za-z0-9]+", "_").take(64)
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val digest = md5hex(key, 8)
     s"${prefix}_${sane}_$digest"
   }
+
+  /** Session-scoped variant: appends an 8-hex digest of the session id,
+    * so two concurrent JVMs (or two sessions in one JVM) building the
+    * same corpus key write to DISJOINT tables/paths instead of
+    * overwriting each other mid-read (ADVICE r5). The per-session dirs
+    * are deleted by [[dir]]'s shutdown hook; a killed JVM's orphans are
+    * reclaimed by `sbt clean`. */
+  def tableName(spark: org.apache.spark.sql.SparkSession,
+      prefix: String, key: String): String =
+    tableName(prefix, key) + "_s" + md5hex(sessionId(spark), 8)
+
+  def md5hex(s: String, hexChars: Int): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .take(hexChars)
 
   // Guaranteed-unique id per live SparkSession (classic SparkSession
   // exposes no public sessionUUID): a weakly-keyed UUID map, so ids are
@@ -41,10 +55,37 @@ object Scratch {
       id
     }
 
-  /** Stable data directory for `tableName`, created on demand. */
+  /** Stable data directory for `tableName`, created on demand.
+    * Every dir handed out is registered for recursive deletion at JVM
+    * exit, so session-scoped scratch does not accumulate across runs
+    * (kill -9 orphans are bounded by `target/` and reclaimed by
+    * `sbt clean`). */
   def dir(tableName: String): String = {
     val base = Paths.get(sys.props("user.dir"), "target", "graft_scratch")
     Files.createDirectories(base)
-    base.resolve(tableName).toString
+    val d = base.resolve(tableName)
+    issued.synchronized { issued += d }
+    d.toString
   }
+
+  /** Recursively delete `tableName`'s scratch dir NOW (compaction drops
+    * the previous generation's files once the rewrite is committed). */
+  def delete(tableName: String): Unit = {
+    val d = Paths.get(sys.props("user.dir"), "target", "graft_scratch")
+      .resolve(tableName)
+    deleteRecursively(d)
+    issued.synchronized { issued -= d }
+  }
+
+  private val issued = scala.collection.mutable.Set[java.nio.file.Path]()
+
+  private def deleteRecursively(d: java.nio.file.Path): Unit =
+    if (Files.exists(d)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+    }
+
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    issued.synchronized { issued.foreach(deleteRecursively) }))
 }
