@@ -303,28 +303,72 @@ object Dedup {
   }
 
   /** SimHash pair pipeline body (see the `d_simhash_pairs` entry in
-    * [[queries]]); `cap` as in [[minhashLsh]]. */
-  private[graft] def simhashPairs(s: SparkSession, d: String, cap: Int): DataFrame = {
+    * [[queries]]); `cap` as in [[minhashLsh]]. The gate setting:
+    * 15-bit bands (4 bands over 60 bits), hamming ≤ 3. */
+  private[graft] def simhashPairs(s: SparkSession, d: String, cap: Int): DataFrame =
+    simhashPairsBanded(s, d, cap, bandBits = 15, maxHamming = 3)
+
+  /** SimHash pair discovery with a PARAMETERIZED band width — the
+    * knob that trades candidate volume against guaranteed radius as
+    * the corpus grows. `60 / bandBits` bands tile the signature;
+    * pigeonhole guarantees any pair within hamming `bands - 1` agrees
+    * exactly on ≥1 band, so `maxHamming` must stay ≤ `bands - 1`.
+    *
+    * Scaling law: expected band collisions ≈ bands · n² / 2^(bandBits+1)
+    * for random signatures — the candidate stage saturates when n
+    * approaches 2^bandBits. Raising bandBits divides candidates by
+    * 2^Δ per band but REMOVES guaranteed radius (fewer bands), so at a
+    * fixed hamming contract the production move at larger n is a wider
+    * signature (more simhash bits), not wider bands over 60. The knee
+    * is measured in `BENCH_simhash_bands.json` (see [[graft.BandKnee]])
+    * and documented in SURVEY §9.12.
+    *
+    * All `bands` band keys come from ONE pass over sig: band index and
+    * band value pack into a single long key (index in the top bits —
+    * band values are < 2^bandBits ≤ 2^20), exploded from an array, so
+    * candidate discovery is one explode + one equi-join shuffle, the
+    * same shape as [[minhashLsh]].
+    */
+  private[graft] def simhashPairsBanded(s: SparkSession, d: String, cap: Int,
+      bandBits: Int, maxHamming: Int): DataFrame = {
+    val nBands = 60 / bandBits
+    require(nBands * bandBits == 60, s"bandBits must divide 60 (got $bandBits)")
+    require(bandBits <= 20, s"band index packs above bit 60; bandBits <= 20 (got $bandBits)")
+    require(maxHamming <= nBands - 1,
+      s"pigeonhole covers hamming <= ${nBands - 1} at $nBands bands (asked $maxHamming)")
     val sig = simhashSig(s, d).localCheckpoint()
-    val bands = capHotBands(
-      (0 until 4).map { b =>
-        sig.select(col("doc_id"), lit(b).as("band"),
-          expr(s"shiftright(simhash, ${b * 15}) & 32767").as("band_val"))
-      }.reduce(_ union _),
-      cap, "band", "band_val")
-    val cands = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.band_val") === col("y.band_val") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    cands
+    simhashBandCands(sig, cap, bandBits)
       .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), "doc_a")
       .join(sig.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), "doc_b")
       .withColumn("hamming", expr("bit_count(ha ^ hb)"))
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Banded candidate discovery over a materialized signature frame:
+    * one explode + one equi-join shuffle (the [[minhashLsh]] shape). */
+  private def simhashBandCands(sig: DataFrame, cap: Int, bandBits: Int): DataFrame = {
+    val nBands = 60 / bandBits
+    val mask = (1L << bandBits) - 1
+    val bandKeys = (0 until nBands).map { b =>
+      expr(s"shiftleft(${b}L, 60) | (shiftright(simhash, ${b * bandBits}) & $mask)")
+    }
+    val bands = capHotBands(
+      sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("band_key")),
+      cap, "band_key")
+    bands.as("x").join(bands.as("y"),
+        col("x.band_key") === col("y.band_key") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Candidate-pair count for one band setting — the measurement body
+    * behind [[graft.BandKnee]] (pre-verify volume is the cost driver;
+    * the verified pair set is setting-invariant by pigeonhole). */
+  private[graft] def simhashCandidateCount(s: SparkSession, d: String,
+      cap: Int, bandBits: Int): Long =
+    simhashBandCands(simhashSig(s, d).localCheckpoint(), cap, bandBits).count()
 
   /** DuckDB mirror of [[simhashSig]] (ends with CTE `sig`). */
   private val simhashSqlCte =

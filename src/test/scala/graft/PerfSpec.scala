@@ -1,7 +1,5 @@
 package graft
 
-import java.nio.file.{Files, Paths}
-
 import graft.api.Engine
 
 /** Scale/latency tier against BASELINE.md targets, on a generated
@@ -14,54 +12,10 @@ import graft.api.Engine
   */
 class PerfSpec extends SparkSuite {
 
-  /** A deterministic 500-model project: 5 chained layers × 100 — each
-    * model depends on its predecessor in the chain, staging models on
-    * a source. */
-  private def genManifest(nModels: Int): String = {
-    val layers = Seq("staging", "intermediate", "marts")
-    def uid(i: Int) = s"model.gen.m_$i"
-    def layerOf(i: Int) = layers(i * layers.size / nModels)
-    def name(i: Int) = layerOf(i) match {
-      case "staging" => s"stg_model_$i"
-      case "intermediate" => s"int_model_$i"
-      case _ => s"fct_model_$i"
-    }
-    val nodes = (0 until nModels).map { i =>
-      val deps = if (i == 0) "\"source.gen.raw.seed\"" else s""""${uid(i - 1)}""""
-      s""""${uid(i)}": {
-         |  "resource_type": "model", "name": "${name(i)}",
-         |  "fqn": ["gen", "${layerOf(i)}", "${name(i)}"],
-         |  "package_name": "gen", "schema": "${layerOf(i)}",
-         |  "original_file_path": "models/${layerOf(i)}/${name(i)}.sql",
-         |  "raw_code": "select id, value_$i as metric from upstream_$i where flag = true",
-         |  "compiled_code": "select id, value_$i as metric from upstream_$i where flag = true",
-         |  "description": "Generated model number $i computing metric $i over ids.",
-         |  "tags": ["gen"], "config": {"materialized": "view", "tags": []},
-         |  "depends_on": {"nodes": [$deps]}, "refs": [], "sources": [],
-         |  "columns": {
-         |    "id": {"name": "id", "description": "key", "data_type": "bigint", "tags": []},
-         |    "metric": {"name": "metric", "description": "value", "data_type": "double", "tags": []}
-         |  }
-         |}""".stripMargin
-    }.mkString(",\n")
-    val parentMap = (0 until nModels).map { i =>
-      val p = if (i == 0) "\"source.gen.raw.seed\"" else s""""${uid(i - 1)}""""
-      s""""${uid(i)}": [$p]"""
-    }.mkString(",\n")
-    val json =
-      s"""{
-         |"metadata": {"dbt_schema_version": "v12", "dbt_version": "1.8.0",
-         |  "adapter_type": "spark", "project_name": "gen", "generated_at": "2026-01-01T00:00:00Z"},
-         |"nodes": {$nodes},
-         |"sources": {"source.gen.raw.seed": {"name": "seed", "source_name": "raw",
-         |  "schema": "raw", "database": "lake", "description": "seed", "loader": "x", "columns": {}}},
-         |"macros": {}, "exposures": {},
-         |"parent_map": {$parentMap}
-         |}""".stripMargin
-    val f = Files.createTempDirectory("graft_perf").resolve("manifest.json")
-    Files.writeString(f, json)
-    f.toString
-  }
+  /** A deterministic 500-model chained project — the shared
+    * [[graft.util.GenManifest]] workload, identical to what
+    * [[graft.BenchServe]] measures for the committed artifact. */
+  private def genManifest(nModels: Int): String = graft.util.GenManifest.write(nModels)
 
   private def timeMs[A](body: => A): (A, Double) = {
     val t0 = System.nanoTime()
