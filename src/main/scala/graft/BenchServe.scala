@@ -50,8 +50,11 @@ object BenchServe {
     val engine = Engine.fromManifest(spark, path500)
     require(engine.getProjectStats().collect().head.getAs[Long]("models") == 500L)
 
+    // 10 unmeasured iterations first: one warm call is not enough for
+    // C2 to compile the hot paths, and a half-JIT'd p50 overstates the
+    // steady state this artifact exists to pin (observed 2-3x swings).
     def warmRounds(n: Int)(body: => Unit): Seq[Double] = {
-      body // warm
+      (1 to 10).foreach(_ => body)
       (1 to n).map(_ => timeMs(body)._2)
     }
     val searchMs = warmRounds(20)(engine.searchModels("metric model", limit = 10).collect())

@@ -58,6 +58,23 @@ class Engine private (spark: SparkSession, manifestPath: String,
     out
   }
 
+  /** Time + log a DataFrame-returning tool call, executing the plan
+    * ONCE. Telemetry needs the row count and every serving caller
+    * immediately collects, so `tokens = _.count()` would pay the full
+    * plan twice per call; instead collect here, log the length, and
+    * return the rows as a local relation (tool results are clamped to
+    * ≤ ~100 rows, so driver residency is the serving contract, not a
+    * scale hazard — distributed consumers use the query tier). */
+  private def loggedDf(tool: String, taskText: String, intent: String = "",
+      focusModel: Option[String] = None)(body: => DataFrame): DataFrame = {
+    val t0 = System.nanoTime()
+    val df = body
+    val rows = df.collect()
+    val ms = (System.nanoTime() - t0) / 1000000
+    usage.log(tool, taskText, intent, rows.length.toLong, ms, focusModel = focusModel)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   def getContextCapsule(task: String, focusModel: Option[String] = None,
       entryModels: Seq[String] = Nil, entryPaths: Seq[String] = Nil,
       tokenBudget: Option[Int] = None): ContextCapsule =
@@ -80,12 +97,12 @@ class Engine private (spark: SparkSession, manifestPath: String,
     }(tokens = _.size.toLong * 12) // ~12 tokens/entry (server.py:35,124)
 
   def getModelDetails(modelName: String): DataFrame =
-    logged("get_model_details", modelName) {
+    loggedDf("get_model_details", modelName) {
       hybrid.lookup(modelName)
         .select(col("unique_id"), col("name"), col("layer"), col("materialization"),
           col("file_path"), col("description"), col("upstream_count"),
           col("downstream_count"), col("centrality"))
-    }(tokens = _.count())
+    }
 
   def getColumns(modelId: String): DataFrame = hybrid.columnsWithTests(modelId)
 
@@ -101,32 +118,32 @@ class Engine private (spark: SparkSession, manifestPath: String,
     hybrid.coverageSummary(modelId)
 
   def getLineage(modelId: String, upDepth: Int = 3, downDepth: Int = 3): DataFrame =
-    logged("get_lineage", modelId) {
+    loggedDf("get_lineage", modelId) {
       lineageOps.lineage(modelId, clampDepth(upDepth), clampDepth(downDepth))
-    }(tokens = _.count())
+    }
 
   def getImpactAnalysis(modelId: String, depth: Int = 5): DataFrame =
-    logged("get_impact_analysis", modelId) {
+    loggedDf("get_impact_analysis", modelId) {
       lineageOps.impact(modelId, clampDepth(depth))
-    }(tokens = _.count())
+    }
 
   def searchModels(query: String, limit: Int = 10, intent: String = "explore",
       layer: Option[String] = None): DataFrame =
-    logged("search_models", query, intent) {
+    loggedDf("search_models", query, intent) {
       val res = hybrid.search(query, intent, clampLimit(limit) * 2)
       layer.fold(res)(l => res.filter(col("layer") === l))
         .limit(clampLimit(limit))
-    }(tokens = _.count())
+    }
 
   def findModelsByColumn(columnName: String, limit: Int = 20): DataFrame =
-    logged("find_models_by_column", columnName) {
+    loggedDf("find_models_by_column", columnName) {
       hybrid.findByColumn(columnName, clampLimit(limit))
-    }(tokens = _.count())
+    }
 
   def findModelsByPath(pathPattern: String, limit: Int = 20): DataFrame =
-    logged("find_models_by_path", pathPattern) {
+    loggedDf("find_models_by_path", pathPattern) {
       hybrid.findByPath(pathPattern, clampLimit(limit))
-    }(tokens = _.count())
+    }
 
   def getProjectStats(): DataFrame = patternsOps.stats()
   def getPatterns(): Patterns = patternsOps

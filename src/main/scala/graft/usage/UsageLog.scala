@@ -36,9 +36,12 @@ class UsageLog(spark: SparkSession, path: String) {
   private val pendingRatings = scala.collection.mutable.ArrayBuffer.empty[RatingRow]
 
   /** Monotonic log ids (usage.py returns SQLite lastrowid); seeded past
-    * any ids already on disk so re-opened logs keep appending. */
+    * any ids already on disk so re-opened logs keep appending. An
+    * existence probe gates the read: a fresh log would otherwise throw
+    * (and log a scary PATH_NOT_FOUND trace) before the catch. */
   private val nextId = new AtomicLong(
-    try spark.read.parquet(path).agg(max("log_id")).collect()
+    if (!UsageLog.pathExists(spark, path)) 0L
+    else try spark.read.parquet(path).agg(max("log_id")).collect()
       .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(0L)
     catch { case _: Throwable => 0L })
 
@@ -87,7 +90,8 @@ class UsageLog(spark: SparkSession, path: String) {
     flush()
     val usage = spark.read.parquet(path)
     val events =
-      try {
+      if (!UsageLog.pathExists(spark, ratingsPath)) None
+      else try {
         val w = Window.partitionBy(col("log_id"))
           .orderBy(col("rated_at").desc, col("event_rating").desc)
         Some(spark.read.parquet(ratingsPath)
@@ -134,4 +138,12 @@ class UsageLog(spark: SparkSession, path: String) {
 object UsageLog {
   /** Buffered rows per parquet append. */
   val FlushEvery = 64
+
+  /** True when `path` exists on the session's Hadoop filesystem —
+    * works for any supported scheme, not just local files. */
+  private[usage] def pathExists(spark: SparkSession, path: String): Boolean =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    } catch { case _: Throwable => false }
 }
