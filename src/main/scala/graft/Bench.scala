@@ -45,11 +45,17 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // Optional comma-separated query filter for local iteration
-    // (e.g. SPARK_GRAFT_BENCH_ONLY=v_quantize,t_token_stats).
+    // (e.g. SPARK_GRAFT_BENCH_ONLY=v_quantize,t_token_stats), and an
+    // exclude list for scale rehearsals (the two documented O(n²)
+    // oracle-only verifiers must not run at ×10/×64 data —
+    // SPARK_GRAFT_BENCH_SKIP=d_ngram_jaccard,d_embed_neardup).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => only.forall(_.contains(name)) && !skip(name) }
       .map { case (name, fn) =>
       // Full materialization via the compiled physical plan — NOT
       // df.count(): under count() Catalyst prunes every unused

@@ -172,48 +172,28 @@ object TextAnalysis {
     // argmax with the same tie priority and 0.05 'und' floor. Densities
     // are int/int divisions, so both engines produce identical doubles.
     "t_langid_trigram" -> ((s, d) => {
-      import graft.functions.LangId
+      import graft.functions.LangHits
+      LangHits.register(s)
       val norm = concat(lit(" "),
         trim(regexp_replace(lower(col("text")), "[^\\p{L}]+", " ")), lit(" "))
-      // Relational reshape of the per-row profile scan (round 5): the
-      // original form ran 4 interpreted filter(array_contains(prof))
-      // HOF passes per document — O(len × langs × |profile|)
-      // interpreted, ~7 s at sf0.1 once the bench stopped letting
-      // count() prune it. Instead: explode each trigram occurrence
-      // (codegen substring over an exploded index — no HOF at all),
-      // LEFT-join the tiny one-row-per-distinct-trigram flag table
-      // (broadcast), and take conditional integer sums per doc. Same
-      // exact hit/total integers → identical densities; docs shorter
-      // than one trigram re-enter via the left join with 0 totals.
-      val langs = Seq("en", "es", "de", "fr")
-      val profMap = LangId.profiles.toMap
-      val prof = {
-        import s.implicits._
-        langs.flatMap(l => profMap(l)).distinct.sorted
-          .map(t => (t, langs.map(l => if (profMap(l)(t)) 1 else 0)))
-          .map { case (t, f) => (t, f(0), f(1), f(2), f(3)) }
-          .toDF("t", "p_en", "p_es", "p_de", "p_fr")
-      }
-      val base = Tables.documents(s, d)
+      // The classifier is a per-row SCALAR, so it runs as one: the
+      // native codegen kernel graft_lang_hits slides the 3-char window
+      // over the normalized text once per document and returns
+      // [n_tg, h_en, h_es, h_de, h_fr] — no explode (round 5's
+      // relational reshape multiplied every document by its character
+      // count, ~1.9 s at sf0.1 mostly spent re-aggregating the exploded
+      // rows), no broadcast join, no aggregation. Same exact integers →
+      // identical densities; docs shorter than one trigram get n_tg=0.
+      def density(i: Int): Column =
+        when(element_at(col("hits"), 1) === 0, lit(0.0))
+          .otherwise(element_at(col("hits"), i + 2).cast("double") /
+            element_at(col("hits"), 1).cast("double"))
+      Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), norm.as("norm"))
-      val hits = base.filter(length(col("norm")) >= 3)
-        .select(col("doc_id"),
-          explode(sequence(lit(1), length(col("norm")) - 2)).as("i"), col("norm"))
-        .select(col("doc_id"), col("norm").substr(col("i"), lit(3)).as("t"))
-        .join(broadcast(prof), Seq("t"), "left")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tg"),
-          sum(coalesce(col("p_en"), lit(0))).as("h_en"),
-          sum(coalesce(col("p_es"), lit(0))).as("h_es"),
-          sum(coalesce(col("p_de"), lit(0))).as("h_de"),
-          sum(coalesce(col("p_fr"), lit(0))).as("h_fr"))
-      def density(lang: String): Column =
-        when(coalesce(col("n_tg"), lit(0L)) === 0, lit(0.0))
-          .otherwise(col(s"h_$lang").cast("double") / col("n_tg").cast("double"))
-      base.join(hits, Seq("doc_id"), "left")
+        .withColumn("hits", expr("graft_lang_hits(norm)"))
         .select(col("doc_id"), col("lang"),
-          density("en").as("s_en"), density("es").as("s_es"),
-          density("de").as("s_de"), density("fr").as("s_fr"))
+          density(0).as("s_en"), density(1).as("s_es"),
+          density(2).as("s_de"), density(3).as("s_fr"))
         .withColumn("lang_pred",
           when(greatest(col("s_en"), col("s_es"), col("s_de"), col("s_fr")) < 0.05, "und")
             .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") &&

@@ -37,11 +37,16 @@ object EventStreams {
   private def streamDir(dir: String): String = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
-    val src = Paths.get(s"$dir/events.parquet")
+    // ABSOLUTE from the start: the symlink targets below must resolve
+    // from inside /tmp — a relative sfDir ("target/sf1") otherwise
+    // produces links whose targets dangle, and the file stream source
+    // silently reads ZERO files (empty result, no error — round-6
+    // finding while re-recording BENCH_sf1).
+    val src = Paths.get(s"$dir/events.parquet").toAbsolutePath
     // Keyed by a path DIGEST, not hashCode: Math.abs(Int.MinValue) is
     // negative and two corpora can share a hashCode (ADVICE r5).
     val d = Paths.get(
-      s"/tmp/graft_stream_${graft.util.Scratch.md5hex(src.toAbsolutePath.toString, 16)}")
+      s"/tmp/graft_stream_${graft.util.Scratch.md5hex(src.toString, 16)}")
     val wanted: Map[String, java.nio.file.Path] =
       if (Files.isDirectory(src))
         Files.list(src).iterator().asScala
@@ -55,7 +60,12 @@ object EventStreams {
       if (Files.isDirectory(d))
         Files.list(d).iterator().asScala.map(_.getFileName.toString).toSet
       else Set.empty
-    if (existing != wanted.keySet) {
+    // A name-set match is not enough: links created by an older build
+    // may dangle (relative targets, or a corpus deleted and recreated
+    // elsewhere) — verify the links actually resolve.
+    val allResolve = existing == wanted.keySet &&
+      existing.forall(n => Files.exists(d.resolve(n)))
+    if (!allResolve) {
       if (Files.isDirectory(d))
         Files.list(d).iterator().asScala.foreach(Files.delete(_))
       Files.createDirectories(d)

@@ -90,6 +90,16 @@ class PlanSpec extends SparkSuite {
     assert(scanCount("o5_hybrid_rank", "orders") <= 1)
   }
 
+  test("t_langid_trigram is a single-stage scalar kernel — no join, no agg, no explode") {
+    val p = plan("t_langid_trigram")
+    assert(p.contains("graft_lang_hits"), "native kernel must be in the plan")
+    assert(!p.contains("Join"), "profile lookup is in-kernel, not a join")
+    assert(!p.contains("HashAggregate"), "no re-aggregation of exploded rows")
+    assert(!p.contains("Generate"), "no per-trigram row explosion")
+    // exactly one exchange: the final orderBy's range partitioning
+    assert("Exchange".r.findAllIn(p).size <= 2, "only the sort may shuffle:\n" + p)
+  }
+
   test("multimodal frame sampling is a columnar generate over the scan") {
     val p = plan("mm_frame_sample")
     assert(p.contains("graft_byte_sum"))

@@ -46,6 +46,22 @@ class StreamDedupSpec extends SparkSuite {
     base.toString
   }
 
+  test("a RELATIVE sf dir streams the same rows as the absolute path") {
+    // Round-6 regression: streamDir's symlinks used to inherit the
+    // caller's relative path as the link TARGET, which dangles from
+    // inside /tmp — the file source then silently read zero files.
+    val rel = splitEventsDir()
+    val abs = Paths.get(rel).toAbsolutePath
+    // A relative spelling of the same dir, as seen from the test CWD.
+    val relSpelling = Paths.get("").toAbsolutePath.relativize(abs).toString
+    val viaRel = EventStreams.dedupedStream(spark, relSpelling,
+      "stream_dedup_relpath_test").count()
+    val viaAbs = EventStreams.dedupedStream(spark, abs.toString,
+      "stream_dedup_abspath_test").count()
+    assert(viaRel > 0, "relative dir must not silently stream zero files")
+    assert(viaRel == viaAbs)
+  }
+
   test("dedup stays exact when the replay splits into one-file micro-batches") {
     val dir = splitEventsDir()
     val deduped = EventStreams.dedupedStream(spark, dir,
