@@ -87,19 +87,24 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Ground-truth pair CTE chain (ends with CTE `j`), shared by the
+    * pair oracles and the recursive-closure clustering oracle. */
+  private val jaccardCtes =
+    """tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, s FROM (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ts)-2),
+      |                                       i -> array_to_string(ts[i:i+2],' '))) AS s
+      |  FROM tok)),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS overlap
+      |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |j AS (SELECT doc_a, doc_b,
+      |        CAST(overlap AS DOUBLE) / CAST(ca.n + cb.n - overlap AS DOUBLE) AS jaccard
+      |      FROM ov JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id)""".stripMargin
+
   /** DuckDB mirror of [[jaccardPairs]]. */
   private val jaccardPairsSql =
-    s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
-       |sh AS (SELECT DISTINCT doc_id, s FROM (
-       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ts)-2),
-       |                                       i -> array_to_string(ts[i:i+2],' '))) AS s
-       |  FROM tok)),
-       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-       |ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS overlap
-       |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-       |j AS (SELECT doc_a, doc_b,
-       |        CAST(overlap AS DOUBLE) / CAST(ca.n + cb.n - overlap AS DOUBLE) AS jaccard
-       |      FROM ov JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id)
+    s"""WITH $jaccardCtes
        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= $JaccardThreshold""".stripMargin
 
   /** 60-bit SimHash signature per document — tf-weighted ±1 votes per
@@ -183,6 +188,19 @@ object Dedup {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
+    // Near-dup CLUSTERING: connected components over the verified
+    // MinHash+LSH pair graph — the step a production dedup pipeline
+    // needs between "pairs" and "keep/drop": transitively-linked
+    // near-dups form ONE cluster (a~b, b~c → {a,b,c} even when a,c
+    // never collide), the canonical keeper is the min doc_id. The
+    // oracle replays the exact closure with a recursive CTE over the
+    // ground-truth pair set.
+    "d_neardup_clusters" -> ((s, d) =>
+      connectedComponents(
+        Tables.documents(s, d).select(col("doc_id")),
+        minhashLsh(s, d, MaxBandSize).select(col("doc_a"), col("doc_b")))
+        .orderBy(col("doc_id"))),
+
     // Embedding near-dup, the SCALE route: sign-LSH banded candidate
     // discovery instead of all-pairs. Eight 8-bit sign bands tile all
     // 64 dims of the normalized vector; a pair is a candidate when it
@@ -195,6 +213,56 @@ object Dedup {
     // d_embed_neardup's O(n²) when the corpus outgrows a broadcast.
     "d_embed_lsh_pairs" -> ((s, d) => embedLshPairs(s, d, MaxBandSize))
   )
+
+  /** Connected components over an undirected pair graph by iterative
+    * min-label propagation: every node starts labeled with itself;
+    * each round every node takes the min of its own label and its
+    * neighbors' labels; fixpoint = component-wide min everywhere.
+    *
+    * Scale shape: each round is ONE hash join (labels ⋈ edges) + one
+    * groupBy(min) — no driver-side graph state, edges checkpointed
+    * once, label lineage truncated per round (the [[graft.graph.Bfs]]
+    * lazy-checkpoint idiom, so materialization piggybacks on the
+    * fixpoint probe). Rounds = graph diameter; LSH near-dup components
+    * are band-collision cliques stitched by the verifier, so diameter
+    * stays small — for adversarial long-chain graphs swap the loop
+    * body for large-star/small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", public method) with the same
+    * per-round join shape. `maxRounds` guards runaway input; hitting
+    * it throws rather than returning an unconverged labeling.
+    *
+    * @param nodes DataFrame with `doc_id`
+    * @param pairs DataFrame with `doc_a`, `doc_b` (one row per
+    *              undirected edge)
+    * @return (doc_id, cluster_id = min doc_id in component,
+    *         is_canonical = doc_id == cluster_id)
+    */
+  private[graft] def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+      maxRounds: Int = 50): DataFrame = {
+    val p = pairs.localCheckpoint()
+    val edges = p.toDF("src", "dst")
+      .union(p.select(col("doc_b"), col("doc_a")).toDF("src", "dst"))
+      .localCheckpoint(false)
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint(false)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val nbrMin = edges.join(labels, edges("src") === labels("doc_id"))
+        .groupBy(edges("dst").as("nbr_of")).agg(min(col("cluster_id")).as("nbr_min"))
+      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("nbr_of"), "left")
+        .select(labels("doc_id"),
+          least(labels("cluster_id"), coalesce(col("nbr_min"), labels("cluster_id")))
+            .as("cluster_id"),
+          (col("nbr_min") < labels("cluster_id")).as("chg"))
+        .localCheckpoint(false)
+      converged = next.filter(col("chg")).limit(1).isEmpty
+      labels = next.drop("chg")
+      round += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+    labels.withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+  }
 
   /** Banded embedding pair discovery (see the map entry's doc); `cap`
     * exposed so BandCapSpec can pin capped == uncapped headroom at
@@ -390,6 +458,21 @@ object Dedup {
         |ORDER BY doc_id""".stripMargin,
     "d_ngram_jaccard" -> (jaccardPairsSql + "\nORDER BY doc_a, doc_b"),
     "d_minhash_lsh" -> (jaccardPairsSql + "\nORDER BY doc_a, doc_b"),
+    // Transitive closure over the ground-truth pair set: reach(v, r)
+    // floods every component member's id through the symmetric edge
+    // list (UNION = distinct → terminates); MIN(r) per node is the
+    // component id — exactly what min-label propagation converges to.
+    "d_neardup_clusters" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |jp AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= $JaccardThreshold),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+         |      UNION ALL SELECT doc_b, doc_a FROM jp),
+         |reach(v, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN e ON reach.v = e.src)
+         |SELECT v AS doc_id, MIN(r) AS cluster_id, MIN(r) = v AS is_canonical
+         |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
     "d_simhash" ->
       s"""WITH $simhashSqlCte
          |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,

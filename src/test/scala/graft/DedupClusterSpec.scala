@@ -1,0 +1,39 @@
+package graft
+
+import graft.queries.Dedup
+
+/** Connected-components kernel behind `d_neardup_clusters`: transitive
+  * linking (a~b, b~c → one cluster even though a,c never pair), min-id
+  * canonicalization, singleton preservation, and the non-convergence
+  * guard. A 5-node chain forces multi-round label propagation (the
+  * single-round answer would be wrong), which is exactly what the
+  * DuckDB recursive-CTE oracle checks at gate scale.
+  */
+class DedupClusterSpec extends SparkSuite {
+
+  test("connected components: chain links transitively, min id canonical") {
+    import spark.implicits._
+    val nodes = (1L to 9L).toDF("doc_id")
+    // chain 1-2-3-4-5 (diameter 4 → ≥4 propagation rounds),
+    // pair 6-7, singletons 8 and 9
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (6L, 7L))
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(nodes, pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert((1L to 5L).forall(cc(_)._1 == 1L), "chain must be one cluster")
+    assert(cc(6L)._1 == 6L && cc(7L)._1 == 6L)
+    assert(cc(8L) == ((8L, true)) && cc(9L) == ((9L, true)),
+      "singletons keep themselves")
+    assert(cc(1L)._2 && !cc(2L)._2 && !cc(5L)._2,
+      "exactly the min id is canonical")
+  }
+
+  test("connected components: maxRounds guard throws instead of returning unconverged labels") {
+    import spark.implicits._
+    val nodes = (1L to 4L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(nodes, pairs, maxRounds = 1)
+    }
+  }
+}
