@@ -243,7 +243,13 @@ object Dedup {
     val edges = p.toDF("src", "dst")
       .union(p.select(col("doc_b"), col("doc_a")).toDF("src", "dst"))
       .localCheckpoint(false)
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    // Only nodes that touch an edge enter the propagation loop: in a
+    // real corpus near-dups are a thin slice, and shuffling the
+    // untouched majority's self-labels through every round is the
+    // dominant wasted cost at scale. Singletons rejoin after the
+    // fixpoint, labeled with themselves.
+    val touched = edges.select(col("src").as("doc_id")).distinct()
+    var labels = touched.select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint(false)
     var converged = false
     var round = 0
@@ -261,7 +267,11 @@ object Dedup {
       round += 1
     }
     require(converged, s"connectedComponents did not converge in $maxRounds rounds")
-    labels.withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+    val singletons = nodes.select(col("doc_id"))
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    labels.union(singletons)
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
   }
 
   /** Banded embedding pair discovery (see the map entry's doc); `cap`
