@@ -338,7 +338,7 @@ object Dedup {
     val sh = shingleRows(s, d)
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
       .withColumn("hm", pmod(col("h"), lit(P)))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // one aggregation yields the 32 signature minima AND the per-doc
     // shingle count the verifier needs — no second pass over sh.
     val sigCols = (0 until NumPerms).map(i => min(minhashPerm(col("hm"), i)).as(s"m$i")) :+
@@ -346,7 +346,7 @@ object Dedup {
     // checkpoint: the band explode and the verifier's count side both
     // read sig — without it each consumer re-runs the signature
     // aggregation over the full shingle table.
-    val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*).localCheckpoint()
+    val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*).localCheckpoint(false)
     // All 16 band keys from ONE pass over sig (explode of a 16-element
     // array) instead of a 16-way union of projections; keys are
     // xxhash64(band, row minima) longs — band keys are internal to
