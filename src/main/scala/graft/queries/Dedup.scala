@@ -211,7 +211,21 @@ object Dedup {
     // contract (both engines compute the same bands, so the gate is
     // exact). This is the pair-finding shape that replaces
     // d_embed_neardup's O(n²) when the corpus outgrows a broadcast.
-    "d_embed_lsh_pairs" -> ((s, d) => embedLshPairs(s, d, MaxBandSize))
+    "d_embed_lsh_pairs" -> ((s, d) => embedLshPairs(s, d, MaxBandSize)),
+
+    // Semantic near-dup clusters: the same connected-components kernel
+    // over the embedding LSH pair graph (cosine ≥ 0.45 verified) —
+    // groups of mutually/transitively similar vectors with the min
+    // vec_id as canonical. Both engines derive the identical edge list
+    // (deterministic sign bands + exact dot verify), so the closure is
+    // oracle-exact despite LSH's partial recall.
+    "d_embed_clusters" -> ((s, d) =>
+      connectedComponents(
+        Tables.embeddings(s, d).select(col("vec_id").as("doc_id")),
+        embedLshPairs(s, d, MaxBandSize)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+        .select(col("doc_id").as("vec_id"), col("cluster_id"), col("is_canonical"))
+        .orderBy(col("vec_id")))
   )
 
   /** Connected components over an undirected pair graph by iterative
@@ -504,18 +518,37 @@ object Dedup {
          |SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.45
          |ORDER BY vec_a, vec_b""".stripMargin,
     "d_embed_lsh_pairs" ->
-      s"""WITH $embNormCte,
-         |u AS (${(0 until 8).map(g =>
-             s"SELECT vec_id, $g AS band, ${embBandSql(g * 8)} AS key FROM e")
-             .mkString("\n      UNION ALL\n      ")}),
-         |c AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-         |      FROM u x JOIN u y
-         |        ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id),
-         |p AS (SELECT vec_a, vec_b, ${embDotSql("a.v", "b.v")} AS cosine
-         |      FROM c JOIN e a ON c.vec_a = a.vec_id JOIN e b ON c.vec_b = b.vec_id)
+      s"""WITH $embLshCtes
          |SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.45
-         |ORDER BY vec_a, vec_b""".stripMargin
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    // Closure over the LSH-discovered pair set (both engines compute
+    // the same bands, so the edge list is deterministic on each side).
+    "d_embed_clusters" ->
+      s"""WITH RECURSIVE $embLshCtes,
+         |pp AS (SELECT vec_a, vec_b FROM p WHERE cosine >= 0.45),
+         |ed AS (SELECT vec_a AS src, vec_b AS dst FROM pp
+         |       UNION ALL SELECT vec_b, vec_a FROM pp),
+         |reach(v, r) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT ed.dst, reach.r FROM reach JOIN ed ON reach.v = ed.src)
+         |SELECT v AS vec_id, MIN(r) AS cluster_id, MIN(r) = v AS is_canonical
+         |FROM reach GROUP BY v ORDER BY vec_id""".stripMargin
   )
+
+  /** Banded-LSH pair CTE chain (ends with CTE `p` carrying
+    * vec_a/vec_b/cosine), shared by the pair oracle and the embedding
+    * clustering oracle. */
+  private lazy val embLshCtes =
+    s"""$embNormCte,
+       |u AS (${(0 until 8).map(g =>
+           s"SELECT vec_id, $g AS band, ${embBandSql(g * 8)} AS key FROM e")
+           .mkString("\n      UNION ALL\n      ")}),
+       |c AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |      FROM u x JOIN u y
+       |        ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id),
+       |p AS (SELECT vec_a, vec_b, ${embDotSql("a.v", "b.v")} AS cosine
+       |      FROM c JOIN e a ON c.vec_a = a.vec_id JOIN e b ON c.vec_b = b.vec_id)""".stripMargin
 
   /** Shared DuckDB normalization CTE for the embedding pair oracles
     * (identical fp order to [[normalizedVecs]]). */
