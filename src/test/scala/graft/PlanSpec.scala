@@ -106,4 +106,19 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Generate"), "frame indices come from explode(sequence)")
     assert(!p.contains("ExistingRDD"), "no RDD flatMap")
   }
+
+  test("NO query in the suite plans a CartesianProduct") {
+    // Suite-wide anti-pattern guard: every scalar "cross join" must be
+    // a 1-row broadcast (BroadcastNestedLoopJoin), every candidate
+    // self-join an equi-join. Streaming queries are skipped — their
+    // builder functions RUN the stream (the returned memory-sink table
+    // has a trivial plan), so there is nothing to inspect statically.
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!name.startsWith("st_")) {
+        val p = fn(spark, d).queryExecution.explainString(FormattedMode)
+        assert(!p.contains("CartesianProduct"),
+          s"$name plans a CartesianProduct")
+      }
+    }
+  }
 }
