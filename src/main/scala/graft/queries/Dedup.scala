@@ -228,22 +228,25 @@ object Dedup {
         .orderBy(col("vec_id")))
   )
 
-  /** Connected components over an undirected pair graph by iterative
-    * min-label propagation: every node starts labeled with itself;
-    * each round every node takes the min of its own label and its
-    * neighbors' labels; fixpoint = component-wide min everywhere.
+  /** Connected components over an undirected pair graph by min-label
+    * propagation WITH pointer halving: each round every node takes the
+    * min of its own and its neighbors' labels, then shortcuts its
+    * label pointer one hop (`label(v) ← label(label(v))` — the
+    * pointer-jumping/path-halving move of the classic PRAM and
+    * hash-to-min CC algorithms). Labels are min-monotone and stay
+    * inside the component, so the fixpoint is the component-wide min;
+    * halving makes label trees collapse geometrically, so rounds are
+    * **O(log diameter)**, not O(diameter) — a 64-node chain converges
+    * within 8 rounds (DedupClusterSpec pins maxRounds = 8), where
+    * plain propagation needs 64.
     *
-    * Scale shape: each round is ONE hash join (labels ⋈ edges) + one
-    * groupBy(min) — no driver-side graph state, edges checkpointed
-    * once, label lineage truncated per round (the [[graft.graph.Bfs]]
-    * lazy-checkpoint idiom, so materialization piggybacks on the
-    * fixpoint probe). Rounds = graph diameter; LSH near-dup components
-    * are band-collision cliques stitched by the verifier, so diameter
-    * stays small — for adversarial long-chain graphs swap the loop
-    * body for large-star/small-star (Kiveris et al., "Connected
-    * Components in MapReduce and Beyond", public method) with the same
-    * per-round join shape. `maxRounds` guards runaway input; hitting
-    * it throws rather than returning an unconverged labeling.
+    * Scale shape: each round is TWO hash joins (labels ⋈ edges, then
+    * labels ⋈ labels on the label pointer) + one groupBy(min) — no
+    * driver-side graph state, edges checkpointed once, label lineage
+    * truncated per round (the [[graft.graph.Bfs]] lazy-checkpoint
+    * idiom, so materialization piggybacks on the fixpoint probe).
+    * `maxRounds` guards runaway input; hitting it throws rather than
+    * returning an unconverged labeling.
     *
     * @param nodes DataFrame with `doc_id`
     * @param pairs DataFrame with `doc_a`, `doc_b` (one row per
@@ -251,6 +254,20 @@ object Dedup {
     * @return (doc_id, cluster_id = min doc_id in component,
     *         is_canonical = doc_id == cluster_id)
     */
+  /** Eagerly drop a localCheckpoint'd frame's blocks. Superseded
+    * label rounds (and the edge frames after the fixpoint) are dead
+    * the moment the next round materializes; leaving them for the
+    * async ContextCleaner lets a long-lived session accumulate dead
+    * blocks in the block manager until live working sets of LATER
+    * queries get evicted to disk (observed: the minhash kernel ran
+    * 4× slower in-suite at sf1 when it followed the cluster gates).
+    * Only ever called on frames whose data is provably never needed
+    * again — an unpersisted local checkpoint cannot be recomputed. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   private[graft] def connectedComponents(nodes: DataFrame, pairs: DataFrame,
       maxRounds: Int = 50): DataFrame = {
     val p = pairs.localCheckpoint()
@@ -270,17 +287,33 @@ object Dedup {
     while (!converged && round < maxRounds) {
       val nbrMin = edges.join(labels, edges("src") === labels("doc_id"))
         .groupBy(edges("dst").as("nbr_of")).agg(min(col("cluster_id")).as("nbr_min"))
-      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("nbr_of"), "left")
+      val prop = labels.join(nbrMin, labels("doc_id") === nbrMin("nbr_of"), "left")
         .select(labels("doc_id"),
           least(labels("cluster_id"), coalesce(col("nbr_min"), labels("cluster_id")))
             .as("cluster_id"),
-          (col("nbr_min") < labels("cluster_id")).as("chg"))
+          labels("cluster_id").as("old_cid"))
+      // Pointer halving: label(v) ← label(label(v)). Every label IS a
+      // touched node's id (initial self-labels, preserved by min), so
+      // the inner self-join on the pointer is total. label(w) ≤ w for
+      // all w, hence the step is min-monotone and component-preserving.
+      // Labels only ever decrease, so ONE signal detects the fixpoint:
+      // the round changed something iff final label < the round's
+      // starting label.
+      val next = prop.as("a")
+        .join(prop.select(col("doc_id").as("l_id"), col("cluster_id").as("l_cid")),
+          col("a.cluster_id") === col("l_id"))
+        .select(col("a.doc_id").as("doc_id"), col("l_cid").as("cluster_id"),
+          (col("l_cid") < col("a.old_cid")).as("chg"))
         .localCheckpoint(false)
       converged = next.filter(col("chg")).limit(1).isEmpty
+      val prev = labels
       labels = next.drop("chg")
+      freeCheckpoint(prev) // next is materialized; prev's blocks are dead
       round += 1
     }
     require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+    freeCheckpoint(edges)
+    freeCheckpoint(p)
     val singletons = nodes.select(col("doc_id"))
       .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
