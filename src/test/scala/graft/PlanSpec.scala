@@ -107,6 +107,34 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("ExistingRDD"), "no RDD flatMap")
   }
 
+  test("q8/q9 broadcast every dimension — the only shuffle join is lineitem ⋈ orders") {
+    for (q <- Seq("q8_market_share", "q9_product_profit")) {
+      val p = plan(q)
+      assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size <= 1,
+        s"$q: part/supplier/nation/customer must ride broadcasts")
+      assert(scanCount(q, "lineitem") == 1, s"$q: one fact scan")
+    }
+  }
+
+  test("q11_important_value computes the average threshold without re-scanning lineitem") {
+    assert(scanCount("q11_important_value", "lineitem") <= 1,
+      "per-part values are checkpointed; the scalar must read them, not the fact")
+  }
+
+  test("q20_potential_promo qualifies suppliers via a semi-join, one fact scan") {
+    val p = plan("q20_potential_promo")
+    assert(p.contains("LeftSemi"), "supplier qualification must be a semi-join")
+    assert(scanCount("q20_potential_promo", "lineitem") == 1)
+  }
+
+  test("q21_waiting_supplier: semi + anti correlation over ONE in-plan lineitem scan") {
+    val p = plan("q21_waiting_supplier")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      "EXISTS/NOT EXISTS must decorrelate to semi + anti joins")
+    // the late set is checkpointed; only the l2 (any-line) side re-reads
+    assert(scanCount("q21_waiting_supplier", "lineitem") == 1)
+  }
+
   test("NO query in the suite plans a CartesianProduct") {
     // Suite-wide anti-pattern guard: every scalar "cross join" must be
     // a 1-row broadcast (BroadcastNestedLoopJoin), every candidate
