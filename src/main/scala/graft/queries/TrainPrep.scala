@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-data preparation operators: sequence packing (the
+  * concat-and-chunk step that turns documents into fixed-budget
+  * training sequences) and benchmark-contamination detection (n-gram
+  * overlap between the corpus and a held-out probe set). Both are
+  * window/join-shaped — no driver-side state, no UDFs.
+  */
+object TrainPrep {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Sequence packing, concat-and-split style: documents are laid out
+    // in deterministic order within a shard, the exclusive running
+    // token sum locates each document in the token stream, and
+    // pack_id / pack_offset are its quotient/remainder by the 2048-
+    // token budget — the standard pretraining packing (documents
+    // straddling a boundary are split across packs at train time; the
+    // assignment here is where each document STARTS).
+    //
+    // Scale shape: ONE shuffle, on the shard key, then a per-shard
+    // window sort. Shard count must scale with the corpus (a fixed 8
+    // would serialize a 100 TB window); production uses
+    // pmod(doc_id, ~4k–64k) so each shard's token stream fits an
+    // executor. The budget arithmetic is integral end-to-end, so both
+    // engines agree bit-for-bit.
+    "t_seq_pack" -> ((s, d) => {
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("shard"),
+          expr("div(n_chars + 3, 4)").as("tokens"))
+        .withColumn("cum_excl", coalesce(sum(col("tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("shard"), col("tokens"),
+          expr("div(cum_excl, 2048)").as("pack_id"),
+          (col("cum_excl") % 2048).as("pack_offset"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Benchmark contamination: which corpus documents share word
+    // 4-grams with the probe ("benchmark") set — here the doc_id % 7
+    // slice, standing in for an external eval suite. Per-doc overlap =
+    // |own distinct 4-grams ∩ probe 4-grams| / |own distinct 4-grams|;
+    // ≥ 50% flags the document. N-grams are md5-keyed (portable
+    // constant-width join key; production would use xxhash64).
+    //
+    // Scale shape: the n-gram explode + distinct is the heavy shuffle
+    // (same cost class as the MinHash shingle stage). At 100 TB the
+    // probe side is a fixed benchmark suite — tiny — so its distinct
+    // gram set BROADCASTS and the contamination check is a map-side
+    // semi-probe per gram; here probe comes from the same table, so
+    // the checkpointed gram frame is built once and consumed by both
+    // sides. Spark's sequence(1, n) DESCENDS when n < 1 (DuckDB's
+    // generate_series is empty), so short docs take an explicit
+    // empty-array branch.
+    "t_contamination" -> ((s, d) => {
+      val toks = split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ")
+      val grams = when(size(col("ts")) >= 4,
+        expr("transform(sequence(1, size(ts) - 3), i -> md5(concat_ws(' ', slice(ts, i, 4))))"))
+        .otherwise(array().cast("array<string>"))
+      val ng = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("ts"))
+        .select(col("doc_id"), explode(grams).as("g"))
+        .distinct()
+        .localCheckpoint()
+      val probe = ng.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("g")).distinct()
+      val corpus = ng.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      val hits = corpus.join(probe, Seq("g"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_gram"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("n_gram"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_gram").cast("double"))
+            .as("overlap"),
+          (coalesce(col("n_hit"), lit(0L)) >= lit(0.5) * col("n_gram")).as("contaminated"))
+        .filter(col("n_hit") > 0)
+        .orderBy(col("overlap").desc, col("doc_id"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "t_seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard, (n_chars + 3) // 4 AS tokens
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, shard, tokens,
+        |    COALESCE(SUM(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+        |  FROM t)
+        |SELECT doc_id, shard, tokens, cum_excl // 2048 AS pack_id, cum_excl % 2048 AS pack_offset
+        |FROM w ORDER BY doc_id""".stripMargin,
+    "t_contamination" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ts
+        |  FROM documents),
+        |ng AS (
+        |  SELECT DISTINCT doc_id, md5(array_to_string(ts[i:i+3], ' ')) AS g
+        |  FROM tok, UNNEST(generate_series(1, greatest(len(ts) - 3, 0))) AS u(i)),
+        |probe AS (SELECT DISTINCT g FROM ng WHERE doc_id % 7 = 0),
+        |corpus AS (SELECT doc_id, g FROM ng WHERE doc_id % 7 <> 0),
+        |hits AS (
+        |  SELECT c2.doc_id, COUNT(*) AS n_hit
+        |  FROM corpus c2 JOIN probe USING (g) GROUP BY c2.doc_id),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_gram FROM corpus GROUP BY doc_id)
+        |SELECT t.doc_id, COALESCE(n_hit, 0) AS n_hit, n_gram,
+        |  CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_gram AS overlap,
+        |  COALESCE(n_hit, 0) >= 0.5 * n_gram AS contaminated
+        |FROM tot t LEFT JOIN hits USING (doc_id)
+        |WHERE COALESCE(n_hit, 0) > 0
+        |ORDER BY overlap DESC, t.doc_id""".stripMargin
+  )
+}
