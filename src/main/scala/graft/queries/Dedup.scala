@@ -229,19 +229,28 @@ object Dedup {
   )
 
   /** Connected components over an undirected pair graph by min-label
-    * propagation WITH pointer halving: each round every node takes the
-    * min of its own and its neighbors' labels, then shortcuts its
-    * label pointer one hop (`label(v) ← label(label(v))` — the
-    * pointer-jumping/path-halving move of the classic PRAM and
-    * hash-to-min CC algorithms). Labels are min-monotone and stay
-    * inside the component, so the fixpoint is the component-wide min;
-    * halving makes label trees collapse geometrically, so rounds are
+    * propagation over the graph edges PLUS the label-pointer edges —
+    * the hash-to-min move (Rastogi et al., "Finding Connected
+    * Components in Map-Reduce", public method): each round, every node
+    * takes the min label over its graph neighbors AND over
+    * `label(label(v))` (pointer jump, via the l(v)→v edge) while its
+    * current root hears the minimum of everything pointing at it (via
+    * the v→l(v) edge). Labels are min-monotone and stay inside the
+    * component, so the fixpoint is the component-wide min; the pointer
+    * edges collapse label trees geometrically, so rounds are
     * **O(log diameter)**, not O(diameter) — a 64-node chain converges
     * within 8 rounds (DedupClusterSpec pins maxRounds = 8), where
     * plain propagation needs 64.
     *
-    * Scale shape: each round is TWO hash joins (labels ⋈ edges, then
-    * labels ⋈ labels on the label pointer) + one groupBy(min) — no
+    * Scale shape: each round is ONE hash join (labels ⋈ edges′ where
+    * |edges′| = |E| + 2·|touched|) + one groupBy(min) — the same
+    * per-round shape as plain propagation, with the pointer edges
+    * riding the existing shuffle. (A previous formulation ran the
+    * pointer jump as a second self-join on the round's UNmaterialized
+    * propagation frame; both join sides re-executed the propagation
+    * lineage, tripling per-round cost on edge-heavy graphs — 6.8→31 s
+    * at sf1 on the text near-dup gate. Union-into-the-edge-list keeps
+    * one materialization and one shuffle join per round.) No
     * driver-side graph state, edges checkpointed once, label lineage
     * truncated per round (the [[graft.graph.Bfs]] lazy-checkpoint
     * idiom, so materialization piggybacks on the fixpoint probe).
@@ -285,32 +294,41 @@ object Dedup {
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      val nbrMin = edges.join(labels, edges("src") === labels("doc_id"))
-        .groupBy(edges("dst").as("nbr_of")).agg(min(col("cluster_id")).as("nbr_min"))
-      val prop = labels.join(nbrMin, labels("doc_id") === nbrMin("nbr_of"), "left")
+      // Pointer edges v ↔ label(v): every label IS a touched node's id
+      // (initial self-labels, preserved by min), so both directions
+      // resolve. label(w) ≤ w for all w, hence the extra edges are
+      // min-monotone and component-preserving. labels is a checkpoint,
+      // so the unions add no recomputation to the join below.
+      val h2m = !sys.env.get("SPARK_GRAFT_CC_MODE").contains("plain")
+      val edgesPlus = if (!h2m) edges else edges
+        .union(labels.select(col("doc_id").as("src"), col("cluster_id").as("dst")))
+        .union(labels.select(col("cluster_id").as("src"), col("doc_id").as("dst")))
+      val nbrMin = edgesPlus.join(labels, edgesPlus("src") === labels("doc_id"))
+        .groupBy(edgesPlus("dst").as("nbr_of")).agg(min(col("cluster_id")).as("nbr_min"))
+      // Labels only ever decrease, so ONE signal detects the fixpoint:
+      // the round changed something iff some node's min-over-neighbors
+      // undercut its starting label.
+      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("nbr_of"), "left")
         .select(labels("doc_id"),
           least(labels("cluster_id"), coalesce(col("nbr_min"), labels("cluster_id")))
             .as("cluster_id"),
-          labels("cluster_id").as("old_cid"))
-      // Pointer halving: label(v) ← label(label(v)). Every label IS a
-      // touched node's id (initial self-labels, preserved by min), so
-      // the inner self-join on the pointer is total. label(w) ≤ w for
-      // all w, hence the step is min-monotone and component-preserving.
-      // Labels only ever decrease, so ONE signal detects the fixpoint:
-      // the round changed something iff final label < the round's
-      // starting label.
-      val next = prop.as("a")
-        .join(prop.select(col("doc_id").as("l_id"), col("cluster_id").as("l_cid")),
-          col("a.cluster_id") === col("l_id"))
-        .select(col("a.doc_id").as("doc_id"), col("l_cid").as("cluster_id"),
-          (col("l_cid") < col("a.old_cid")).as("chg"))
+          (col("nbr_min") < labels("cluster_id")).as("chg"))
         .localCheckpoint(false)
-      converged = next.filter(col("chg")).limit(1).isEmpty
+      // Fixpoint probe via count(), NOT limit(1)/isEmpty: the probe is
+      // what materializes the lazy checkpoint, and a short-circuiting
+      // probe leaves next's unvisited partitions as lineage — which
+      // freeCheckpoint(prev) below would then make unrecomputable
+      // (correct but re-derived from scratch at next use: measured 3-7×
+      // round-to-round variance at sf1). count() scans every partition,
+      // so next is FULLY materialized before prev's blocks are freed.
+      converged = next.filter(col("chg")).count() == 0L
       val prev = labels
       labels = next.drop("chg")
-      freeCheckpoint(prev) // next is materialized; prev's blocks are dead
+      freeCheckpoint(prev)
       round += 1
     }
+    if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc] converged=$converged rounds=$round")
     require(converged, s"connectedComponents did not converge in $maxRounds rounds")
     freeCheckpoint(edges)
     freeCheckpoint(p)

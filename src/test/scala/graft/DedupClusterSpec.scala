@@ -28,11 +28,11 @@ class DedupClusterSpec extends SparkSuite {
       "exactly the min id is canonical")
   }
 
-  test("connected components: pointer halving converges a 64-node chain in O(log n) rounds") {
+  test("connected components: hash-to-min converges a 64-node chain in O(log n) rounds") {
     import spark.implicits._
     // Worst case for plain min-propagation: a 64-link chain with the
-    // min at one end needs 64 rounds (one hop per round). Pointer
-    // halving must collapse it in <= 8 — geometric, not linear.
+    // min at one end needs 64 rounds (one hop per round). The label-
+    // pointer edges must collapse it in <= 8 — geometric, not linear.
     val nodes = (1L to 64L).toDF("doc_id")
     val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val cc = Dedup.connectedComponents(nodes, pairs, maxRounds = 8).collect()
