@@ -213,6 +213,12 @@ object Dedup {
     // d_embed_neardup's O(n²) when the corpus outgrows a broadcast.
     "d_embed_lsh_pairs" -> ((s, d) => embedLshPairs(s, d, MaxBandSize)),
 
+    // Incremental near-dup: probe a delta batch against the standing
+    // corpus (see [[incrementalNearDup]]) — the build-once/probe-many
+    // dedup shape; cost scales with the delta, the corpus never
+    // self-joins.
+    "d_incr_neardup" -> ((s, d) => incrementalNearDup(s, d, MaxBandSize)),
+
     // Semantic near-dup clusters: the same connected-components kernel
     // over the embedding LSH pair graph (cosine ≥ 0.45 verified) —
     // groups of mutually/transitively similar vectors with the min
@@ -379,70 +385,133 @@ object Dedup {
       .localCheckpoint()
   }
 
-  /** MinHash+LSH near-dup pipeline body (see the `d_minhash_lsh` entry
-    * in [[queries]]); `cap` is the hot-band cap, [[MaxBandSize]] in
-    * production, varied by BandCapSpec. */
-  private[graft] def minhashLsh(s: SparkSession, d: String, cap: Int): DataFrame = {
-    // localCheckpoint: the shingle+hash stage feeds four consumers
-    // (signatures, both verify sides, counts) — materialize it once
-    // instead of re-running explode+md5 per consumer. The shingle
-    // STRING is dropped after hashing: every downstream stage (perms,
-    // verify join) works on the 60-bit h, so the materialized table and
-    // the verify shuffle carry 8-byte longs instead of ~20-byte
-    // strings. Distinct-shingle identity via h is exact up to md5
-    // 60-bit collisions (birthday ≈ n²/2⁶¹ — ~4e-7 at a million
-    // distinct shingles), the same contract production shingle-hash
-    // dedup runs at 100 TB.
-    // xxhash64, not md5-h60: every value derived from the shingle hash
-    // here (signature minima, band keys, verify identity) is INTERNAL —
-    // the oracle checks only the final verified pairs — so the hash
-    // just needs to be a consistent uniform identity, and xxhash64 is a
-    // native codegen'd long vs md5's hex-string round-trip. The md5
-    // discipline stays where hash VALUES cross engines (d_simhash,
-    // t_fingerprint, s_stratified_sample).
-    val sh = shingleRows(s, d)
+  /** Hashed distinct shingle rows (doc_id, h, hm), localCheckpoint'ed.
+    *
+    * Checkpoint: this stage feeds four consumers (signatures, both
+    * verify sides, counts) — materialize it once instead of re-running
+    * explode+hash per consumer. The shingle STRING is dropped after
+    * hashing: every downstream stage (perms, verify join) works on the
+    * 64-bit h, so the materialized table and the verify shuffle carry
+    * 8-byte longs instead of ~20-byte strings. Distinct-shingle
+    * identity via h is exact up to 64-bit collisions (birthday ≈
+    * n²/2⁶⁵), the same contract production shingle-hash dedup runs at
+    * 100 TB.
+    *
+    * xxhash64, not md5-h60: every value derived from the shingle hash
+    * (signature minima, band keys, verify identity) is INTERNAL — the
+    * oracle checks only the final verified pairs — so the hash just
+    * needs to be a consistent uniform identity, and xxhash64 is a
+    * native codegen'd long vs md5's hex-string round-trip. The md5
+    * discipline stays where hash VALUES cross engines (d_simhash,
+    * t_fingerprint, s_stratified_sample). */
+  private def hashedShingles(s: SparkSession, d: String): DataFrame =
+    shingleRows(s, d)
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
       .withColumn("hm", pmod(col("h"), lit(P)))
       .localCheckpoint(false)
-    // one aggregation yields the 32 signature minima AND the per-doc
-    // shingle count the verifier needs — no second pass over sh.
+
+  /** 32 minhash signature minima AND the per-doc shingle count the
+    * verifier needs, from ONE aggregation pass over the hashed
+    * shingles; localCheckpoint'ed because the band explode and the
+    * verifier's count side both read it — without it each consumer
+    * re-runs the aggregation over the full shingle table. */
+  private def minhashSignatures(sh: DataFrame): DataFrame = {
     val sigCols = (0 until NumPerms).map(i => min(minhashPerm(col("hm"), i)).as(s"m$i")) :+
       count(lit(1)).as("n")
-    // checkpoint: the band explode and the verifier's count side both
-    // read sig — without it each consumer re-runs the signature
-    // aggregation over the full shingle table.
-    val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*).localCheckpoint(false)
-    // All 16 band keys from ONE pass over sig (explode of a 16-element
-    // array) instead of a 16-way union of projections; keys are
-    // xxhash64(band, row minima) longs — band keys are internal to
-    // candidate discovery (the oracle checks final pairs), and a key
-    // collision only adds a candidate the exact verifier removes.
+    sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*).localCheckpoint(false)
+  }
+
+  /** (doc_id, band_key) rows, hot keys capped. All 16 band keys come
+    * from ONE pass over sig (explode of a 16-element array) instead of
+    * a 16-way union of projections; keys are xxhash64(band, row minima)
+    * longs — band keys are internal to candidate discovery (the oracle
+    * checks final pairs), and a key collision only adds a candidate the
+    * exact verifier removes. */
+  private def minhashBandRows(sig: DataFrame, cap: Int): DataFrame = {
     val bandKeys = (0 until NumBands).map { b =>
       xxhash64(lit(b) +:
         (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*)
     }
-    val bands = capHotBands(
+    capHotBands(
       sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("band_key")),
       cap, "band_key")
+  }
+
+  /** Exact-Jaccard verification of candidate pairs ONLY — the whole
+    * point of LSH: the quadratic verifier touches just the
+    * band-collision pairs, not all C(n,2). `cands` carries id columns
+    * `leftCol`/`rightCol`; emits those plus `jaccard` for pairs at or
+    * above the threshold. */
+  private def verifyJaccard(cands: DataFrame, sh: DataFrame, cnt: DataFrame,
+      leftCol: String, rightCol: String): DataFrame = {
+    val ov = cands
+      .join(sh.select(col("doc_id").as(leftCol), col("h")), leftCol)
+      .join(sh.select(col("doc_id").as(rightCol), col("h")), Seq(rightCol, "h"))
+      .groupBy(leftCol, rightCol).agg(count(lit(1)).as("overlap"))
+    ov.join(cnt.select(col("doc_id").as(leftCol), col("n").as("na")), leftCol)
+      .join(cnt.select(col("doc_id").as(rightCol), col("n").as("nb")), rightCol)
+      .withColumn("jaccard",
+        col("overlap").cast("double") / (col("na") + col("nb") - col("overlap")).cast("double"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col(leftCol), col(rightCol), col("jaccard"))
+  }
+
+  /** MinHash+LSH near-dup pipeline body (see the `d_minhash_lsh` entry
+    * in [[queries]]); `cap` is the hot-band cap, [[MaxBandSize]] in
+    * production, varied by BandCapSpec. */
+  private[graft] def minhashLsh(s: SparkSession, d: String, cap: Int): DataFrame = {
+    val sh = hashedShingles(s, d)
+    val sig = minhashSignatures(sh)
+    val bands = minhashBandRows(sig, cap)
     val cands = bands.as("x").join(bands.as("y"),
         col("x.band_key") === col("y.band_key") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // Exact-Jaccard verify on the candidate pairs ONLY — this is the
-    // whole point of LSH: the quadratic verifier touches just the
-    // band-collision pairs, not all C(n,2).
-    val cnt = sig.select(col("doc_id"), col("n"))
-    val ov = cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("overlap"))
-    ov.join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .withColumn("jaccard",
-        col("overlap").cast("double") / (col("na") + col("nb") - col("overlap")).cast("double"))
-      .filter(col("jaccard") >= JaccardThreshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    verifyJaccard(cands, sh, sig.select(col("doc_id"), col("n")), "doc_a", "doc_b")
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Incremental near-dup: flag each DELTA document (doc_id ≡ 0 mod 10
+    * — standing in for "today's ingest batch") that is a near-dup
+    * (J ≥ [[JaccardThreshold]]) of any CORPUS document, with the best
+    * match (max jaccard, ties to the smallest corpus id) and an
+    * `is_new` verdict per delta doc.
+    *
+    * This is the daily-ingest shape a 100 TB pipeline actually runs:
+    * the corpus' band table is built ONCE (in production it lives as a
+    * persisted table bucketed on band_key — the
+    * [[graft.search.PostingsIndex]] / [[IvfIndex]] pattern), and each
+    * new batch probes it with a delta-bands ⋈ corpus-bands equi-join.
+    * The corpus NEVER self-joins: candidate discovery costs
+    * O(|delta bands| + collisions), not O(|corpus|²), and the exact
+    * verifier touches only delta×corpus collision pairs. Delta-internal
+    * duplicates are the batch path's job ([[minhashLsh]] over the
+    * delta), kept out of this operator's contract.
+    *
+    * Recall is the standard LSH contract (≥1 shared band at J ≥ 0.8
+    * with probability ~1−1e-7 under 16×2 banding), so at test scale the
+    * gate matches the exact all-pairs delta×corpus oracle. */
+  private[graft] def incrementalNearDup(s: SparkSession, d: String, cap: Int): DataFrame = {
+    val isDelta = pmod(col("doc_id"), lit(10)) === 0
+    val sh = hashedShingles(s, d)
+    val sig = minhashSignatures(sh)
+    val bands = minhashBandRows(sig, cap)
+    val cands = bands.filter(isDelta).as("x")
+      .join(bands.filter(!isDelta).as("y"), col("x.band_key") === col("y.band_key"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("dup_of"))
+      .distinct()
+    val verified = verifyJaccard(cands, sh, sig.select(col("doc_id"), col("n")),
+      "doc_id", "dup_of")
+    val best = verified
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("jaccard").desc, col("dup_of"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("dup_of"), col("jaccard"))
+    Tables.documents(s, d).select(col("doc_id")).filter(isDelta)
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"), col("jaccard"),
+        col("dup_of").isNull.as("is_new"))
+      .orderBy(col("doc_id"))
   }
 
   /** SimHash pair pipeline body (see the `d_simhash_pairs` entry in
@@ -533,6 +602,25 @@ object Dedup {
         |ORDER BY doc_id""".stripMargin,
     "d_ngram_jaccard" -> (jaccardPairsSql + "\nORDER BY doc_a, doc_b"),
     "d_minhash_lsh" -> (jaccardPairsSql + "\nORDER BY doc_a, doc_b"),
+    // All-pairs delta×corpus ground truth: the mixed-parity pairs of
+    // the exact Jaccard CTE, best match per delta doc, left-joined back
+    // so unduplicated delta docs surface as is_new.
+    "d_incr_neardup" ->
+      s"""WITH $jaccardCtes,
+         |m AS (SELECT CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS doc_id,
+         |             CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS dup_of,
+         |             jaccard
+         |      FROM j
+         |      WHERE jaccard >= $JaccardThreshold
+         |        AND ((doc_a % 10 = 0) <> (doc_b % 10 = 0))),
+         |best AS (SELECT doc_id, dup_of, jaccard,
+         |           ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                              ORDER BY jaccard DESC, dup_of) AS rn
+         |         FROM m)
+         |SELECT d.doc_id, b.dup_of, b.jaccard, b.dup_of IS NULL AS is_new
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+         |LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+         |ORDER BY d.doc_id""".stripMargin,
     // Transitive closure over the ground-truth pair set: reach(v, r)
     // floods every component member's id through the symmetric edge
     // list (UNION = distinct → terminates); MIN(r) per node is the
