@@ -102,12 +102,25 @@ object Bench {
     val p95s = jmap(ts => fmt(percentile(ts, 95)))
     val roundsUsed = jmap(ts => ts.length.toString)
     val total = results.map { case (_, ts) => percentile(ts, 50) }.sum
+    // A non-empty skip set shrinks the summed total, so it must be
+    // part of the record — a skipped run's total is otherwise
+    // indistinguishable from (and incomparable with) a full run's.
+    val skippedJson =
+      if (skip.isEmpty) ""
+      else skip.toSeq.sorted.map("\"" + _ + "\"").mkString(""","skipped":[""", ",", "]")
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$p50s,""" +
       s""""p95":$p95s,"rounds":$roundsUsed,""" +
-      s""""protocol":"p50 of <=$Rounds rounds, warm, full materialization (toRdd), ${PerQueryCapSec.toInt}s/query cap, per-query gc isolation","sf":"$sfDir"}"""
+      s""""protocol":"p50 of <=$Rounds rounds, warm, full materialization (toRdd), ${PerQueryCapSec.toInt}s/query cap, per-query gc isolation"$skippedJson,"sf":"$sfDir"}"""
     try Files.writeString(Paths.get(outPath), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
     println(json)
+    // The driver tail-parses a bounded slice of the run log; the full
+    // line above (~95 query entries) overflows that window and has
+    // recorded as parsed:null since r5. Re-emit the headline numbers as
+    // a LAST, short stdout line that always fits the tail — per-query
+    // data stays in the full line above and in outPath.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},""" +
+      s""""detail":"$outPath"$skippedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -22,10 +22,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * the same exact integers, so the DuckDB-checked densities are
   * unchanged.
   *
-  * Trigram lookup: each profile trigram packs its 3 UTF-16 chars into
-  * one long (48 bits — all profile chars are BMP); the row loop keeps
-  * a rolling packed key and binary-searches a static sorted long[] of
-  * ~60 entries, accumulating the per-language bit flags. No per-row
+  * Trigram lookup: each profile trigram packs its 3 code points into
+  * one long (3 × 21 bits = 63 bits — a Unicode code point is ≤ 21
+  * bits); the row loop keeps a rolling packed key and binary-searches
+  * a static sorted long[] of ~60 entries, accumulating the
+  * per-language bit flags. The window iterates CODE POINTS, not
+  * UTF-16 code units, so supplementary-plane letters (which the
+  * normalizer's \p{L} class keeps) count as one element each —
+  * matching the code-point semantics of the replaced explode+substr
+  * formulation and the DuckDB oracle's length()/substr(). No per-row
   * allocation beyond the UTF-16 decode of the input.
   *
   * Registered as SQL function `graft_lang_hits` via
@@ -77,33 +82,37 @@ object LangHits {
   }
 
   private def pack(t: String): Long =
-    ((t.charAt(0).toLong & 0xffffL) << 32) |
-      ((t.charAt(1).toLong & 0xffffL) << 16) |
-      (t.charAt(2).toLong & 0xffffL)
+    ((t.charAt(0).toLong & 0x1fffffL) << 42) |
+      ((t.charAt(1).toLong & 0x1fffffL) << 21) |
+      (t.charAt(2).toLong & 0x1fffffL)
 
   /** `[n_trigrams, hits_en, hits_es, hits_de, hits_fr]` over the
-    * UTF-16 sliding 3-char windows of `s` — called from both the
+    * sliding 3-CODE-POINT windows of `s` — called from both the
     * interpreted eval and the generated code. */
   def hits(s: String): Array[Long] = {
     val n = s.length
     val out = new Array[Long](1 + langs.length)
-    if (n < 3) return out
-    out(0) = (n - 2).toLong
-    var key = ((s.charAt(0).toLong & 0xffffL) << 16) | (s.charAt(1).toLong & 0xffffL)
-    var i = 2
+    var key = 0L
+    var cps = 0L // code points consumed so far
+    var i = 0
     while (i < n) {
-      key = ((key << 16) | (s.charAt(i).toLong & 0xffffL)) & 0xffffffffffffL
-      val idx = java.util.Arrays.binarySearch(keys, key)
-      if (idx >= 0) {
-        val f = flags(idx)
-        var l = 0
-        while (l < langs.length) {
-          if ((f & (1 << l)) != 0) out(l + 1) += 1L
-          l += 1
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      cps += 1
+      key = ((key << 21) | (cp.toLong & 0x1fffffL)) & 0x7fffffffffffffffL
+      if (cps >= 3) {
+        val idx = java.util.Arrays.binarySearch(keys, key)
+        if (idx >= 0) {
+          val f = flags(idx)
+          var l = 0
+          while (l < langs.length) {
+            if ((f & (1 << l)) != 0) out(l + 1) += 1L
+            l += 1
+          }
         }
       }
-      i += 1
     }
+    if (cps >= 3) out(0) = cps - 2
     out
   }
 

@@ -25,9 +25,15 @@ object LangId {
     "fr" -> Set(" de", "de ", "es ", " le", "le ", "ent", "et ", " et",
       "que", " qu", "ue ", "les", "ion", " la", "la ", "ais", "our", " pa"))
 
+  /** Sliding 3-CODE-POINT windows (not UTF-16 units): the normalizer's
+    * \p{L} keeps supplementary-plane letters, and SQL length()/substr()
+    * — both Spark's and DuckDB's — count code points, so the window
+    * must too or non-BMP text diverges across formulations. */
   def trigrams(text: String): Seq[String] = {
     val norm = " " + text.toLowerCase.replaceAll("[^\\p{L}]+", " ").trim + " "
-    if (norm.length < 3) Nil else norm.sliding(3).toSeq
+    val cps = norm.codePoints.toArray
+    if (cps.length < 3) Nil
+    else cps.sliding(3).map(w => new String(w, 0, 3)).toSeq
   }
 
   /** Per-language hit density in [0, 1]. */

@@ -82,6 +82,43 @@ object TrainPrep {
           (coalesce(col("n_hit"), lit(0L)) >= lit(0.5) * col("n_gram")).as("contaminated"))
         .filter(col("n_hit") > 0)
         .orderBy(col("overlap").desc, col("doc_id"))
+    }),
+
+    // Two-source form of contamination detection — the 100 TB shape.
+    // In production the probe is a fixed benchmark suite (MB, not TB):
+    // its distinct gram set is built from its own scan and BROADCAST,
+    // so the contamination check against the corpus is a map-side
+    // hash-join probe per gram — no shuffle of the corpus gram stream
+    // at all beyond the per-doc aggregation. Here both "sources" read
+    // the same documents.parquet (the driver provides one sf dir), but
+    // the probe side is a SEPARATE bounded scan feeding an explicit
+    // broadcast() hint; TrainPrepSpec pins BroadcastHashJoin in the
+    // plan. Semantics identical to t_contamination.
+    "t_contamination_probe" -> ((s, d) => {
+      val toks = split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ")
+      val grams = when(size(col("ts")) >= 4,
+        expr("transform(sequence(1, size(ts) - 3), i -> md5(concat_ws(' ', slice(ts, i, 4))))"))
+        .otherwise(array().cast("array<string>"))
+      def gramsOf(df: DataFrame) = df
+        .select(col("doc_id"), toks.as("ts"))
+        .select(col("doc_id"), explode(grams).as("g"))
+        .distinct()
+      val probe = broadcast(
+        gramsOf(Tables.documents(s, d).filter(pmod(col("doc_id"), lit(7)) === 0))
+          .select(col("g")).distinct())
+      val corpus = gramsOf(
+        Tables.documents(s, d).filter(pmod(col("doc_id"), lit(7)) =!= 0))
+        .localCheckpoint()
+      val hits = corpus.join(probe, Seq("g"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_gram"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("n_gram"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_gram").cast("double"))
+            .as("overlap"),
+          (coalesce(col("n_hit"), lit(0L)) >= lit(0.5) * col("n_gram")).as("contaminated"))
+        .filter(col("n_hit") > 0)
+        .orderBy(col("overlap").desc, col("doc_id"))
     })
   )
 
@@ -92,12 +129,34 @@ object TrainPrep {
         |  FROM documents),
         |w AS (
         |  SELECT doc_id, shard, tokens,
-        |    COALESCE(SUM(tokens) OVER (PARTITION BY shard ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+        |    CAST(COALESCE(SUM(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_excl
         |  FROM t)
         |SELECT doc_id, shard, tokens, cum_excl // 2048 AS pack_id, cum_excl % 2048 AS pack_offset
         |FROM w ORDER BY doc_id""".stripMargin,
     "t_contamination" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ts
+        |  FROM documents),
+        |ng AS (
+        |  SELECT DISTINCT doc_id, md5(array_to_string(ts[i:i+3], ' ')) AS g
+        |  FROM tok, UNNEST(generate_series(1, greatest(len(ts) - 3, 0))) AS u(i)),
+        |probe AS (SELECT DISTINCT g FROM ng WHERE doc_id % 7 = 0),
+        |corpus AS (SELECT doc_id, g FROM ng WHERE doc_id % 7 <> 0),
+        |hits AS (
+        |  SELECT c2.doc_id, COUNT(*) AS n_hit
+        |  FROM corpus c2 JOIN probe USING (g) GROUP BY c2.doc_id),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_gram FROM corpus GROUP BY doc_id)
+        |SELECT t.doc_id, COALESCE(n_hit, 0) AS n_hit, n_gram,
+        |  CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_gram AS overlap,
+        |  COALESCE(n_hit, 0) >= 0.5 * n_gram AS contaminated
+        |FROM tot t LEFT JOIN hits USING (doc_id)
+        |WHERE COALESCE(n_hit, 0) > 0
+        |ORDER BY overlap DESC, t.doc_id""".stripMargin,
+    // Identical semantics to t_contamination — the variant differs only
+    // in physical shape (separate probe scan + broadcast join).
+    "t_contamination_probe" ->
       """WITH tok AS (
         |  SELECT doc_id,
         |    string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ts

@@ -30,7 +30,11 @@ class CodegenSpec extends SparkSuite {
     import spark.implicits._
     val texts = Seq("", "a", "1234 !!!", "the cat and the hat sat",
       "der schnelle braune fuchs und der hund", "la casa de la colina que",
-      "les chats et les chiens de la maison") ++
+      "les chats et les chiens de la maison",
+      // supplementary-plane letters (\p{L} keeps them): each must count
+      // as ONE window element — code points, not UTF-16 units
+      "the 𝒜𝒞𝒟 cat and the 𝒻 hat",
+      "𝒜𝒞") ++
       spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         .select("text").as[String].take(100)
     val rows = texts.toDF("text")

@@ -46,10 +46,12 @@ class TrainPrepSpec extends SparkSuite {
 
   test("t_contamination: a duplicated probe document is fully contaminated") {
     import spark.implicits._
-    // synthetic corpus: doc 7 is a verbatim copy of probe doc 0
+    // synthetic corpus: doc 8 is a verbatim copy of probe doc 0; doc 9
+    // (NOT a multiple of 7, so it stays on the corpus side) shares no
+    // 4-gram with the probe set and must be absent from the output
     val docs = Seq(
       (0L, "alpha beta gamma delta epsilon zeta eta theta"),
-      (7L, "unrelated words that share no four gram with the probe set"),
+      (9L, "unrelated words that share no four gram with the probe set"),
       (8L, "alpha beta gamma delta epsilon zeta eta theta"))
       .toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
     // route through the same query body by writing a scratch dir
@@ -59,6 +61,18 @@ class TrainPrepSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), (r.getDouble(3), r.getBoolean(4)))).toMap
     assert(byId.contains(8L) && byId(8L)._1 == 1.0 && byId(8L)._2,
       "verbatim copy of a probe doc flags at overlap 1.0")
-    assert(!byId.contains(7L), "gram-disjoint doc does not appear")
+    assert(!byId.contains(9L), "gram-disjoint corpus doc does not appear")
+  }
+
+  test("t_contamination_probe: broadcast on the probe side, same answer") {
+    val probe = SparkEntry.queries("t_contamination_probe")(spark, d)
+    val p = probe.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "the probe-gram join must be a broadcast hash join:\n" + p)
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      "corpus grams must not shuffle for the overlap probe:\n" + p)
+    val a = probe.collect().map(_.toSeq).toSeq
+    val b = SparkEntry.queries("t_contamination")(spark, d).collect().map(_.toSeq).toSeq
+    assert(a == b, "two-source broadcast form must equal the one-source form")
   }
 }
