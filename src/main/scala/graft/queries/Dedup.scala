@@ -283,8 +283,15 @@ object Dedup {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
     }.foreach(_.unpersist(blocking = false))
 
+  /** @param hashToMin adds the v↔label(v) pointer edges each round
+    *   (O(log diameter) convergence); `false` is the plain
+    *   min-propagation fallback — O(diameter) rounds, same labels —
+    *   selectable at runtime via SPARK_GRAFT_CC_MODE=plain and pinned
+    *   convergent by DedupClusterSpec. */
   private[graft] def connectedComponents(nodes: DataFrame, pairs: DataFrame,
-      maxRounds: Int = 50): DataFrame = {
+      maxRounds: Int = 50,
+      hashToMin: Boolean = !sys.env.get("SPARK_GRAFT_CC_MODE").contains("plain"))
+      : DataFrame = {
     val p = pairs.localCheckpoint()
     val edges = p.toDF("src", "dst")
       .union(p.select(col("doc_b"), col("doc_a")).toDF("src", "dst"))
@@ -297,16 +304,17 @@ object Dedup {
     val touched = edges.select(col("src").as("doc_id")).distinct()
     var labels = touched.select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint(false)
+    val ccDebug = sys.env.contains("SPARK_GRAFT_CC_DEBUG")
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
+      val roundT0 = System.nanoTime()
       // Pointer edges v ↔ label(v): every label IS a touched node's id
       // (initial self-labels, preserved by min), so both directions
       // resolve. label(w) ≤ w for all w, hence the extra edges are
       // min-monotone and component-preserving. labels is a checkpoint,
       // so the unions add no recomputation to the join below.
-      val h2m = !sys.env.get("SPARK_GRAFT_CC_MODE").contains("plain")
-      val edgesPlus = if (!h2m) edges else edges
+      val edgesPlus = if (!hashToMin) edges else edges
         .union(labels.select(col("doc_id").as("src"), col("cluster_id").as("dst")))
         .union(labels.select(col("cluster_id").as("src"), col("doc_id").as("dst")))
       val nbrMin = edgesPlus.join(labels, edgesPlus("src") === labels("doc_id"))
@@ -327,13 +335,16 @@ object Dedup {
       // (correct but re-derived from scratch at next use: measured 3-7×
       // round-to-round variance at sf1). count() scans every partition,
       // so next is FULLY materialized before prev's blocks are freed.
-      converged = next.filter(col("chg")).count() == 0L
+      val changed = next.filter(col("chg")).count()
+      converged = changed == 0L
       val prev = labels
       labels = next.drop("chg")
       freeCheckpoint(prev)
       round += 1
+      if (ccDebug) System.err.println(
+        f"[cc] round=$round changed=$changed sec=${(System.nanoTime() - roundT0) / 1e9}%.3f")
     }
-    if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
+    if (ccDebug)
       System.err.println(s"[cc] converged=$converged rounds=$round")
     require(converged, s"connectedComponents did not converge in $maxRounds rounds")
     freeCheckpoint(edges)

@@ -40,6 +40,21 @@ class DedupClusterSpec extends SparkSuite {
     assert((1L to 64L).forall(cc(_) == 1L), "whole chain is one cluster rooted at 1")
   }
 
+  test("plain mode (SPARK_GRAFT_CC_MODE=plain fallback) converges to the same labels") {
+    import spark.implicits._
+    // Same graph as the first test. Plain min-propagation is
+    // O(diameter) rounds — the 1-2-3-4-5 chain needs ~5 — but must
+    // land on identical labels; this pins the runtime escape hatch.
+    val nodes = (1L to 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (6L, 7L))
+      .toDF("doc_a", "doc_b")
+    val fast = Dedup.connectedComponents(nodes, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    val plain = Dedup.connectedComponents(nodes, pairs, hashToMin = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    assert(plain == fast, "plain fallback must produce identical clustering")
+  }
+
   test("connected components: maxRounds guard throws instead of returning unconverged labels") {
     import spark.implicits._
     val nodes = (1L to 4L).toDF("doc_id")
