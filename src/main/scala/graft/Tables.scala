@@ -38,6 +38,13 @@ object Tables {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // timestamp[us] with no zone reads as TIMESTAMP_NTZ, which
+        // session_window/approxQuantile reject; the session zone is
+        // pinned to UTC in [[configure]], so this cast maps each naive
+        // wall-clock to the same instant the nanos path produced.
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

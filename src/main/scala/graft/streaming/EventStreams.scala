@@ -18,11 +18,16 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Parquet schema of events.parquet as the stream source sees it
-    * (ts = INT64 nanos, see Tables.configure). */
-  val eventSchema: StructType = StructType(Seq(
+  /** Parquet schema of events.parquet as the stream source sees it.
+    * The driver's ts encoding has varied across rounds — TIMESTAMP
+    * (NANOS), which `nanosAsLong` surfaces as INT64 (see
+    * Tables.configure), and timestamp[us] with no zone, which reads as
+    * TIMESTAMP_NTZ — and ScaleUp-derived corpora inherit whichever
+    * encoding they were struck from, so the source schema is
+    * parameterized by the ts type actually found in the footer. */
+  def eventSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -77,10 +82,19 @@ object EventStreams {
 
   private def readEvents(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val reader = spark.readStream.schema(eventSchema)
+    val d = streamDir(dir)
+    // One batch footer read decides the ts encoding; every branch
+    // normalizes to TimestampType instants (session zone is UTC), so
+    // downstream watermarks/windows are encoding-independent.
+    val tsType = spark.read.parquet(d).schema("ts").dataType
+    val reader = spark.readStream.schema(eventSchema(tsType))
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.parquet(streamDir(dir))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = reader.parquet(d)
+    tsType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   /** Daily tumbling-window counts + exact decimal sums per event type,

@@ -27,10 +27,14 @@ class StreamDedupSpec extends SparkSuite {
     val base = Files.createTempDirectory("graft_stream_split")
     val evDir = base.resolve("events.parquet")
     Files.createDirectories(evDir)
-    val ev = Tables.t(spark, "/root/testdata/sf0.001", "events")
-    val Array(t1, t2) = ev.stat.approxQuantile("ts", Array(0.33, 0.66), 0.0)
+    // The NORMALIZED reader (ts always TimestampType regardless of the
+    // driver's encoding of the round); the split files then carry
+    // timestamp[us] and the stream source's adaptive schema reads them.
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val tsl = col("ts").cast("double") // epoch seconds, for the numeric-only quantile
+    val Array(t1, t2) = ev.select(tsl.as("tsl")).stat.approxQuantile("tsl", Array(0.33, 0.66), 0.0)
     val ranges = Seq(
-      col("ts") <= t1, col("ts") > t1 && col("ts") <= t2, col("ts") > t2)
+      tsl <= t1, tsl > t1 && tsl <= t2, tsl > t2)
     ranges.zipWithIndex.foreach { case (cond, i) =>
       val scratch = Files.createTempDirectory(s"graft_split_$i")
       ev.filter(cond).coalesce(1).write.mode("overwrite")
