@@ -119,6 +119,49 @@ object TrainPrep {
           (coalesce(col("n_hit"), lit(0L)) >= lit(0.5) * col("n_gram")).as("contaminated"))
         .filter(col("n_hit") > 0)
         .orderBy(col("overlap").desc, col("doc_id"))
+    }),
+
+    // Cross-document span dedup (the C4/RefinedWeb "remove repeated
+    // lines/spans across documents" cleaning step, applied at aligned
+    // 8-token chunk granularity since this corpus has no sentence
+    // punctuation): a chunk whose exact text appears in ≥2 distinct
+    // documents is dropped from EVERY document, and each document's
+    // text is reconstructed from its kept chunks in order. Documents
+    // whose every chunk is shared (verbatim duplicates) vanish.
+    //
+    // Scale shape: chunking is a narrow per-row transform; the chunk
+    // frequency count shuffles xxhash64 LONGS (the strings never leave
+    // their scan partition for the agg — the hashedShingles discipline,
+    // exact up to 64-bit collisions); and the duplicated-span set is
+    // the SMALL side at any corpus size (shared boilerplate ≪ corpus),
+    // so the removal is a BROADCAST anti-join probe per chunk —
+    // map-side, no shuffle of the corpus chunk stream. Reconstruction
+    // is the one by-doc shuffle, with the deterministic sorted-fold
+    // concat (collect_list order is shuffle-arrival; array_sort by pos
+    // pins it).
+    "t_span_dedup" -> ((s, d) => {
+      val ts = split(col("text"), " ")
+      val chunkArr = expr("transform(sequence(0, cast(ceil(size(ts) / 8.0) as int) - 1), " +
+        "i -> array_join(slice(ts, i*8+1, 8), ' '))")
+      val chunks = Tables.documents(s, d)
+        .select(col("doc_id"), ts.as("ts"))
+        // Spark's sequence DESCENDS when stop < start (an empty text
+        // would yield sequence(0,-1) = [0,-1]); DuckDB's
+        // generate_series is empty — take the empty branch explicitly.
+        .select(col("doc_id"), posexplode(when(size(col("ts")) > 0, chunkArr)
+          .otherwise(array().cast("array<string>"))).as(Seq("pos", "chunk")))
+        .withColumn("h", xxhash64(col("chunk")))
+        .localCheckpoint()
+      val dup = chunks.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("ndocs"))
+        .filter(col("ndocs") >= 2).select(col("h"))
+      chunks.join(broadcast(dup), Seq("h"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(
+          array_join(transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+            x => x.getField("chunk")), " ").as("cleaned_text"),
+          count(lit(1)).as("n_kept"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -175,6 +218,22 @@ object TrainPrep {
         |  COALESCE(n_hit, 0) >= 0.5 * n_gram AS contaminated
         |FROM tot t LEFT JOIN hits USING (doc_id)
         |WHERE COALESCE(n_hit, 0) > 0
-        |ORDER BY overlap DESC, t.doc_id""".stripMargin
+        |ORDER BY overlap DESC, t.doc_id""".stripMargin,
+    "t_span_dedup" ->
+      """WITH c AS (
+        |  SELECT doc_id, u.pos AS pos, u.chunk AS chunk FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |        generate_series(0, CAST(ceil(len(ts) / 8.0) AS INT) - 1),
+        |        i -> {'pos': i, 'chunk': array_to_string(ts[i*8+1 : i*8+8], ' ')})) AS u
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents))),
+        |dup AS (
+        |  SELECT chunk FROM (
+        |    SELECT chunk, COUNT(DISTINCT doc_id) AS ndocs FROM c GROUP BY chunk)
+        |  WHERE ndocs >= 2)
+        |SELECT doc_id,
+        |  string_agg(chunk, ' ' ORDER BY pos) AS cleaned_text,
+        |  COUNT(*) AS n_kept
+        |FROM c ANTI JOIN dup USING (chunk)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -64,6 +64,34 @@ class TrainPrepSpec extends SparkSuite {
     assert(!byId.contains(9L), "gram-disjoint corpus doc does not appear")
   }
 
+  test("t_span_dedup: shared chunks drop everywhere, order survives, dup docs vanish") {
+    import spark.implicits._
+    // Chunks are ALIGNED 8-token windows: docs 1 and 2 share their
+    // first chunk verbatim (dropped from both), keep distinct tails;
+    // doc 3 is 16 tokens all shared with doc 4 — both vanish.
+    val shared = "the quick brown fox jumps over the lazy"
+    val docs = Seq(
+      (1L, s"$shared tail one unique to doc one only padding endone"),
+      (2L, s"$shared tail two unique to doc two only padding endtwo"),
+      (3L, "copy pasta block one two three four five copy pasta block six seven eight nine ten"),
+      (4L, "copy pasta block one two three four five copy pasta block six seven eight nine ten"))
+      .toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+    val tmp = java.nio.file.Files.createTempDirectory("sd").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("t_span_dedup")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out.keySet == Set(1L, 2L), "fully-shared docs 3 and 4 vanish")
+    assert(out(1L)._1 == "tail one unique to doc one only padding endone" && out(1L)._2 == 2L)
+    assert(out(2L)._1 == "tail two unique to doc two only padding endtwo" && out(2L)._2 == 2L)
+  }
+
+  test("t_span_dedup: the dup-span removal is a broadcast anti-join probe") {
+    val p = SparkEntry.queries("t_span_dedup")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "chunk removal must be a map-side broadcast anti probe:\n" + p)
+  }
+
   test("t_contamination_probe: broadcast on the probe side, same answer") {
     val probe = SparkEntry.queries("t_contamination_probe")(spark, d)
     val p = probe.queryExecution.executedPlan.toString
