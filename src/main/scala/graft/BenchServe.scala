@@ -72,6 +72,30 @@ object BenchServe {
       "columns" -> snap.columnsByModel.getOrElse(m.uniqueId, Vector.empty).map(_.name)))).sum
     val reduction = 1.0 - cap.tokenEstimate.toDouble / naiveTokens
 
+    // 10k-model workload — the TOP of the reference's stated envelope
+    // (200-10,000+ models, /root/reference/README.md:13). Same protocol;
+    // 3 rebuild rounds (each is a full 10k ingest) and the same 20 warm
+    // tool rounds. Targets are identical — the reference publishes ONE
+    // set of serving targets for the whole envelope — with the
+    // BASELINE.json 2x allowance available at this end of it.
+    val path10k = GenManifest.write(10000)
+    val rebuild10k = (1 to 3).map { _ =>
+      timeMs(Engine.fromManifest(spark, path10k).getProjectStats().collect())._2
+    }
+    val engine10k = Engine.fromManifest(spark, path10k)
+    require(engine10k.getProjectStats().collect().head.getAs[Long]("models") == 10000L)
+    val search10kMs = warmRounds(20)(engine10k.searchModels("metric model", limit = 10).collect())
+    val lineage10kMs = warmRounds(20)(engine10k.getLineage("model.gen.m_5000", 3, 3).collect())
+    val capsule10kMs = warmRounds(20)(
+      engine10k.getContextCapsule("debug metric model", focusModel = Some("fct_model_9999")))
+    val cap10k = engine10k.getContextCapsule("debug metric model", focusModel = Some("fct_model_9999"))
+    val snap10k = engine10k.catalog.snapshot
+    val naive10k = snap10k.models.map(m => graft.util.Json.estimateTokens(Map(
+      "unique_id" -> m.uniqueId, "name" -> m.name, "sql" -> m.sqlText,
+      "description" -> m.description,
+      "columns" -> snap10k.columnsByModel.getOrElse(m.uniqueId, Vector.empty).map(_.name)))).sum
+    val reduction10k = 1.0 - cap10k.tokenEstimate.toDouble / naive10k
+
     // BASELINE.md targets: rebuild 5 s, search 100 ms, lineage 50 ms,
     // capsule 500 ms (each with a 2x allowance in the driver's check).
     def f(v: Double) = f"$v%.3f"
@@ -81,6 +105,10 @@ object BenchServe {
         s""""lineage_ms":${f(p50(lineageMs))},"capsule_ms":${f(p50(capsuleMs))},""" +
         s""""token_reduction_pct":${f(reduction * 100)},""" +
         s""""targets":{"rebuild_sec":5,"search_ms":100,"lineage_ms":50,"capsule_ms":500,"token_reduction_pct":50},""" +
+        s""""at_10k":{"workload":"10000-model chained manifest","rounds":{"rebuild":3,"warm":20},""" +
+        s""""rebuild_sec":${f(p50(rebuild10k) / 1000)},"search_ms":${f(p50(search10kMs))},""" +
+        s""""lineage_ms":${f(p50(lineage10kMs))},"capsule_ms":${f(p50(capsule10kMs))},""" +
+        s""""token_reduction_pct":${f(reduction10k * 100)}},""" +
         s""""protocol":"p50; rebuild cold-per-round after JVM warmup, tool calls warm, local[$cpus]"}"""
     try Files.writeString(Paths.get(outPath), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench-serve] write $outPath failed: $e") }
