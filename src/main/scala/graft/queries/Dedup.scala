@@ -421,15 +421,44 @@ object Dedup {
       .withColumn("hm", pmod(col("h"), lit(P)))
       .localCheckpoint(false)
 
-  /** 32 minhash signature minima AND the per-doc shingle count the
-    * verifier needs, from ONE aggregation pass over the hashed
-    * shingles; localCheckpoint'ed because the band explode and the
-    * verifier's count side both read it — without it each consumer
-    * re-runs the aggregation over the full shingle table. */
-  private def minhashSignatures(sh: DataFrame): DataFrame = {
+  /** 32 minhash signature minima AND the per-doc distinct-shingle
+    * count the verifier needs — computed SCAN-LOCALLY by the codegen
+    * kernel [[graft.functions.MinhashSig]] (`graft_minhash`): the
+    * signature is a per-document scalar, so the former
+    * groupBy(doc_id).agg(32 × min) shuffled the entire shingle stream
+    * (O(corpus tokens) rows) only to fold it back to one row per
+    * document; the kernel folds during the corpus scan instead — zero
+    * shuffle bytes for the signature stage at any corpus size.
+    * MinhashSigSpec pins bit-equality with the retired aggregation
+    * formulation ([[minhashSignaturesAgg]]). localCheckpoint'ed
+    * because the band explode and the verifier's count side both read
+    * it. */
+  private def minhashSignatures(s: SparkSession, d: String, sh: DataFrame): DataFrame = {
+    // SPARK_GRAFT_MINHASH_MODE=agg selects the aggregation fallback at
+    // runtime (the CC plain-mode precedent: the escape hatch is tested,
+    // not dead — MinhashSigSpec pins both formulations bit-identical,
+    // and the A/B is how the kernel's scale benefit gets measured).
+    // `sh` is the caller's already-checkpointed hashed-shingle frame,
+    // so fallback mode re-aggregates it rather than re-building it.
+    if (sys.env.get("SPARK_GRAFT_MINHASH_MODE").contains("agg"))
+      return minhashSignaturesAgg(sh).localCheckpoint(false)
+    graft.functions.MinhashSig.register(s)
+    val sigCols = (0 until NumPerms).map(i => col("sig")(i).as(s"m$i")) :+
+      col("sig")(NumPerms).as("n")
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr("graft_minhash(text)").as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id") +: sigCols: _*)
+      .localCheckpoint(false)
+  }
+
+  /** The retired aggregation formulation of [[minhashSignatures]],
+    * kept for the MinhashSigSpec parity pin (the oracle contract:
+    * kernel == explode+agg, bit for bit). */
+  private[graft] def minhashSignaturesAgg(sh: DataFrame): DataFrame = {
     val sigCols = (0 until NumPerms).map(i => min(minhashPerm(col("hm"), i)).as(s"m$i")) :+
       count(lit(1)).as("n")
-    sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*).localCheckpoint(false)
+    sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
   }
 
   /** (doc_id, band_key) rows, hot keys capped. All 16 band keys come
@@ -472,7 +501,7 @@ object Dedup {
     * production, varied by BandCapSpec. */
   private[graft] def minhashLsh(s: SparkSession, d: String, cap: Int): DataFrame = {
     val sh = hashedShingles(s, d)
-    val sig = minhashSignatures(sh)
+    val sig = minhashSignatures(s, d, sh)
     val bands = minhashBandRows(sig, cap)
     val cands = bands.as("x").join(bands.as("y"),
         col("x.band_key") === col("y.band_key") && col("x.doc_id") < col("y.doc_id"))
@@ -505,7 +534,7 @@ object Dedup {
   private[graft] def incrementalNearDup(s: SparkSession, d: String, cap: Int): DataFrame = {
     val isDelta = pmod(col("doc_id"), lit(10)) === 0
     val sh = hashedShingles(s, d)
-    val sig = minhashSignatures(sh)
+    val sig = minhashSignatures(s, d, sh)
     val bands = minhashBandRows(sig, cap)
     val cands = bands.filter(isDelta).as("x")
       .join(bands.filter(!isDelta).as("y"), col("x.band_key") === col("y.band_key"))

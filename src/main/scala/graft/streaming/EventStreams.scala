@@ -80,13 +80,21 @@ object EventStreams {
     d.toString
   }
 
+  // ts-encoding probe results, keyed by resolved stream dir — the
+  // footer read costs a Spark job's worth of listing per construction
+  // and a bench/serving process constructs the same stream repeatedly;
+  // the encoding of a given corpus never changes under it.
+  private val tsTypeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataType]()
+
   private def readEvents(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val d = streamDir(dir)
     // One batch footer read decides the ts encoding; every branch
     // normalizes to TimestampType instants (session zone is UTC), so
     // downstream watermarks/windows are encoding-independent.
-    val tsType = spark.read.parquet(d).schema("ts").dataType
+    val tsType = tsTypeCache.computeIfAbsent(d,
+      dd => spark.read.parquet(dd).schema("ts").dataType)
     val reader = spark.readStream.schema(eventSchema(tsType))
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val df = reader.parquet(d)
