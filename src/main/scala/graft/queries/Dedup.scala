@@ -68,23 +68,22 @@ object Dedup {
     * identity rides the 60-bit md5 hash (see the same move in
     * [[minhashLsh]]): the self-join shuffles and compares 8-byte longs
     * instead of ~20-byte strings, exact up to 2^-60 collisions. The
-    * hash stage is localCheckpoint'ed — it feeds the count side and
-    * both join sides. */
+    * hash stage is localCheckpoint'ed — it feeds the sharing-pair
+    * self-join (both sides) and the [[verifyJaccard]] array build.
+    * Sharing-pair discovery stays the all-pairs h-join (this operator
+    * IS the ground truth); the overlap/count computation rides the
+    * same array_intersect verifier as the LSH path — one distinct
+    * over sharing pairs replaces the per-match-row groupBy and two
+    * count joins. */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     val sh = shingleRows(s, d)
       .select(col("doc_id"), h60(col("s")).as("h"))
       .localCheckpoint()
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val ov = sh.as("a").join(sh.as("b"),
+    val cands = sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("overlap"))
-    ov.join(cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-      .withColumn("jaccard",
-        col("overlap").cast("double") / (col("na") + col("nb") - col("overlap")).cast("double"))
-      .filter(col("jaccard") >= JaccardThreshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cands, sh, "doc_a", "doc_b")
   }
 
   /** Ground-truth pair CTE chain (ends with CTE `j`), shared by the
@@ -481,20 +480,48 @@ object Dedup {
     * point of LSH: the quadratic verifier touches just the
     * band-collision pairs, not all C(n,2). `cands` carries id columns
     * `leftCol`/`rightCol`; emits those plus `jaccard` for pairs at or
-    * above the threshold. */
-  private def verifyJaccard(cands: DataFrame, sh: DataFrame, cnt: DataFrame,
+    * above the threshold.
+    *
+    * Physical shape (round 7, probe-driven): the former formulation
+    * exploded every candidate through a per-shingle equi-join
+    * (|cands| × shingles-per-doc intermediate rows — 300M rows and
+    * 53 of the pipeline's 69 seconds at ×64, measured by
+    * [[DedupProbe]]), then folded the matches back with a pair
+    * groupBy and re-joined per-doc counts twice. Instead the distinct
+    * shingle hashes are collected ONCE into a sorted per-doc array
+    * (one agg over the shingle frame, |docs| output rows) and each
+    * candidate row computes its overlap with codegen
+    * `array_intersect` — two array-attach joins at |cands| rows, no
+    * explode, and na/nb fall out as `size(hs)` so the count joins
+    * vanish. Same answer: overlap counts DISTINCT shared hashes,
+    * which equals the old per-row match count up to 64-bit collisions
+    * (the documented xxhash64 identity contract). ×64 verify:
+    * 53.3 s → measured after change below; see SURVEY §9.12. */
+  private def verifyJaccard(cands: DataFrame, sh: DataFrame,
       leftCol: String, rightCol: String): DataFrame = {
-    val ov = cands
-      .join(sh.select(col("doc_id").as(leftCol), col("h")), leftCol)
-      .join(sh.select(col("doc_id").as(rightCol), col("h")), Seq(rightCol, "h"))
-      .groupBy(leftCol, rightCol).agg(count(lit(1)).as("overlap"))
-    ov.join(cnt.select(col("doc_id").as(leftCol), col("n").as("na")), leftCol)
-      .join(cnt.select(col("doc_id").as(rightCol), col("n").as("nb")), rightCol)
+    val arrs = sh.groupBy("doc_id").agg(sort_array(collect_list(col("h"))).as("hs"))
+      .localCheckpoint(false)
+    cands
+      .join(arrs.select(col("doc_id").as(leftCol), col("hs").as("hs_a")), leftCol)
+      .join(arrs.select(col("doc_id").as(rightCol), col("hs").as("hs_b")), rightCol)
+      .select(col(leftCol), col(rightCol),
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("overlap"),
+        size(col("hs_a")).cast("long").as("na"), size(col("hs_b")).cast("long").as("nb"))
       .withColumn("jaccard",
         col("overlap").cast("double") / (col("na") + col("nb") - col("overlap")).cast("double"))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col(leftCol), col(rightCol), col("jaccard"))
   }
+
+  // Probe accessors for [[DedupProbe]] (stage-cost diagnostics only).
+  private[queries] def hashedShinglesProbe(s: SparkSession, d: String): DataFrame =
+    hashedShingles(s, d)
+  private[queries] def minhashSignaturesProbe(s: SparkSession, d: String, sh: DataFrame): DataFrame =
+    minhashSignatures(s, d, sh)
+  private[queries] def minhashBandRowsProbe(sig: DataFrame, cap: Int): DataFrame =
+    minhashBandRows(sig, cap)
+  private[queries] def verifyJaccardProbe(cands: DataFrame, sh: DataFrame): DataFrame =
+    verifyJaccard(cands, sh, "doc_a", "doc_b")
 
   /** MinHash+LSH near-dup pipeline body (see the `d_minhash_lsh` entry
     * in [[queries]]); `cap` is the hot-band cap, [[MaxBandSize]] in
@@ -507,7 +534,7 @@ object Dedup {
         col("x.band_key") === col("y.band_key") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cands, sh, sig.select(col("doc_id"), col("n")), "doc_a", "doc_b")
+    verifyJaccard(cands, sh, "doc_a", "doc_b")
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -540,8 +567,7 @@ object Dedup {
       .join(bands.filter(!isDelta).as("y"), col("x.band_key") === col("y.band_key"))
       .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("dup_of"))
       .distinct()
-    val verified = verifyJaccard(cands, sh, sig.select(col("doc_id"), col("n")),
-      "doc_id", "dup_of")
+    val verified = verifyJaccard(cands, sh, "doc_id", "dup_of")
     val best = verified
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("jaccard").desc, col("dup_of"))))
