@@ -110,7 +110,7 @@ object Bench {
       else skip.toSeq.sorted.map("\"" + _ + "\"").mkString(""","skipped":[""", ",", "]")
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$p50s,""" +
       s""""p95":$p95s,"rounds":$roundsUsed,""" +
-      s""""protocol":"p50 of <=$Rounds rounds, warm, full materialization (toRdd), ${PerQueryCapSec.toInt}s/query cap, per-query gc isolation"$skippedJson,"sf":"$sfDir"}"""
+      s""""protocol":"p50 of <=$Rounds rounds, warm, full materialization (toRdd), ${PerQueryCapSec.toInt}s/query cap, per-query gc isolation, local[$cpus], heap ${Runtime.getRuntime.maxMemory() >> 30}g"$skippedJson,"sf":"$sfDir"}"""
     try Files.writeString(Paths.get(outPath), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
     println(json)
