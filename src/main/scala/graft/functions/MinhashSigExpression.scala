@@ -108,10 +108,84 @@ object MinhashSig {
     out
   }
 
-  /** Register `graft_minhash(string)` for `expr(...)`/`spark.sql`. */
-  def register(spark: SparkSession): Unit =
+  /** The document's DISTINCT shingle xxhash64 values, sorted — the
+    * per-doc array the exact-Jaccard verifier attaches per candidate
+    * pair (`Dedup.verifyJaccard`'s `sort_array(collect_list(h))`,
+    * computed scan-locally instead of explode+agg). Null when the
+    * document has no 3-token shingle. NOTE: distinct is on STRINGS
+    * first (matching the exploded formulation), then hashes — two
+    * colliding distinct strings yield a duplicate hash that sorts
+    * adjacent, exactly as collect_list over the exploded rows did. */
+  def hashArray(text: String): Array[Long] = {
+    val toks = text.split(" ", -1)
+    if (toks.length < 3) return null
+    val seen = new java.util.HashSet[String]()
+    val out = new java.util.ArrayList[java.lang.Long]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i + 2 < toks.length) {
+      sb.setLength(0)
+      sb.append(toks(i)).append(' ').append(toks(i + 1)).append(' ').append(toks(i + 2))
+      val sh = sb.toString
+      if (seen.add(sh))
+        out.add(XxHash64Function.hash(UTF8String.fromString(sh), StringType, 42L))
+      i += 1
+    }
+    if (out.isEmpty) return null
+    val arr = new Array[Long](out.size)
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j); j += 1 }
+    java.util.Arrays.sort(arr)
+    arr
+  }
+
+  /** Register `graft_minhash(string)` and `graft_shingles(string)` for
+    * `expr(...)`/`spark.sql`. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinhashSig].getName, "graft_minhash"),
       (exprs: Seq[Expression]) => MinhashSig(exprs.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingles"),
+      (exprs: Seq[Expression]) => ShingleHashes(exprs.head))
+  }
+}
+
+/** Native Catalyst expression wrapping [[MinhashSig.hashArray]]:
+  * `graft_shingles(text)` → sorted `array<bigint>` of the document's
+  * distinct shingle hashes (null when no shingle). */
+case class ShingleHashes(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_shingles needs a string input, got $t")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = MinhashSig.hashArray(input.asInstanceOf[UTF8String].toString)
+    if (hs == null) null else new GenericArrayData(hs)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("hs")
+      s"""
+         |long[] $out = graft.functions.MinhashSig.hashArray($c.toString());
+         |if ($out == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
 }

@@ -30,10 +30,10 @@ import graft.functions.TextHash._
   */
 object Dedup {
 
-  private val JaccardThreshold = 0.8
-  private val NumPerms = 32 // 16 bands × 2 rows: P(miss | J=0.8) ≈ (1-0.64)^16 ≈ 1e-7
-  private val NumBands = 16
-  private val RowsPerBand = 2
+  private[graft] val JaccardThreshold = 0.8
+  private[queries] val NumPerms = 32 // 16 bands × 2 rows: P(miss | J=0.8) ≈ (1-0.64)^16 ≈ 1e-7
+  private[queries] val NumBands = 16
+  private[queries] val RowsPerBand = 2
 
   /** Hot-band candidate cap. A band key shared by m documents emits
     * m(m-1)/2 candidate pairs — a boilerplate-heavy corpus (cookie
@@ -217,6 +217,22 @@ object Dedup {
     // dedup shape; cost scales with the delta, the corpus never
     // self-joins.
     "d_incr_neardup" -> ((s, d) => incrementalNearDup(s, d, MaxBandSize)),
+
+    // Incremental near-dup against the PERSISTED index
+    // ([[MinhashIndex]]): identical contract and oracle as
+    // d_incr_neardup, but the corpus side is the bucketed band+array
+    // index built once per session and probed per batch - the
+    // standing-pipeline shape where probe cost scales with the delta
+    // only (the self-contained gate above rebuilds the corpus side
+    // every call).
+    "d_incr_indexed" -> ((s, d) => {
+      val idx = MinhashIndex.of(s, "incr|" + d, Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        .select(col("doc_id"), col("text")))
+      idx.probe(Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id"), col("text")), MaxBandSize)
+    }),
 
     // Semantic near-dup clusters: the same connected-components kernel
     // over the embedding LSH pair graph (cosine ≥ 0.45 verified) —
@@ -658,6 +674,25 @@ object Dedup {
       |sig AS (SELECT doc_id, CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
       |        FROM bits GROUP BY doc_id)""".stripMargin
 
+  /** DuckDB mirror of the incremental near-dup contract, shared by
+    * the self-contained gate and the [[MinhashIndex]]-probe gate. */
+  private lazy val incrNearDupSql: String =
+    s"""WITH $jaccardCtes,
+       |m AS (SELECT CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS doc_id,
+       |             CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS dup_of,
+       |             jaccard
+       |      FROM j
+       |      WHERE jaccard >= $JaccardThreshold
+       |        AND ((doc_a % 10 = 0) <> (doc_b % 10 = 0))),
+       |best AS (SELECT doc_id, dup_of, jaccard,
+       |           ROW_NUMBER() OVER (PARTITION BY doc_id
+       |                              ORDER BY jaccard DESC, dup_of) AS rn
+       |         FROM m)
+       |SELECT d.doc_id, b.dup_of, b.jaccard, b.dup_of IS NULL AS is_new
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+       |LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+       |ORDER BY d.doc_id""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "d_exact_dedup" ->
       """SELECT doc_id, content_hash,
@@ -671,22 +706,9 @@ object Dedup {
     // All-pairs delta×corpus ground truth: the mixed-parity pairs of
     // the exact Jaccard CTE, best match per delta doc, left-joined back
     // so unduplicated delta docs surface as is_new.
-    "d_incr_neardup" ->
-      s"""WITH $jaccardCtes,
-         |m AS (SELECT CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS doc_id,
-         |             CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS dup_of,
-         |             jaccard
-         |      FROM j
-         |      WHERE jaccard >= $JaccardThreshold
-         |        AND ((doc_a % 10 = 0) <> (doc_b % 10 = 0))),
-         |best AS (SELECT doc_id, dup_of, jaccard,
-         |           ROW_NUMBER() OVER (PARTITION BY doc_id
-         |                              ORDER BY jaccard DESC, dup_of) AS rn
-         |         FROM m)
-         |SELECT d.doc_id, b.dup_of, b.jaccard, b.dup_of IS NULL AS is_new
-         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
-         |LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
-         |ORDER BY d.doc_id""".stripMargin,
+    "d_incr_neardup" -> incrNearDupSql,
+    // The indexed variant has IDENTICAL semantics - one oracle.
+    "d_incr_indexed" -> incrNearDupSql,
     // Transitive closure over the ground-truth pair set: reach(v, r)
     // floods every component member's id through the symmetric edge
     // list (UNION = distinct → terminates); MIN(r) per node is the

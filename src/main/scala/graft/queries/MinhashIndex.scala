@@ -1,0 +1,238 @@
+package graft.queries
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Scratch
+
+/** Persisted MinHash+LSH index — the near-dup counterpart of
+  * [[graft.search.PostingsIndex]] / [[IvfIndex]]: the corpus side of
+  * incremental near-dup detection is BUILT ONCE and probed by every
+  * ingest batch, so probe cost scales with the delta, never the
+  * corpus. ([[Dedup.incrementalNearDup]] carries the same semantics
+  * as a self-contained gate query, but rebuilds the corpus bands and
+  * shingle frame on every call — the shape this index exists to
+  * retire in a standing pipeline.)
+  *
+  * Two bucketed tables per corpus, BOTH built scan-locally (the
+  * `graft_minhash` / `graft_shingles` kernels — zero shuffle except
+  * the bucket-write repartitions):
+  *
+  *   - `<name>`     : (doc_id, band_key) — 16 band keys per doc,
+  *                    bucketed by band_key, so the probe's collision
+  *                    join reads matching buckets without shuffling
+  *                    the corpus band table;
+  *   - `<name>_arr` : (doc_id, hs) — the doc's sorted distinct
+  *                    shingle-hash array, bucketed by doc_id, so the
+  *                    verifier's corpus-side array attach join skips
+  *                    its exchange.
+  *
+  * Probe plan (per delta batch): delta bands + arrays computed
+  * scan-locally; the delta's distinct band keys BROADCAST against the
+  * corpus band table (map-side semi-probe — the corpus never
+  * shuffles); hot-band cap applied to the COMBINED per-key count
+  * (corpus hits + delta rows — identical to
+  * [[Dedup.capHotBands]] over the union, because keys on one side
+  * only produce no candidates); codegen `array_intersect` exact
+  * verify; best match + is_new per delta doc. MinhashIndexSpec pins
+  * row equality with [[Dedup.incrementalNearDup]] and the no-exchange
+  * corpus scans.
+  */
+object MinhashIndex {
+
+  /** Bucket count for both tables — 100 TB sizing note: production
+    * picks ~#cores × a small factor; the bucket count bounds probe
+    * parallelism, not correctness. */
+  val NumBuckets = 32
+
+  final class Index private[MinhashIndex] (spark: SparkSession,
+      baseName: String, generation: Int, cacheKey: String) {
+
+    def tableName: String =
+      if (generation == 0) baseName else s"${baseName}_g$generation"
+    def arraysTable: String = tableName + "_arr"
+
+    /** (doc_id, band_key), bucketed by band_key. */
+    def bands: DataFrame = spark.table(tableName)
+    /** (doc_id, hs sorted array<long>), bucketed by doc_id. */
+    def arrays: DataFrame = spark.table(arraysTable)
+
+    /** Flag each delta document (doc_id, text) that is a near-dup
+      * (J ≥ [[Dedup.JaccardThreshold]]) of an INDEXED document: best
+      * match (max jaccard, ties to smallest corpus id) + `is_new`
+      * verdict per delta doc — the [[Dedup.incrementalNearDup]]
+      * contract against the persisted corpus. */
+    def probe(delta: DataFrame, cap: Int = Dedup.MaxBandSize): DataFrame = {
+      graft.functions.MinhashSig.register(spark)
+      val sigged = delta
+        .select(col("doc_id"), expr("graft_minhash(text)").as("sig"),
+          expr("graft_shingles(text)").as("hs"))
+        .localCheckpoint(false)
+      val deltaBands = sigged.filter(col("sig").isNotNull)
+        .select(col("doc_id"), explode(array(MinhashIndex.bandKeysOfSig: _*)).as("band_key"))
+        .localCheckpoint(false)
+
+      // Corpus rows of colliding keys only: broadcast the delta's key
+      // set — the corpus band table is scanned in place (bucketed, no
+      // exchange), everything else is delta-sized.
+      val collidingKeys = deltaBands.select(col("band_key")).distinct()
+      val corpusHits = bands.join(broadcast(collidingKeys), "band_key")
+        .localCheckpoint(false)
+
+      // Combined hot-band cap: corpus hits + delta rows per key ==
+      // capHotBands' window count over the union (keys absent from one
+      // side yield no candidates, so uncounted rows don't matter).
+      val corpusN = corpusHits.groupBy("band_key").agg(count(lit(1)).as("cn"))
+      val deltaN = deltaBands.groupBy("band_key").agg(count(lit(1)).as("dn"))
+      val keptKeys = corpusN.join(deltaN, "band_key")
+        .filter(col("cn") + col("dn") <= cap)
+        .select(col("band_key"))
+
+      // Delta rows of kept keys ⋈ corpus hits (corpus rows of dropped
+      // keys can't match — the key filter needs only one side).
+      val candPairs = deltaBands.join(broadcast(keptKeys), "band_key").as("x")
+        .join(corpusHits.as("y"), Seq("band_key"))
+        .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("dup_of"))
+        .distinct()
+
+      // Exact verify: delta arrays ride the checkpointed sigged frame;
+      // corpus arrays attach from the bucketed table (no exchange on
+      // that side).
+      val verified = candPairs
+        .join(sigged.select(col("doc_id"), col("hs").as("hs_a")), "doc_id")
+        .join(arrays.select(col("doc_id").as("dup_of"), col("hs").as("hs_b")), "dup_of")
+        .select(col("doc_id"), col("dup_of"),
+          size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("overlap"),
+          size(col("hs_a")).cast("long").as("na"), size(col("hs_b")).cast("long").as("nb"))
+        .withColumn("jaccard",
+          col("overlap").cast("double") / (col("na") + col("nb") - col("overlap")).cast("double"))
+        .filter(col("jaccard") >= Dedup.JaccardThreshold)
+
+      val best = verified
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+            .orderBy(col("jaccard").desc, col("dup_of"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("dup_of"), col("jaccard"))
+      delta.select(col("doc_id"))
+        .join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dup_of"), col("jaccard"),
+          col("dup_of").isNull.as("is_new"))
+        .orderBy(col("doc_id"))
+    }
+
+    /** Incrementally index `newDocs` ((doc_id, text) rows with NEW doc
+      * ids — ENFORCED: the guard semi-joins the delta's ids against
+      * the arrays table's id column and throws on overlap). Bands and
+      * arrays append scan-locally; nothing corpus-sized recomputes —
+      * there are no global statistics to merge (band counts are
+      * derived per probe), so probes see the appended corpus
+      * immediately. */
+    def append(newDocs: DataFrame): Index = {
+      graft.functions.MinhashSig.register(spark)
+      val deltaIds = newDocs.select(col("doc_id")).localCheckpoint()
+      val clashes = arrays.select(col("doc_id"))
+        .join(broadcast(deltaIds), "doc_id").limit(1).count()
+      require(clashes == 0,
+        s"append violates the disjointness contract: delta contains doc_ids already in $tableName")
+      val sigged = newDocs
+        .select(col("doc_id"), expr("graft_minhash(text)").as("sig"),
+          expr("graft_shingles(text)").as("hs"))
+        .filter(col("sig").isNotNull)
+        .localCheckpoint()
+      sigged
+        .select(col("doc_id"), explode(array(MinhashIndex.bandKeysOfSig: _*)).as("band_key"))
+        .repartition(MinhashIndex.NumBuckets, col("band_key"))
+        .write.mode("append")
+        .bucketBy(MinhashIndex.NumBuckets, "band_key").sortBy("band_key")
+        .option("path", Scratch.dir(tableName))
+        .saveAsTable(tableName)
+      sigged.select(col("doc_id"), col("hs"))
+        .repartition(MinhashIndex.NumBuckets, col("doc_id"))
+        .write.mode("append")
+        .bucketBy(MinhashIndex.NumBuckets, "doc_id").sortBy("doc_id")
+        .option("path", Scratch.dir(arraysTable))
+        .saveAsTable(arraysTable)
+      this
+    }
+
+    /** Rewrite both tables into a fresh generation with ONE file per
+      * bucket (each append leaves a file per bucket behind). Content
+      * untouched → probe results identical pre/post; the old
+      * generation is dropped after the rewrite commits and the of()
+      * cache refreshed. Path reads, not table reads — see
+      * [[IvfIndex.Index.compact]] for why. */
+    def compact(): Index = {
+      val next = s"${baseName}_g${generation + 1}"
+      val nextArr = next + "_arr"
+      spark.sql(s"DROP TABLE IF EXISTS $next")
+      spark.sql(s"DROP TABLE IF EXISTS $nextArr")
+      spark.read.parquet(Scratch.dir(tableName))
+        .repartition(MinhashIndex.NumBuckets, col("band_key"))
+        .write.mode("overwrite")
+        .bucketBy(MinhashIndex.NumBuckets, "band_key").sortBy("band_key")
+        .option("path", Scratch.dir(next))
+        .saveAsTable(next)
+      spark.read.parquet(Scratch.dir(arraysTable))
+        .repartition(MinhashIndex.NumBuckets, col("doc_id"))
+        .write.mode("overwrite")
+        .bucketBy(MinhashIndex.NumBuckets, "doc_id").sortBy("doc_id")
+        .option("path", Scratch.dir(nextArr))
+        .saveAsTable(nextArr)
+      spark.sql(s"DROP TABLE IF EXISTS $tableName")
+      spark.sql(s"DROP TABLE IF EXISTS $arraysTable")
+      Scratch.delete(tableName)
+      Scratch.delete(arraysTable)
+      val compacted = new Index(spark, baseName, generation + 1, cacheKey)
+      cache.put(cacheKey, compacted)
+      compacted
+    }
+  }
+
+  /** The 16 band keys of a `graft_minhash` sig array column (same
+    * xxhash64(band, minima…) keys as [[Dedup.minhashBandRows]]). */
+  private[queries] def bandKeysOfSig: Seq[org.apache.spark.sql.Column] =
+    (0 until Dedup.NumBands).map { b =>
+      xxhash64(lit(b) +:
+        (0 until Dedup.RowsPerBand).map(r => col("sig")(b * Dedup.RowsPerBand + r)): _*)
+    }
+
+  private val cache = new ConcurrentHashMap[String, Index]()
+
+  /** Build-or-reuse the index for `corpusKey`; `corpus` is by-name —
+    * on a cache hit it never evaluates. */
+  def of(spark: SparkSession, corpusKey: String, corpus: => DataFrame): Index = {
+    val key = Scratch.sessionId(spark) + "|" + corpusKey
+    cache.computeIfAbsent(key, _ => build(spark, corpusKey, corpus, key))
+  }
+
+  private def build(spark: SparkSession, corpusKey: String, corpus: DataFrame,
+      cacheKey: String): Index = {
+    graft.functions.MinhashSig.register(spark)
+    val tableName = Scratch.tableName(spark, "graft_mh", corpusKey)
+    val arraysTable = tableName + "_arr"
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    spark.sql(s"DROP TABLE IF EXISTS $arraysTable")
+    val sigged = corpus
+      .select(col("doc_id"), expr("graft_minhash(text)").as("sig"),
+        expr("graft_shingles(text)").as("hs"))
+      .filter(col("sig").isNotNull)
+      .localCheckpoint()
+    sigged
+      .select(col("doc_id"), explode(array(bandKeysOfSig: _*)).as("band_key"))
+      .repartition(NumBuckets, col("band_key"))
+      .write.mode("overwrite")
+      .bucketBy(NumBuckets, "band_key").sortBy("band_key")
+      .option("path", Scratch.dir(tableName))
+      .saveAsTable(tableName)
+    sigged.select(col("doc_id"), col("hs"))
+      .repartition(NumBuckets, col("doc_id"))
+      .write.mode("overwrite")
+      .bucketBy(NumBuckets, "doc_id").sortBy("doc_id")
+      .option("path", Scratch.dir(arraysTable))
+      .saveAsTable(arraysTable)
+    new Index(spark, tableName, 0, cacheKey)
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Dedup, MinhashIndex}
+
+/** Contract of the persisted MinHash index: probing the built index
+  * answers exactly what the self-contained incremental query answers,
+  * appends extend the corpus without rebuild, compaction changes
+  * nothing but file counts, and the corpus tables join without
+  * re-shuffling (the bucketing lever the index exists for). */
+class MinhashIndexSpec extends SparkSuite {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def corpusDocs = Tables.documents(spark, d)
+    .filter(pmod(col("doc_id"), lit(10)) =!= 0).select(col("doc_id"), col("text"))
+  private def deltaDocs = Tables.documents(spark, d)
+    .filter(pmod(col("doc_id"), lit(10)) === 0).select(col("doc_id"), col("text"))
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(1)) null else r.getLong(1),
+      if (r.isNullAt(2)) null else r.getDouble(2),
+      r.getBoolean(3))).toSeq
+
+  test("index probe == the self-contained incremental query") {
+    val idx = MinhashIndex.of(spark, s"spec|$d", corpusDocs)
+    val fromIndex = rows(idx.probe(deltaDocs))
+    val standalone = rows(SparkEntry.queries("d_incr_neardup")(spark, d))
+    assert(fromIndex == standalone)
+    assert(fromIndex.nonEmpty && fromIndex.exists(!_._4), "some delta doc matches")
+  }
+
+  test("append extends the corpus; probe equals a from-scratch full index") {
+    val half1 = corpusDocs.filter(col("doc_id") % 2 === 1)
+    val half2 = corpusDocs.filter(col("doc_id") % 2 === 0)
+    val appended = MinhashIndex.of(spark, s"spec-append|$d", half1).append(half2)
+    val full = MinhashIndex.of(spark, s"spec-full|$d", corpusDocs)
+    assert(rows(appended.probe(deltaDocs)) == rows(full.probe(deltaDocs)))
+  }
+
+  test("append rejects already-indexed doc ids") {
+    val idx = MinhashIndex.of(spark, s"spec-guard|$d", corpusDocs)
+    val e = intercept[IllegalArgumentException] { idx.append(corpusDocs.limit(1)) }
+    assert(e.getMessage.contains("disjointness"))
+  }
+
+  test("compaction leaves probe results identical with fewer band files") {
+    val idx = MinhashIndex.of(spark, s"spec-compact|$d",
+        corpusDocs.filter(col("doc_id") % 2 === 1))
+      .append(corpusDocs.filter(col("doc_id") % 2 === 0))
+    def fileCount(t: String) =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(graft.util.Scratch.dir(t)))
+        .filter(p => p.toString.endsWith(".parquet")).count()
+    val before = rows(idx.probe(deltaDocs))
+    val filesBefore = fileCount(idx.tableName)
+    val compacted = idx.compact()
+    assert(rows(compacted.probe(deltaDocs)) == before)
+    assert(fileCount(compacted.tableName) <= filesBefore)
+  }
+
+  test("the bucketed arrays table joins on doc_id without re-shuffling") {
+    val idx = MinhashIndex.of(spark, s"spec|$d", corpusDocs) // cached build
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probeSide = deltaDocs.select(col("doc_id").as("did"))
+      val joined = idx.arrays.join(probeSide, col("doc_id") === col("did"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange hashpartitioning(doc_id"),
+        "bucketed arrays side must not re-shuffle:\n" + plan)
+      assert(joined.count() == 0 || joined.count() > 0) // executes
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
