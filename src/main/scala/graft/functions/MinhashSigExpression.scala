@@ -108,24 +108,31 @@ object MinhashSig {
     out
   }
 
-  /** The document's DISTINCT shingle xxhash64 values, sorted — the
-    * per-doc array the exact-Jaccard verifier attaches per candidate
-    * pair (`Dedup.verifyJaccard`'s `sort_array(collect_list(h))`,
-    * computed scan-locally instead of explode+agg). Null when the
-    * document has no 3-token shingle. NOTE: distinct is on STRINGS
-    * first (matching the exploded formulation), then hashes — two
-    * colliding distinct strings yield a duplicate hash that sorts
-    * adjacent, exactly as collect_list over the exploded rows did. */
-  def hashArray(text: String): Array[Long] = {
+  /** The document's DISTINCT n-token shingle xxhash64 values, sorted —
+    * the per-doc array the exact-Jaccard verifier attaches per
+    * candidate pair (`Dedup.verifyJaccard`'s
+    * `sort_array(collect_list(h))`, computed scan-locally instead of
+    * explode+agg), and the per-doc distinct gram set the contamination
+    * probes count. Null when the document has no n-token window.
+    * NOTE: distinct is on STRINGS first (matching the exploded
+    * formulations), then hashes — two colliding distinct strings yield
+    * a duplicate hash that sorts adjacent, exactly as the exploded
+    * rows did. */
+  def hashArray(text: String, n: Int): Array[Long] = {
     val toks = text.split(" ", -1)
-    if (toks.length < 3) return null
+    if (toks.length < n) return null
     val seen = new java.util.HashSet[String]()
     val out = new java.util.ArrayList[java.lang.Long]()
     val sb = new java.lang.StringBuilder()
     var i = 0
-    while (i + 2 < toks.length) {
+    while (i + n - 1 < toks.length) {
       sb.setLength(0)
-      sb.append(toks(i)).append(' ').append(toks(i + 1)).append(' ').append(toks(i + 2))
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
       val sh = sb.toString
       if (seen.add(sh))
         out.add(XxHash64Function.hash(UTF8String.fromString(sh), StringType, 42L))
@@ -149,18 +156,26 @@ object MinhashSig {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingles"),
-      (exprs: Seq[Expression]) => ShingleHashes(exprs.head))
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(t) => ShingleHashes(t, 3)
+        case Seq(t, org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _)) =>
+          ShingleHashes(t, n)
+        case _ => throw new IllegalArgumentException(
+          "graft_shingles(text[, n]) — n must be an integer literal")
+      })
   }
 }
 
 /** Native Catalyst expression wrapping [[MinhashSig.hashArray]]:
-  * `graft_shingles(text)` → sorted `array<bigint>` of the document's
-  * distinct shingle hashes (null when no shingle). */
-case class ShingleHashes(child: Expression) extends UnaryExpression {
+  * `graft_shingles(text[, n])` → sorted `array<bigint>` of the
+  * document's distinct n-token shingle hashes (null when the text has
+  * no n-token window; n defaults to 3, the dedup shingle width). */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
-      case StringType => TypeCheckResult.TypeCheckSuccess
+      case StringType if n >= 1 => TypeCheckResult.TypeCheckSuccess
+      case StringType => TypeCheckResult.TypeCheckFailure(s"n must be >= 1, got $n")
       case t => TypeCheckResult.TypeCheckFailure(
         s"graft_shingles needs a string input, got $t")
     }
@@ -169,7 +184,7 @@ case class ShingleHashes(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_shingles"
 
   override def nullSafeEval(input: Any): Any = {
-    val hs = MinhashSig.hashArray(input.asInstanceOf[UTF8String].toString)
+    val hs = MinhashSig.hashArray(input.asInstanceOf[UTF8String].toString, n)
     if (hs == null) null else new GenericArrayData(hs)
   }
 
@@ -177,7 +192,7 @@ case class ShingleHashes(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, c => {
       val out = ctx.freshName("hs")
       s"""
-         |long[] $out = graft.functions.MinhashSig.hashArray($c.toString());
+         |long[] $out = graft.functions.MinhashSig.hashArray($c.toString(), $n);
          |if ($out == null) {
          |  ${ev.isNull} = true;
          |} else {

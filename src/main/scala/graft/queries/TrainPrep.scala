@@ -60,15 +60,17 @@ object TrainPrep {
     // generate_series is empty), so short docs take an explicit
     // empty-array branch.
     "t_contamination" -> ((s, d) => {
-      val toks = split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ")
-      val grams = when(size(col("ts")) >= 4,
-        expr("transform(sequence(1, size(ts) - 3), i -> md5(concat_ws(' ', slice(ts, i, 4))))"))
-        .otherwise(array().cast("array<string>"))
-      val ng = Tables.documents(s, d)
-        .select(col("doc_id"), toks.as("ts"))
-        .select(col("doc_id"), explode(grams).as("g"))
-        .distinct()
-        .localCheckpoint()
+      // Per-doc distinct gram set is SCAN-LOCAL (round 7): the
+      // graft_shingles kernel emits each normalized document's
+      // distinct 4-gram xxhash64 array during the scan, so the former
+      // explode -> (doc_id, md5-string) distinct shuffle (32-byte
+      // strings, the query's dominant stage at x10) disappears;
+      // exploded rows are already distinct per doc and 8-byte longs.
+      // Gram identity by hash is internal - the oracle compares only
+      // per-doc counts/ratios, which agree up to 2^-64 collisions (the
+      // code comment's original "production would use xxhash64").
+      graft.functions.MinhashSig.register(s)
+      val ng = TrainPrep.gramRows(Tables.documents(s, d)).localCheckpoint()
       val probe = ng.filter(pmod(col("doc_id"), lit(7)) === 0)
         .select(col("g")).distinct()
       val corpus = ng.filter(pmod(col("doc_id"), lit(7)) =!= 0)
@@ -95,18 +97,11 @@ object TrainPrep {
     // broadcast() hint; TrainPrepSpec pins BroadcastHashJoin in the
     // plan. Semantics identical to t_contamination.
     "t_contamination_probe" -> ((s, d) => {
-      val toks = split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ")
-      val grams = when(size(col("ts")) >= 4,
-        expr("transform(sequence(1, size(ts) - 3), i -> md5(concat_ws(' ', slice(ts, i, 4))))"))
-        .otherwise(array().cast("array<string>"))
-      def gramsOf(df: DataFrame) = df
-        .select(col("doc_id"), toks.as("ts"))
-        .select(col("doc_id"), explode(grams).as("g"))
-        .distinct()
+      graft.functions.MinhashSig.register(s)
       val probe = broadcast(
-        gramsOf(Tables.documents(s, d).filter(pmod(col("doc_id"), lit(7)) === 0))
+        TrainPrep.gramRows(Tables.documents(s, d).filter(pmod(col("doc_id"), lit(7)) === 0))
           .select(col("g")).distinct())
-      val corpus = gramsOf(
+      val corpus = TrainPrep.gramRows(
         Tables.documents(s, d).filter(pmod(col("doc_id"), lit(7)) =!= 0))
         .localCheckpoint()
       val hits = corpus.join(probe, Seq("g"))
@@ -164,6 +159,19 @@ object TrainPrep {
         .orderBy(col("doc_id"))
     })
   )
+
+  /** (doc_id, g) rows of each document's DISTINCT normalized word
+    * 4-grams, hashed — one scan-local `graft_shingles` pass per doc
+    * (register `MinhashSig` first); docs with <4 tokens contribute no
+    * rows, exactly as the exploded formulations had it (empty gram
+    * array there, null array here). */
+  private def gramRows(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("norm"))
+      .select(col("doc_id"), expr("graft_shingles(norm, 4)").as("gs"))
+      .filter(col("gs").isNotNull)
+      .select(col("doc_id"), explode(col("gs")).as("g"))
 
   def oracles: Map[String, String] = Map(
     "t_seq_pack" ->
