@@ -60,6 +60,13 @@ class MinhashIndexSpec extends SparkSuite {
     assert(fileCount(compacted.tableName) <= filesBefore)
   }
 
+  test("the probe's band-collision joins broadcast the delta side") {
+    val idx = MinhashIndex.of(spark, s"spec|$d", corpusDocs)
+    val plan = idx.probe(deltaDocs).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the corpus band table must be probed by broadcast, never shuffled:\n" + plan)
+  }
+
   test("the bucketed arrays table joins on doc_id without re-shuffling") {
     val idx = MinhashIndex.of(spark, s"spec|$d", corpusDocs) // cached build
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
