@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-parses the LAST stdout line of a bench run as JSON.
+// Two sbt behaviors defeated that for three rounds (BENCH_r05–r07
+// "parsed: null"): the forked program's stdout was re-logged with an
+// "[info] " prefix, and the "[success] Total time…" banner printed
+// after it. Forward the forked process's stdout verbatim and drop the
+// banner, so graft.Bench's final JSON line is literally last.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

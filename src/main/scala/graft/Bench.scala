@@ -54,9 +54,25 @@ object Bench {
     val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) && !skip(name) }
-      .map { case (name, fn) =>
+
+    // EXPLICIT untimed setup: build every one-per-corpus persisted
+    // index (postings / IVF / MinHash) before any measurement, so no
+    // round — warmup included — can pay a corpus-sized build. Round 7's
+    // committed artifact recorded o2_bm25_topk at 1.75 s (≈ probe +
+    // postings build) vs 0.22 s probe-only in a same-protocol local
+    // recording, and could not say which; now setup cost is its own
+    // JSON field and any build that still lands inside a query's timed
+    // rounds is reported per query under "builds" (BuildLog).
+    graft.util.BuildLog.drain()
+    val setupT0 = System.nanoTime()
+    SparkEntry.benchSetup(spark, sfDir, queries.map(_._1).toSet)
+    val setupSec = (System.nanoTime() - setupT0) / 1e9
+    val setupBuilds = graft.util.BuildLog.drain()
+
+    val buildsByQuery = scala.collection.mutable.LinkedHashMap.empty[String, Seq[graft.util.BuildLog.Event]]
+    val results = queries.map { case (name, fn) =>
       // Full materialization via the compiled physical plan — NOT
       // df.count(): under count() Catalyst prunes every unused
       // computed column, drops sorts, and eliminates 1:1 left joins,
@@ -73,6 +89,18 @@ object Bench {
       // Streaming queries are stateful per run; their first run IS
       // representative, so they skip the untimed warmup.
       if (!name.startsWith("st_")) once()
+      graft.util.BuildLog.drain() // warmup-phase builds: untimed, not reported
+      // Round-to-round isolation (r7 finding: ±40% p50 swings on
+      // checkpoint-heavy queries at ×64): each round's localCheckpoint
+      // frames are dead the moment the round ends, but the async
+      // ContextCleaner only reaps them after a GC notices, so within a
+      // query's 3–10 rounds the generations pile up in the block
+      // manager and tax the later rounds. Snapshot the persisted-RDD
+      // id set before the timed rounds (covering every long-lived
+      // index/cache frame built by setup or warmup) and explicitly
+      // unpersist the orphans each round — anything persisted DURING a
+      // round that outlives it would have been built in the warmup.
+      val baseline = spark.sparkContext.getPersistentRDDs.keySet
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var spent = 0.0
       while (times.length < Rounds &&
@@ -80,16 +108,17 @@ object Bench {
         val t = once()
         times += t
         spent += t
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!baseline.contains(id)) rdd.unpersist(blocking = false)
+        }
       }
-      // Per-query isolation: each bench round creates fresh
-      // localCheckpoint blocks that nothing references once the round
-      // ends; left alone they pile up in the block manager and tax the
-      // queries that HAPPEN to run later (measured: q5_star_join p50
-      // 0.6→1.8 s when benched after the checkpoint-heavy dedup
-      // family). A GC cycle lets the ContextCleaner reap exactly the
-      // orphans — frames still referenced by long-lived index caches
-      // (PostingsIndex.termDf, IvfIndex centroids) survive, so
-      // cross-query index reuse keeps working.
+      val roundBuilds = graft.util.BuildLog.drain()
+      if (roundBuilds.nonEmpty) buildsByQuery(name) = roundBuilds
+      // Per-query isolation: a GC cycle lets the ContextCleaner reap
+      // whatever the explicit per-round unpersist above didn't cover
+      // (warmup orphans, broadcasts) — frames still referenced by
+      // long-lived index caches (PostingsIndex.termDf, IvfIndex
+      // centroids) survive, so cross-query index reuse keeps working.
       System.gc()
       Thread.sleep(200)
       name -> times.toSeq
@@ -108,9 +137,21 @@ object Bench {
     val skippedJson =
       if (skip.isEmpty) ""
       else skip.toSeq.sorted.map("\"" + _ + "\"").mkString(""","skipped":[""", ",", "]")
+    // Index builds: setup's (expected, untimed) and any that leaked
+    // into a query's TIMED rounds (expected none — a non-empty entry
+    // here is the self-explanation the r7 o2 artifact lacked).
+    def buildsJson(evs: Seq[graft.util.BuildLog.Event]): String =
+      evs.map(e => "\"" + e.what + "\":" + fmt(e.seconds)).mkString("{", ",", "}")
+    val setupJson =
+      s""","setup":{"sec":${fmt(setupSec)},"builds":${buildsJson(setupBuilds)}}"""
+    val inRoundBuildsJson =
+      if (buildsByQuery.isEmpty) ""
+      else buildsByQuery
+        .map { case (q, evs) => "\"" + q + "\":" + buildsJson(evs) }
+        .mkString(""","builds_in_rounds":{""", ",", "}")
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$p50s,""" +
-      s""""p95":$p95s,"rounds":$roundsUsed,""" +
-      s""""protocol":"p50 of <=$Rounds rounds, warm, full materialization (toRdd), ${PerQueryCapSec.toInt}s/query cap, per-query gc isolation, local[$cpus], heap ${Runtime.getRuntime.maxMemory() >> 30}g"$skippedJson,"sf":"$sfDir"}"""
+      s""""p95":$p95s,"rounds":$roundsUsed$setupJson$inRoundBuildsJson,""" +
+      s""""protocol":"p50 of <=$Rounds rounds, warm, full materialization (toRdd), untimed index-build setup, ${PerQueryCapSec.toInt}s/query cap, per-round orphan unpersist + per-query gc isolation, local[$cpus], heap ${Runtime.getRuntime.maxMemory() >> 30}g"$skippedJson,"sf":"$sfDir"}"""
     try Files.writeString(Paths.get(outPath), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
     println(json)
@@ -120,7 +161,7 @@ object Bench {
     // a LAST, short stdout line that always fits the tail — per-query
     // data stays in the full line above and in outPath.
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},""" +
-      s""""detail":"$outPath"$skippedJson,"sf":"$sfDir"}""")
+      s""""setup_sec":${fmt(setupSec)},"detail":"$outPath"$skippedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -26,6 +26,24 @@ object SparkEntry {
   private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     sum(c.cast("decimal(18,2)")).cast("double")
 
+  /** Force every one-per-corpus persisted index build (postings, IVF,
+    * MinHash) for `sfDir` — the bench's EXPLICIT untimed setup step.
+    * Before round 8 these builds ran only as a cache side-effect of the
+    * first query that touched each index (normally its untimed warmup),
+    * which left the committed bench artifact unable to say whether a
+    * measured round had paid a build (the r7 `o2_bm25_topk` 1.75 s vs
+    * 0.22 s anomaly). Builds register in [[graft.util.BuildLog]]. */
+  def benchSetup(spark: SparkSession, sfDir: String,
+      names: Set[String] = queries.keySet): Unit = {
+    if (names("o2_bm25_topk") || names("o5_bm25_hybrid"))
+      graft.search.PostingsIndex.forDocuments(spark, sfDir)
+    if (names("ann_ivf"))
+      graft.queries.Ann.prebuildIndex(spark, sfDir)
+    if (names("d_incr_indexed"))
+      graft.queries.Dedup.incrIndex(spark, sfDir)
+    ()
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
     val base: Map[String, (SparkSession, String) => DataFrame] = Map(

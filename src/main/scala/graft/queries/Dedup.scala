@@ -226,13 +226,12 @@ object Dedup {
     // only (the self-contained gate above rebuilds the corpus side
     // every call).
     "d_incr_indexed" -> ((s, d) => {
-      val idx = MinhashIndex.of(s, "incr|" + d, Tables.documents(s, d)
-        .filter(pmod(col("doc_id"), lit(10)) =!= 0)
-        .select(col("doc_id"), col("text")))
+      val idx = incrIndex(s, d)
       idx.probe(Tables.documents(s, d)
         .filter(pmod(col("doc_id"), lit(10)) === 0)
         .select(col("doc_id"), col("text")), MaxBandSize)
     }),
+
 
     // Semantic near-dup clusters: the same connected-components kernel
     // over the embedding LSH pair graph (cosine ≥ 0.45 verified) —
@@ -248,6 +247,14 @@ object Dedup {
         .select(col("doc_id").as("vec_id"), col("cluster_id"), col("is_canonical"))
         .orderBy(col("vec_id")))
   )
+
+  /** The `d_incr_indexed` corpus index (build-or-reuse): corpus = the
+    * 90% slice, keyed per sf dir. Public so the bench's untimed setup
+    * step can force the build before any measured round. */
+  def incrIndex(s: SparkSession, d: String): MinhashIndex.Index =
+    MinhashIndex.of(s, "incr|" + d, Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      .select(col("doc_id"), col("text")))
 
   /** Connected components over an undirected pair graph by min-label
     * propagation over the graph edges PLUS the label-pointer edges —

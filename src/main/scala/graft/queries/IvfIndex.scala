@@ -128,8 +128,9 @@ object IvfIndex {
   def of(spark: SparkSession, corpusKey: String, e: => DataFrame,
       numCentroids: Int, iters: Int, quantScale: Double): Index = {
     val key = graft.util.Scratch.sessionId(spark) + "|" + corpusKey
-    cache.computeIfAbsent(key,
-      _ => build(spark, corpusKey, e, numCentroids, iters, quantScale, key))
+    cache.computeIfAbsent(key, _ => graft.util.BuildLog.timed(s"ivf:$corpusKey") {
+      build(spark, corpusKey, e, numCentroids, iters, quantScale, key)
+    })
   }
 
   private def build(spark: SparkSession, corpusKey: String, e: DataFrame,

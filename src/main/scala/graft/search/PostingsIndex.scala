@@ -187,7 +187,9 @@ object PostingsIndex {
   def of(docs: DataFrame, idCol: String, textCol: String, corpusKey: String): PostingsIndex = {
     val spark = docs.sparkSession
     val key = graft.util.Scratch.sessionId(spark) + "|" + corpusKey
-    cache.computeIfAbsent(key, _ => build(spark, docs, idCol, textCol, corpusKey, key))
+    cache.computeIfAbsent(key, _ => graft.util.BuildLog.timed(s"postings:$corpusKey") {
+      build(spark, docs, idCol, textCol, corpusKey, key)
+    })
   }
 
   private def build(spark: SparkSession, docs: DataFrame, idCol: String,
