@@ -14,34 +14,39 @@ import graft.Tables
   */
 object TrainPrep {
 
+  /** Sequence packing, concat-and-split style: documents are laid out
+    * in deterministic order within a shard, the exclusive running
+    * token sum locates each document in the token stream, and
+    * pack_id / pack_offset are its quotient/remainder by the 2048-
+    * token budget — the standard pretraining packing (documents
+    * straddling a boundary are split across packs at train time; the
+    * assignment here is where each document STARTS).
+    *
+    * Scale shape: ONE data shuffle, on the shard key, then a per-shard
+    * window sort (the trailing global orderBy is presentation for the
+    * oracle compare — its range exchange is output-sized). `shards`
+    * must scale with the corpus — a fixed 8 would serialize a 100 TB
+    * window; production uses ~4k–64k so each shard's token stream fits
+    * an executor. The plan shape is shard-count-independent
+    * (TrainPrepSpec pins exactly one hash exchange at 8 and at 4096);
+    * the gate keeps 8 for oracle stability. The budget arithmetic is
+    * integral end-to-end, so both engines agree bit-for-bit. */
+  def seqPack(s: SparkSession, d: String, shards: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(shards)).as("shard"),
+        expr("div(n_chars + 3, 4)").as("tokens"))
+      .withColumn("cum_excl", coalesce(sum(col("tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("tokens"),
+        expr("div(cum_excl, 2048)").as("pack_id"),
+        (col("cum_excl") % 2048).as("pack_offset"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // Sequence packing, concat-and-split style: documents are laid out
-    // in deterministic order within a shard, the exclusive running
-    // token sum locates each document in the token stream, and
-    // pack_id / pack_offset are its quotient/remainder by the 2048-
-    // token budget — the standard pretraining packing (documents
-    // straddling a boundary are split across packs at train time; the
-    // assignment here is where each document STARTS).
-    //
-    // Scale shape: ONE shuffle, on the shard key, then a per-shard
-    // window sort. Shard count must scale with the corpus (a fixed 8
-    // would serialize a 100 TB window); production uses
-    // pmod(doc_id, ~4k–64k) so each shard's token stream fits an
-    // executor. The budget arithmetic is integral end-to-end, so both
-    // engines agree bit-for-bit.
-    "t_seq_pack" -> ((s, d) => {
-      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      Tables.documents(s, d)
-        .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("shard"),
-          expr("div(n_chars + 3, 4)").as("tokens"))
-        .withColumn("cum_excl", coalesce(sum(col("tokens")).over(w), lit(0L)))
-        .select(col("doc_id"), col("shard"), col("tokens"),
-          expr("div(cum_excl, 2048)").as("pack_id"),
-          (col("cum_excl") % 2048).as("pack_offset"))
-        .orderBy(col("doc_id"))
-    }),
+    "t_seq_pack" -> ((s, d) => seqPack(s, d)),
 
     // Benchmark contamination: which corpus documents share word
     // 4-grams with the probe ("benchmark") set — here the doc_id % 7
@@ -116,49 +121,74 @@ object TrainPrep {
         .orderBy(col("overlap").desc, col("doc_id"))
     }),
 
-    // Cross-document span dedup (the C4/RefinedWeb "remove repeated
-    // lines/spans across documents" cleaning step, applied at aligned
-    // 8-token chunk granularity since this corpus has no sentence
-    // punctuation): a chunk whose exact text appears in ≥2 distinct
-    // documents is dropped from EVERY document, and each document's
-    // text is reconstructed from its kept chunks in order. Documents
-    // whose every chunk is shared (verbatim duplicates) vanish.
-    //
-    // Scale shape: chunking is a narrow per-row transform; the chunk
-    // frequency count shuffles xxhash64 LONGS (the strings never leave
-    // their scan partition for the agg — the hashedShingles discipline,
-    // exact up to 64-bit collisions); and the duplicated-span set is
-    // the SMALL side at any corpus size (shared boilerplate ≪ corpus),
-    // so the removal is a BROADCAST anti-join probe per chunk —
-    // map-side, no shuffle of the corpus chunk stream. Reconstruction
-    // is the one by-doc shuffle, with the deterministic sorted-fold
-    // concat (collect_list order is shuffle-arrival; array_sort by pos
-    // pins it).
-    "t_span_dedup" -> ((s, d) => {
-      val ts = split(col("text"), " ")
-      val chunkArr = expr("transform(sequence(0, cast(ceil(size(ts) / 8.0) as int) - 1), " +
-        "i -> array_join(slice(ts, i*8+1, 8), ' '))")
-      val chunks = Tables.documents(s, d)
-        .select(col("doc_id"), ts.as("ts"))
-        // Spark's sequence DESCENDS when stop < start (an empty text
-        // would yield sequence(0,-1) = [0,-1]); DuckDB's
-        // generate_series is empty — take the empty branch explicitly.
-        .select(col("doc_id"), posexplode(when(size(col("ts")) > 0, chunkArr)
-          .otherwise(array().cast("array<string>"))).as(Seq("pos", "chunk")))
-        .withColumn("h", xxhash64(col("chunk")))
-        .localCheckpoint()
-      val dup = chunks.groupBy(col("h"))
-        .agg(countDistinct(col("doc_id")).as("ndocs"))
-        .filter(col("ndocs") >= 2).select(col("h"))
-      chunks.join(broadcast(dup), Seq("h"), "left_anti")
-        .groupBy(col("doc_id"))
-        .agg(
-          array_join(transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
-            x => x.getField("chunk")), " ").as("cleaned_text"),
-          count(lit(1)).as("n_kept"))
-        .orderBy(col("doc_id"))
-    })
+    "t_span_dedup" -> ((s, d) => spanDedup(s, d))
   )
+
+  /** Duplicated-chunk hash counts above this ride a broadcast into the
+    * removal anti-join; above it the probe falls back to a shuffle
+    * anti-join. 4M longs ≈ a few hundred MB of hash relation — well
+    * inside a driver/executor at the default 24 g, far outside a
+    * "grows with the corpus" failure mode (r7 VERDICT #3: a high-
+    * duplication corpus, e.g. the ×64 copy-rehearsal, makes MOST
+    * chunks duplicated, and an unguarded broadcast OOMs the driver). */
+  val SpanDedupBroadcastMax: Long = 4L * 1000 * 1000
+
+  /** Cross-document span dedup (the C4/RefinedWeb "remove repeated
+    * lines/spans across documents" cleaning step, applied at aligned
+    * 8-token chunk granularity since this corpus has no sentence
+    * punctuation): a chunk whose exact text appears in ≥2 distinct
+    * documents is dropped from EVERY document, and each document's
+    * text is reconstructed from its kept chunks in order. Documents
+    * whose every chunk is shared (verbatim duplicates) vanish.
+    *
+    * Scale shape: chunking is a narrow per-row transform; the chunk
+    * frequency count shuffles xxhash64 LONGS (the strings never leave
+    * their scan partition for the agg — the hashedShingles discipline,
+    * exact up to 64-bit collisions). The duplicated-span set is
+    * USUALLY the small side (shared boilerplate ≪ corpus), so the
+    * removal is a BROADCAST anti-join probe per chunk — map-side, no
+    * shuffle of the corpus chunk stream — but "usually" is not a size
+    * guard: the set is COUNT-GATED (the count is a scalar over the
+    * already-shuffled frequency agg), and past `broadcastMax` the
+    * removal falls back to a shuffle anti-join on the hash key.
+    * TrainPrepSpec pins both physical shapes and their row-for-row
+    * equality. Reconstruction is the one by-doc shuffle, with the
+    * deterministic sorted-fold concat (collect_list order is
+    * shuffle-arrival; array_sort by pos pins it). */
+  def spanDedup(s: SparkSession, d: String,
+      broadcastMax: Long = SpanDedupBroadcastMax): DataFrame = {
+    val ts = split(col("text"), " ")
+    val chunkArr = expr("transform(sequence(0, cast(ceil(size(ts) / 8.0) as int) - 1), " +
+      "i -> array_join(slice(ts, i*8+1, 8), ' '))")
+    val chunks = Tables.documents(s, d)
+      .select(col("doc_id"), ts.as("ts"))
+      // Spark's sequence DESCENDS when stop < start (an empty text
+      // would yield sequence(0,-1) = [0,-1]); DuckDB's
+      // generate_series is empty — take the empty branch explicitly.
+      .select(col("doc_id"), posexplode(when(size(col("ts")) > 0, chunkArr)
+        .otherwise(array().cast("array<string>"))).as(Seq("pos", "chunk")))
+      .withColumn("h", xxhash64(col("chunk")))
+      .localCheckpoint()
+    val dup = chunks.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2).select(col("h"))
+      .localCheckpoint(false)
+    val nDup = dup.count()
+    // shuffle_hash (not merge): the anti-probe needs no order, and
+    // hashing the dup side per partition beats sorting the corpus-
+    // sized chunk stream. The checkpointed dup frame advertises no
+    // stats, so neither the planner nor AQE re-broadcasts it.
+    val removed =
+      if (nDup <= broadcastMax) chunks.join(broadcast(dup), Seq("h"), "left_anti")
+      else chunks.join(dup.hint("shuffle_hash"), Seq("h"), "left_anti")
+    removed
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+          x => x.getField("chunk")), " ").as("cleaned_text"),
+        count(lit(1)).as("n_kept"))
+      .orderBy(col("doc_id"))
+  }
 
   /** (doc_id, g) rows of each document's DISTINCT normalized word
     * 4-grams, hashed — one scan-local `graft_shingles` pass per doc
@@ -173,6 +203,29 @@ object TrainPrep {
       .filter(col("gs").isNotNull)
       .select(col("doc_id"), explode(col("gs")).as("g"))
 
+  /** One definition for both contamination gates — they share
+    * semantics exactly; only the Spark-side physical shape differs. */
+  private val contaminationOracleSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ts
+      |  FROM documents),
+      |ng AS (
+      |  SELECT DISTINCT doc_id, md5(array_to_string(ts[i:i+3], ' ')) AS g
+      |  FROM tok, UNNEST(generate_series(1, greatest(len(ts) - 3, 0))) AS u(i)),
+      |probe AS (SELECT DISTINCT g FROM ng WHERE doc_id % 7 = 0),
+      |corpus AS (SELECT doc_id, g FROM ng WHERE doc_id % 7 <> 0),
+      |hits AS (
+      |  SELECT c2.doc_id, COUNT(*) AS n_hit
+      |  FROM corpus c2 JOIN probe USING (g) GROUP BY c2.doc_id),
+      |tot AS (SELECT doc_id, COUNT(*) AS n_gram FROM corpus GROUP BY doc_id)
+      |SELECT t.doc_id, COALESCE(n_hit, 0) AS n_hit, n_gram,
+      |  CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_gram AS overlap,
+      |  COALESCE(n_hit, 0) >= 0.5 * n_gram AS contaminated
+      |FROM tot t LEFT JOIN hits USING (doc_id)
+      |WHERE COALESCE(n_hit, 0) > 0
+      |ORDER BY overlap DESC, t.doc_id""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "t_seq_pack" ->
       """WITH t AS (
@@ -185,48 +238,11 @@ object TrainPrep {
         |  FROM t)
         |SELECT doc_id, shard, tokens, cum_excl // 2048 AS pack_id, cum_excl % 2048 AS pack_offset
         |FROM w ORDER BY doc_id""".stripMargin,
-    "t_contamination" ->
-      """WITH tok AS (
-        |  SELECT doc_id,
-        |    string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ts
-        |  FROM documents),
-        |ng AS (
-        |  SELECT DISTINCT doc_id, md5(array_to_string(ts[i:i+3], ' ')) AS g
-        |  FROM tok, UNNEST(generate_series(1, greatest(len(ts) - 3, 0))) AS u(i)),
-        |probe AS (SELECT DISTINCT g FROM ng WHERE doc_id % 7 = 0),
-        |corpus AS (SELECT doc_id, g FROM ng WHERE doc_id % 7 <> 0),
-        |hits AS (
-        |  SELECT c2.doc_id, COUNT(*) AS n_hit
-        |  FROM corpus c2 JOIN probe USING (g) GROUP BY c2.doc_id),
-        |tot AS (SELECT doc_id, COUNT(*) AS n_gram FROM corpus GROUP BY doc_id)
-        |SELECT t.doc_id, COALESCE(n_hit, 0) AS n_hit, n_gram,
-        |  CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_gram AS overlap,
-        |  COALESCE(n_hit, 0) >= 0.5 * n_gram AS contaminated
-        |FROM tot t LEFT JOIN hits USING (doc_id)
-        |WHERE COALESCE(n_hit, 0) > 0
-        |ORDER BY overlap DESC, t.doc_id""".stripMargin,
-    // Identical semantics to t_contamination — the variant differs only
-    // in physical shape (separate probe scan + broadcast join).
-    "t_contamination_probe" ->
-      """WITH tok AS (
-        |  SELECT doc_id,
-        |    string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ts
-        |  FROM documents),
-        |ng AS (
-        |  SELECT DISTINCT doc_id, md5(array_to_string(ts[i:i+3], ' ')) AS g
-        |  FROM tok, UNNEST(generate_series(1, greatest(len(ts) - 3, 0))) AS u(i)),
-        |probe AS (SELECT DISTINCT g FROM ng WHERE doc_id % 7 = 0),
-        |corpus AS (SELECT doc_id, g FROM ng WHERE doc_id % 7 <> 0),
-        |hits AS (
-        |  SELECT c2.doc_id, COUNT(*) AS n_hit
-        |  FROM corpus c2 JOIN probe USING (g) GROUP BY c2.doc_id),
-        |tot AS (SELECT doc_id, COUNT(*) AS n_gram FROM corpus GROUP BY doc_id)
-        |SELECT t.doc_id, COALESCE(n_hit, 0) AS n_hit, n_gram,
-        |  CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_gram AS overlap,
-        |  COALESCE(n_hit, 0) >= 0.5 * n_gram AS contaminated
-        |FROM tot t LEFT JOIN hits USING (doc_id)
-        |WHERE COALESCE(n_hit, 0) > 0
-        |ORDER BY overlap DESC, t.doc_id""".stripMargin,
+    "t_contamination" -> contaminationOracleSql,
+    // Identical semantics (and oracle) as t_contamination — the variant
+    // differs only in physical shape (separate probe scan + broadcast
+    // join).
+    "t_contamination_probe" -> contaminationOracleSql,
     "t_span_dedup" ->
       """WITH c AS (
         |  SELECT doc_id, u.pos AS pos, u.chunk AS chunk FROM (

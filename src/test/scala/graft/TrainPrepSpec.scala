@@ -92,6 +92,42 @@ class TrainPrepSpec extends SparkSuite {
       "chunk removal must be a map-side broadcast anti probe:\n" + p)
   }
 
+  test("t_span_dedup: past the count gate the removal is a shuffle anti-join, same rows") {
+    // broadcastMax = 0 forces the fallback every duplicated chunk set
+    // would hit on a high-duplication corpus (the ×64 rehearsal shape).
+    val guarded = graft.queries.TrainPrep.spanDedup(spark, d, broadcastMax = 0L)
+    val p = guarded.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastHashJoin"),
+      "past the gate nothing may broadcast the dup set:\n" + p)
+    assert(p.contains("ShuffledHashJoin") && p.contains("LeftAnti"),
+      "the fallback is a shuffled hash anti-join on the chunk hash:\n" + p)
+    val a = guarded.collect().map(_.toSeq).toSeq
+    val b = SparkEntry.queries("t_span_dedup")(spark, d).collect().map(_.toSeq).toSeq
+    assert(a == b, "both physical shapes must produce identical rows")
+  }
+
+  test("t_seq_pack: shard count is a parameter; plan shape is shard-count-independent") {
+    // The gate keeps 8 for oracle stability; production sizing (~4k+)
+    // must keep the SAME plan: exactly one hash exchange (the shard
+    // window), whatever the shard count.
+    val at4096 = graft.queries.TrainPrep.seqPack(spark, d, shards = 4096)
+    val p = at4096.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "exactly one hash shuffle at 4096 shards:\n" + p)
+    // Invariant check at the new shard count: quotient/remainder of the
+    // per-shard exclusive running sum (the same contract the gate pins).
+    val rows = at4096.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (_, docs) =>
+      var cum = 0L
+      docs.sortBy(_._1).foreach { case (id, _, tokens, packId, off) =>
+        assert(packId == cum / 2048 && off == cum % 2048, s"doc $id layout at 4096 shards")
+        cum += tokens
+      }
+    }
+  }
+
   test("t_contamination_probe: broadcast on the probe side, same answer") {
     val probe = SparkEntry.queries("t_contamination_probe")(spark, d)
     val p = probe.queryExecution.executedPlan.toString
