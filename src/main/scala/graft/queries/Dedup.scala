@@ -249,12 +249,25 @@ object Dedup {
   )
 
   /** The `d_incr_indexed` corpus index (build-or-reuse): corpus = the
-    * 90% slice, keyed per sf dir. Public so the bench's untimed setup
-    * step can force the build before any measured round. */
-  def incrIndex(s: SparkSession, d: String): MinhashIndex.Index =
-    MinhashIndex.of(s, "incr|" + d, Tables.documents(s, d)
+    * 90% slice, keyed per sf dir PLUS a corpus fingerprint (size +
+    * mtime of documents.parquet), so a testdata re-strike at the same
+    * path within a live session rebuilds instead of silently probing
+    * the stale persisted index (r7 ADVICE). Public so the bench's
+    * untimed setup step can force the build before any measured
+    * round. */
+  def incrIndex(s: SparkSession, d: String): MinhashIndex.Index = {
+    import java.nio.file.{Files, Paths}
+    val p = Paths.get(d, "documents.parquet")
+    val fp =
+      if (!Files.exists(p)) "absent"
+      else {
+        val size = if (Files.isDirectory(p)) Files.list(p).count() else Files.size(p)
+        s"$size:${Files.getLastModifiedTime(p).toMillis}"
+      }
+    MinhashIndex.of(s, s"incr|$d|$fp", Tables.documents(s, d)
       .filter(pmod(col("doc_id"), lit(10)) =!= 0)
       .select(col("doc_id"), col("text")))
+  }
 
   /** Connected components over an undirected pair graph by min-label
     * propagation over the graph edges PLUS the label-pointer edges —
@@ -309,10 +322,21 @@ object Dedup {
     *   (O(log diameter) convergence); `false` is the plain
     *   min-propagation fallback — O(diameter) rounds, same labels —
     *   selectable at runtime via SPARK_GRAFT_CC_MODE=plain and pinned
-    *   convergent by DedupClusterSpec. */
+    *   convergent by DedupClusterSpec.
+    * @param twoHop fuse TWO propagation hops per fixpoint probe
+    *   (SPARK_GRAFT_CC_MODE=twohop): per-round cost at toy scale is
+    *   dominated by the fixed scheduling floor of the count() job, not
+    *   the joins (SURVEY §9.10 — d_embed_clusters at ×10 is six
+    *   floor-bound rounds), so halving the probes buys wall-clock even
+    *   though the join work per probe doubles. Convergence detection
+    *   stays exact: labels are min-monotone under the deterministic
+    *   hop f, so hop2 changing nothing means its input was already a
+    *   fixpoint (f(l)=l), whatever hop1 did. Labels identical to the
+    *   one-hop modes (DedupClusterSpec). */
   private[graft] def connectedComponents(nodes: DataFrame, pairs: DataFrame,
       maxRounds: Int = 50,
-      hashToMin: Boolean = !sys.env.get("SPARK_GRAFT_CC_MODE").contains("plain"))
+      hashToMin: Boolean = !sys.env.get("SPARK_GRAFT_CC_MODE").contains("plain"),
+      twoHop: Boolean = sys.env.get("SPARK_GRAFT_CC_MODE").contains("twohop"))
       : DataFrame = {
     val p = pairs.localCheckpoint()
     val edges = p.toDF("src", "dst")
@@ -329,42 +353,56 @@ object Dedup {
     val ccDebug = sys.env.contains("SPARK_GRAFT_CC_DEBUG")
     var converged = false
     var round = 0
+    // One propagation hop from `l`: min over graph neighbors and (in
+    // hash-to-min mode) the v↔label(v) pointer edges — every label IS
+    // a touched node's id (initial self-labels, preserved by min), so
+    // both directions resolve; label(w) ≤ w for all w, hence the extra
+    // edges are min-monotone and component-preserving. `l` is a
+    // checkpoint, so the unions add no recomputation to the join.
+    // Labels only ever decrease, so ONE signal detects the fixpoint:
+    // the hop changed something iff some node's min-over-neighbors
+    // undercut its starting label (the `chg` column).
+    def hop(l: DataFrame): DataFrame = {
+      val edgesPlus = if (!hashToMin) edges else edges
+        .union(l.select(col("doc_id").as("src"), col("cluster_id").as("dst")))
+        .union(l.select(col("cluster_id").as("src"), col("doc_id").as("dst")))
+      val nbrMin = edgesPlus.join(l, edgesPlus("src") === l("doc_id"))
+        .groupBy(edgesPlus("dst").as("nbr_of")).agg(min(col("cluster_id")).as("nbr_min"))
+      l.join(nbrMin, l("doc_id") === nbrMin("nbr_of"), "left")
+        .select(l("doc_id"),
+          least(l("cluster_id"), coalesce(col("nbr_min"), l("cluster_id")))
+            .as("cluster_id"),
+          (col("nbr_min") < l("cluster_id")).as("chg"))
+        .localCheckpoint(false)
+    }
     while (!converged && round < maxRounds) {
       val roundT0 = System.nanoTime()
-      // Pointer edges v ↔ label(v): every label IS a touched node's id
-      // (initial self-labels, preserved by min), so both directions
-      // resolve. label(w) ≤ w for all w, hence the extra edges are
-      // min-monotone and component-preserving. labels is a checkpoint,
-      // so the unions add no recomputation to the join below.
-      val edgesPlus = if (!hashToMin) edges else edges
-        .union(labels.select(col("doc_id").as("src"), col("cluster_id").as("dst")))
-        .union(labels.select(col("cluster_id").as("src"), col("doc_id").as("dst")))
-      val nbrMin = edgesPlus.join(labels, edgesPlus("src") === labels("doc_id"))
-        .groupBy(edgesPlus("dst").as("nbr_of")).agg(min(col("cluster_id")).as("nbr_min"))
-      // Labels only ever decrease, so ONE signal detects the fixpoint:
-      // the round changed something iff some node's min-over-neighbors
-      // undercut its starting label.
-      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("nbr_of"), "left")
-        .select(labels("doc_id"),
-          least(labels("cluster_id"), coalesce(col("nbr_min"), labels("cluster_id")))
-            .as("cluster_id"),
-          (col("nbr_min") < labels("cluster_id")).as("chg"))
-        .localCheckpoint(false)
+      // Two-hop fusion: the intermediate hop is lazily checkpointed
+      // and materializes as the second hop's join consumes it — no
+      // fixpoint probe (count job) of its own. hop is deterministic
+      // and min-monotone, so "hop2 changed nothing" ⟺ hop2's INPUT was
+      // already a fixpoint — convergence detection is exact even when
+      // hop1 did change labels (that fused round then reports
+      // converged with the correct final labels).
+      val mid = if (twoHop) hop(labels).drop("chg") else labels
+      val next = hop(mid)
       // Fixpoint probe via count(), NOT limit(1)/isEmpty: the probe is
       // what materializes the lazy checkpoint, and a short-circuiting
       // probe leaves next's unvisited partitions as lineage — which
       // freeCheckpoint(prev) below would then make unrecomputable
       // (correct but re-derived from scratch at next use: measured 3-7×
       // round-to-round variance at sf1). count() scans every partition,
-      // so next is FULLY materialized before prev's blocks are freed.
+      // so next (and mid, consumed by next's join) is FULLY
+      // materialized before the superseded blocks are freed.
       val changed = next.filter(col("chg")).count()
       converged = changed == 0L
       val prev = labels
       labels = next.drop("chg")
       freeCheckpoint(prev)
+      if (mid ne prev) freeCheckpoint(mid)
       round += 1
       if (ccDebug) System.err.println(
-        f"[cc] round=$round changed=$changed sec=${(System.nanoTime() - roundT0) / 1e9}%.3f")
+        f"[cc] round=$round changed=$changed twoHop=$twoHop sec=${(System.nanoTime() - roundT0) / 1e9}%.3f")
     }
     if (ccDebug)
       System.err.println(s"[cc] converged=$converged rounds=$round")

@@ -47,12 +47,35 @@ object MinhashIndex {
     * parallelism, not correctness. */
   val NumBuckets = 32
 
+  /** Delta band-key sets above this stop broadcasting into the
+    * corpus-band collision join and fall back to an equi-join against
+    * the bucketed table (keys shuffle to the corpus's buckets; the
+    * corpus still never re-shuffles). The broadcast is the right probe
+    * shape only while delta ≪ corpus — a BULK re-probe (delta ≈
+    * corpus) has ~16·|delta| keys and would grow the broadcast with
+    * the corpus (r7 VERDICT task 7). */
+  val ProbeBroadcastMaxKeys: Long = 4L * 1000 * 1000
+
   final class Index private[MinhashIndex] (spark: SparkSession,
-      baseName: String, generation: Int, cacheKey: String) {
+      baseName: String, private[MinhashIndex] val generation: Int, cacheKey: String) {
 
     def tableName: String =
       if (generation == 0) baseName else s"${baseName}_g$generation"
     def arraysTable: String = tableName + "_arr"
+
+    /** compact() drops this generation's tables and swaps the of()
+      * cache to the next one; a handle obtained BEFORE the compaction
+      * (including compact's receiver) would otherwise fail on its next
+      * probe/append with a bare missing-table error (r7 ADVICE). Fail
+      * fast with the actionable message instead. */
+    private def assertCurrent(): Unit = {
+      val c = MinhashIndex.cache.get(cacheKey)
+      if (c != null && (c ne this) && c.generation != generation)
+        throw new IllegalStateException(
+          s"stale MinhashIndex handle: generation $generation was compacted away " +
+            s"(current generation ${c.generation}) — use the instance returned by " +
+            "compact(), or re-resolve via MinhashIndex.of()")
+    }
 
     /** (doc_id, band_key), bucketed by band_key. */
     def bands: DataFrame = spark.table(tableName)
@@ -64,7 +87,9 @@ object MinhashIndex {
       * match (max jaccard, ties to smallest corpus id) + `is_new`
       * verdict per delta doc — the [[Dedup.incrementalNearDup]]
       * contract against the persisted corpus. */
-    def probe(delta: DataFrame, cap: Int = Dedup.MaxBandSize): DataFrame = {
+    def probe(delta: DataFrame, cap: Int = Dedup.MaxBandSize,
+        broadcastMaxKeys: Long = MinhashIndex.ProbeBroadcastMaxKeys): DataFrame = {
+      assertCurrent()
       graft.functions.MinhashSig.register(spark)
       val sigged = delta
         .select(col("doc_id"), expr("graft_minhash(text)").as("sig"),
@@ -74,11 +99,21 @@ object MinhashIndex {
         .select(col("doc_id"), explode(array(MinhashIndex.bandKeysOfSig: _*)).as("band_key"))
         .localCheckpoint(false)
 
-      // Corpus rows of colliding keys only: broadcast the delta's key
-      // set — the corpus band table is scanned in place (bucketed, no
-      // exchange), everything else is delta-sized.
+      // Corpus rows of colliding keys only. Count-gated shape (the
+      // count is a delta-sized agg over the checkpointed bands): an
+      // incremental batch (delta ≪ corpus) BROADCASTS its key set —
+      // the corpus band table is scanned in place (bucketed, no
+      // exchange) and everything else is delta-sized; a bulk re-probe
+      // past the gate equi-joins instead (keys shuffle to the corpus's
+      // buckets — the shuffle_hash hint pins the strategy so neither
+      // the planner's propagated origin stats nor AQE re-broadcast a
+      // frame the gate decided is too big).
       val collidingKeys = deltaBands.select(col("band_key")).distinct()
-      val corpusHits = bands.join(broadcast(collidingKeys), "band_key")
+        .localCheckpoint(false)
+      val smallDelta = collidingKeys.count() <= broadcastMaxKeys
+      def keyProbe(keys: DataFrame): DataFrame =
+        if (smallDelta) broadcast(keys) else keys.hint("shuffle_hash")
+      val corpusHits = bands.join(keyProbe(collidingKeys), "band_key")
         .localCheckpoint(false)
 
       // Combined hot-band cap: corpus hits + delta rows per key ==
@@ -86,13 +121,18 @@ object MinhashIndex {
       // side yield no candidates, so uncounted rows don't matter).
       val corpusN = corpusHits.groupBy("band_key").agg(count(lit(1)).as("cn"))
       val deltaN = deltaBands.groupBy("band_key").agg(count(lit(1)).as("dn"))
-      val keptKeys = corpusN.join(deltaN, "band_key")
+      // Both count frames are colliding-keys-sized — delta-shaped in
+      // the incremental case (planner may broadcast), corpus-shaped in
+      // a bulk re-probe (same gate pins the shuffle).
+      val keptKeys = corpusN
+        .join(if (smallDelta) deltaN else deltaN.hint("shuffle_hash"), "band_key")
         .filter(col("cn") + col("dn") <= cap)
         .select(col("band_key"))
 
       // Delta rows of kept keys ⋈ corpus hits (corpus rows of dropped
       // keys can't match — the key filter needs only one side).
-      val candPairs = deltaBands.join(broadcast(keptKeys), "band_key").as("x")
+      // keptKeys ⊆ collidingKeys, so it rides the same gate decision.
+      val candPairs = deltaBands.join(keyProbe(keptKeys), "band_key").as("x")
         .join(corpusHits.as("y"), Seq("band_key"))
         .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("dup_of"))
         .distinct()
@@ -125,23 +165,43 @@ object MinhashIndex {
 
     /** Incrementally index `newDocs` ((doc_id, text) rows with NEW doc
       * ids — ENFORCED: the guard semi-joins the delta's ids against
-      * the arrays table's id column and throws on overlap). Bands and
+      * BOTH tables' id columns and throws on overlap). Bands and
       * arrays append scan-locally; nothing corpus-sized recomputes —
       * there are no global statistics to merge (band counts are
       * derived per probe), so probes see the appended corpus
-      * immediately. */
+      * immediately.
+      *
+      * The two table commits are not atomic (r7 ADVICE): the arrays
+      * table commits FIRST, so a failure between them can only leave
+      * docs with shingle arrays and no band rows — such docs are
+      * simply not yet discoverable as duplicates; the probe can never
+      * see a candidate pair whose verify-side array is missing
+      * (candidates come from the bands table, which commits last).
+      * A retry of the failed append then trips the both-table guard
+      * loudly instead of silently double-writing band rows. */
     def append(newDocs: DataFrame): Index = {
+      assertCurrent()
       graft.functions.MinhashSig.register(spark)
       val deltaIds = newDocs.select(col("doc_id")).localCheckpoint()
       val clashes = arrays.select(col("doc_id"))
+        .union(bands.select(col("doc_id")))
         .join(broadcast(deltaIds), "doc_id").limit(1).count()
       require(clashes == 0,
-        s"append violates the disjointness contract: delta contains doc_ids already in $tableName")
+        s"append violates the disjointness contract: delta contains doc_ids already in " +
+          s"$tableName or $arraysTable (an id in only one table means a previous append " +
+          "failed between its two commits — those docs are indexed for verify but not " +
+          "discoverable; rebuild or compact to reconcile)")
       val sigged = newDocs
         .select(col("doc_id"), expr("graft_minhash(text)").as("sig"),
           expr("graft_shingles(text)").as("hs"))
         .filter(col("sig").isNotNull)
         .localCheckpoint()
+      sigged.select(col("doc_id"), col("hs"))
+        .repartition(MinhashIndex.NumBuckets, col("doc_id"))
+        .write.mode("append")
+        .bucketBy(MinhashIndex.NumBuckets, "doc_id").sortBy("doc_id")
+        .option("path", Scratch.dir(arraysTable))
+        .saveAsTable(arraysTable)
       sigged
         .select(col("doc_id"), explode(array(MinhashIndex.bandKeysOfSig: _*)).as("band_key"))
         .repartition(MinhashIndex.NumBuckets, col("band_key"))
@@ -149,12 +209,6 @@ object MinhashIndex {
         .bucketBy(MinhashIndex.NumBuckets, "band_key").sortBy("band_key")
         .option("path", Scratch.dir(tableName))
         .saveAsTable(tableName)
-      sigged.select(col("doc_id"), col("hs"))
-        .repartition(MinhashIndex.NumBuckets, col("doc_id"))
-        .write.mode("append")
-        .bucketBy(MinhashIndex.NumBuckets, "doc_id").sortBy("doc_id")
-        .option("path", Scratch.dir(arraysTable))
-        .saveAsTable(arraysTable)
       this
     }
 
@@ -165,6 +219,7 @@ object MinhashIndex {
       * cache refreshed. Path reads, not table reads — see
       * [[IvfIndex.Index.compact]] for why. */
     def compact(): Index = {
+      assertCurrent()
       val next = s"${baseName}_g${generation + 1}"
       val nextArr = next + "_arr"
       spark.sql(s"DROP TABLE IF EXISTS $next")
@@ -205,7 +260,9 @@ object MinhashIndex {
     * on a cache hit it never evaluates. */
   def of(spark: SparkSession, corpusKey: String, corpus: => DataFrame): Index = {
     val key = Scratch.sessionId(spark) + "|" + corpusKey
-    cache.computeIfAbsent(key, _ => build(spark, corpusKey, corpus, key))
+    cache.computeIfAbsent(key, _ => graft.util.BuildLog.timed(s"minhash:$corpusKey") {
+      build(spark, corpusKey, corpus, key)
+    })
   }
 
   private def build(spark: SparkSession, corpusKey: String, corpus: DataFrame,

@@ -176,8 +176,9 @@ object TrainPrep {
     val nDup = dup.count()
     // shuffle_hash (not merge): the anti-probe needs no order, and
     // hashing the dup side per partition beats sorting the corpus-
-    // sized chunk stream. The checkpointed dup frame advertises no
-    // stats, so neither the planner nor AQE re-broadcasts it.
+    // sized chunk stream. The hint pins the strategy so neither the
+    // planner's propagated origin stats nor AQE re-broadcast a frame
+    // the gate decided is too big.
     val removed =
       if (nDup <= broadcastMax) chunks.join(broadcast(dup), Seq("h"), "left_anti")
       else chunks.join(dup.hint("shuffle_hash"), Seq("h"), "left_anti")

@@ -77,24 +77,56 @@ object EventStreams {
       wanted.foreach { case (name, p) =>
         Files.createSymbolicLink(d.resolve(name), p) }
     }
+    // A source with no files yet links nothing, but the stream dir
+    // itself must exist for the file source to start on it.
+    if (!Files.isDirectory(d)) Files.createDirectories(d)
     d.toString
   }
 
-  // ts-encoding probe results, keyed by resolved stream dir — the
-  // footer read costs a Spark job's worth of listing per construction
-  // and a bench/serving process constructs the same stream repeatedly;
-  // the encoding of a given corpus never changes under it.
+  // ts-encoding probe results, keyed by resolved stream dir PLUS a
+  // content fingerprint (first file name + size + mtime) — the footer
+  // read costs a Spark job's worth of listing per construction and a
+  // bench/serving process constructs the same stream repeatedly, but a
+  // corpus re-struck at the same path with a DIFFERENT ts encoding in
+  // a long-lived session must re-probe, not read with a stale schema
+  // (r7 ADVICE; the testdata-regeneration workflow makes this real).
   private val tsTypeCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataType]()
+
+  /** "empty" when the stream dir holds no files yet; otherwise a
+    * digest of the first entry's name, target size, and target mtime
+    * (symlink targets are followed, so a relinked regeneration moves
+    * the fingerprint). */
+  private def dirFingerprint(d: String): String = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val p = Paths.get(d)
+    if (!Files.isDirectory(p)) "empty"
+    else Files.list(p).iterator().asScala.toSeq
+      .filter(Files.exists(_)) // skip dangling links (source not yet written)
+      .sortBy(_.getFileName.toString)
+      .headOption match {
+        case None => "empty"
+        case Some(f) =>
+          s"${f.getFileName}:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}"
+      }
+  }
 
   private def readEvents(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val d = streamDir(dir)
     // One batch footer read decides the ts encoding; every branch
     // normalizes to TimestampType instants (session zone is UTC), so
-    // downstream watermarks/windows are encoding-independent.
-    val tsType = tsTypeCache.computeIfAbsent(d,
-      dd => spark.read.parquet(dd).schema("ts").dataType)
+    // downstream watermarks/windows are encoding-independent. An
+    // existing-but-EMPTY source dir (a stream started before files
+    // arrive — supported by the pre-probe hard-coded schema, r7
+    // ADVICE) can't be probed: fall back to the historical LongType
+    // encoding WITHOUT caching, so the first real file re-probes.
+    val fp = dirFingerprint(d)
+    val tsType =
+      if (fp == "empty") LongType
+      else tsTypeCache.computeIfAbsent(s"$d|$fp",
+        _ => spark.read.parquet(d).schema("ts").dataType)
     val reader = spark.readStream.schema(eventSchema(tsType))
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val df = reader.parquet(d)

@@ -60,6 +60,42 @@ class MinhashIndexSpec extends SparkSuite {
     assert(fileCount(compacted.tableName) <= filesBefore)
   }
 
+  test("probe at a tiny hot-band cap still equals the self-contained query") {
+    // r7 ADVICE: the combined cn+dn<=cap gate was equivalence-argued in
+    // comments only — at sf0.001 every band is far below the default
+    // cap, so the boundary path never executed. cap=1 binds on EVERY
+    // colliding key (cn+dn >= 2), so the gate provably executes and
+    // drops keys; the contract is that the capped probe still equals
+    // capHotBands' union-window semantics in the standalone query.
+    val idx = MinhashIndex.of(spark, s"spec|$d", corpusDocs)
+    val capped = rows(idx.probe(deltaDocs, cap = 1))
+    assert(capped == rows(Dedup.incrementalNearDup(spark, d, cap = 1)))
+    assert(capped != rows(idx.probe(deltaDocs)),
+      "cap=1 must change the verdicts, or the gate never executed")
+  }
+
+  test("a bulk re-probe past the key gate equi-joins instead of broadcasting, same rows") {
+    val idx = MinhashIndex.of(spark, s"spec|$d", corpusDocs)
+    val bulk = idx.probe(deltaDocs, broadcastMaxKeys = 0L)
+    val plan = bulk.queryExecution.executedPlan.toString
+    // The delta-sized verify joins may broadcast; the band_key
+    // collision joins against the corpus tables must not.
+    assert(!plan.contains("BroadcastHashJoin [band_key"),
+      "past the gate the collision join may not broadcast the key set:\n" + plan)
+    assert(plan.contains("ShuffledHashJoin [band_key"),
+      "the fallback is a shuffled hash join on band_key:\n" + plan)
+    assert(rows(bulk) == rows(idx.probe(deltaDocs)),
+      "both probe shapes must produce identical verdicts")
+  }
+
+  test("a stale handle fails fast after compaction") {
+    val idx = MinhashIndex.of(spark, s"spec-stale|$d", corpusDocs)
+    val compacted = idx.compact()
+    val e = intercept[IllegalStateException] { idx.probe(deltaDocs).collect() }
+    assert(e.getMessage.contains("stale MinhashIndex handle"))
+    assert(rows(compacted.probe(deltaDocs)).nonEmpty, "the returned handle keeps working")
+  }
+
   test("the probe's band-collision joins broadcast the delta side") {
     val idx = MinhashIndex.of(spark, s"spec|$d", corpusDocs)
     val plan = idx.probe(deltaDocs).queryExecution.executedPlan.toString

@@ -77,4 +77,17 @@ class StreamDedupSpec extends SparkSuite {
     // and the source genuinely carried duplicates to remove
     assert(batch.filter(col("event_id") % 10 === 0).count() > 0)
   }
+
+  test("a stream can start on an existing-but-empty source dir") {
+    // r7 ADVICE: the footer-probing reader threw on a source dir with
+    // no files yet (a stream started before data arrives — the
+    // pre-probe hard-coded schema supported it). The probe now falls
+    // back to the historical LongType encoding, uncached, so the
+    // first real file re-probes.
+    val base = Files.createTempDirectory("graft_stream_empty")
+    Files.createDirectories(base.resolve("events.parquet"))
+    val out = EventStreams.windowedDaily(spark, base.toString,
+      "stream_empty_dir_test")
+    assert(out.count() == 0, "an empty source yields an empty result, not an exception")
+  }
 }
