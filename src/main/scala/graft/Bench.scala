@@ -108,8 +108,12 @@ object Bench {
         val t = once()
         times += t
         spent += t
+        // blocking=true: async removal would race the NEXT round's
+        // execution and spike its tail (measured at ×64: ann_lsh p95
+        // spread 96→242% with blocking=false); synchronous removal
+        // lands between rounds, outside every timed window.
         spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-          if (!baseline.contains(id)) rdd.unpersist(blocking = false)
+          if (!baseline.contains(id)) rdd.unpersist(blocking = true)
         }
       }
       val roundBuilds = graft.util.BuildLog.drain()

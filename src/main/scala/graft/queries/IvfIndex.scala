@@ -30,16 +30,28 @@ import graft.util.Scratch
 object IvfIndex {
 
   final class Index private[IvfIndex] (spark: SparkSession, baseName: String,
-      generation: Int, val centroids: DataFrame, numCentroids: Int,
-      cacheKey: String) {
+      private[IvfIndex] val generation: Int, val centroids: DataFrame,
+      numCentroids: Int, cacheKey: String) {
 
     /** Catalog name of this generation's assigned table: compaction
       * rewrites into a fresh `_gN` table (drop-after-write swap). */
     def tableName: String =
       if (generation == 0) baseName else s"${baseName}_g$generation"
 
+    /** Fail fast on a handle whose generation was compacted away (the
+      * MinhashIndex.assertCurrent discipline — a stale handle would
+      * otherwise surface as a bare missing-table error). */
+    private def assertCurrent(): Unit = {
+      val c = IvfIndex.cache.get(cacheKey)
+      if (c != null && (c ne this) && c.generation != generation)
+        throw new IllegalStateException(
+          s"stale IvfIndex handle: generation $generation was compacted away " +
+            s"(current generation ${c.generation}) — use the instance returned by " +
+            "compact(), or re-resolve via IvfIndex.of()")
+    }
+
     /** (vec_id, v, cid), bucketed by cid. */
-    def assigned: DataFrame = spark.table(tableName)
+    def assigned: DataFrame = { assertCurrent(); spark.table(tableName) }
 
     /** Incrementally index `e2` (normalized (vec_id, v) rows with NEW
       * vec_ids — ENFORCED: the guard semi-joins the delta's ids
@@ -78,6 +90,7 @@ object IvfIndex {
       * (CompactionSpec); the old generation is dropped after the
       * rewrite commits and the of() cache is refreshed. */
     def compact(): Index = {
+      assertCurrent()
       val next = s"${baseName}_g${generation + 1}"
       spark.sql(s"DROP TABLE IF EXISTS $next")
       // Read the files by PATH, not through the table: a bucketed-table

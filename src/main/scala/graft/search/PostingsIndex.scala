@@ -35,7 +35,7 @@ import org.apache.spark.sql.functions._
 final class PostingsIndex private (
     spark: SparkSession,
     baseName: String,
-    generation: Int,
+    private[search] val generation: Int,
     termDf: DataFrame,
     val nDocs: Long,
     val totalDoclen: Long,
@@ -50,6 +50,20 @@ final class PostingsIndex private (
 
   private def docsTable: String = tableName + "_docs"
 
+  /** Fail fast on a handle whose generation was compacted away (the
+    * MinhashIndex.assertCurrent discipline — a stale handle would
+    * otherwise surface as a bare missing-table error). Stale-STATS
+    * handles after append are already covered by the cache refresh
+    * (ADVICE r5); this covers stale-TABLE handles after compact. */
+  private def assertCurrent(): Unit = {
+    val c = PostingsIndex.cache.get(cacheKey)
+    if (c != null && (c ne this) && c.generation != generation)
+      throw new IllegalStateException(
+        s"stale PostingsIndex handle: generation $generation was compacted away " +
+          s"(current generation ${c.generation}) — use the instance returned by " +
+          "compact(), or re-resolve via PostingsIndex.of()")
+  }
+
   /** Average doc length, derived from exact integer totals: doclen is
     * integral, so `totalDoclen` is exact no matter the aggregation
     * order and the division reproduces a full rebuild's avg(doclen)
@@ -57,7 +71,7 @@ final class PostingsIndex private (
   val avgdl: Double = totalDoclen.toDouble / nDocs
 
   /** The bucketed postings table: (term, doc, doclen, tf). */
-  def postings: DataFrame = spark.table(tableName)
+  def postings: DataFrame = { assertCurrent(); spark.table(tableName) }
 
   /** Incrementally index `newDocs` (disjoint NEW doc ids — ENFORCED:
     * a delta carrying an already-indexed doc id would silently
@@ -75,6 +89,7 @@ final class PostingsIndex private (
     * the merged stats (ADVICE r5 — prior handles keep stale stats;
     * use the returned instance). */
   def append(newDocs: DataFrame, idCol: String, textCol: String): PostingsIndex = {
+    assertCurrent()
     val delta = Bm25.postings(newDocs, idCol, textCol).localCheckpoint()
     val deltaDocs = delta.select(col("doc"), col("doclen")).distinct()
       .localCheckpoint()
@@ -112,6 +127,7 @@ final class PostingsIndex private (
     * generation's table and files are dropped after the rewrite
     * commits; the cache is refreshed with the compacted instance. */
   def compact(): PostingsIndex = {
+    assertCurrent()
     val next = s"${baseName}_g${generation + 1}"
     val nextDocs = next + "_docs"
     spark.sql(s"DROP TABLE IF EXISTS $next")

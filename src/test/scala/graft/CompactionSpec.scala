@@ -114,5 +114,19 @@ class CompactionSpec extends SparkSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(after == before, "compaction must not change assignments")
     assert(!spark.catalog.tableExists(idx.tableName))
+    // r8: the pre-compaction handle fails fast with an actionable
+    // message, not a bare missing-table error (MinhashIndexSpec pins
+    // the same contract for the third index)
+    val staleErr = intercept[IllegalStateException] { idx.assigned.count() }
+    assert(staleErr.getMessage.contains("stale IvfIndex handle"))
+  }
+
+  test("postings: a stale handle fails fast after compaction") {
+    val run = System.nanoTime()
+    val idx = PostingsIndex.of(docsDF(batchA), "doc_id", "text", s"stale_$run")
+    val compacted = idx.compact()
+    val e = intercept[IllegalStateException] { idx.score(Seq("spark")).collect() }
+    assert(e.getMessage.contains("stale PostingsIndex handle"))
+    assert(compacted.score(Seq("spark")).count() > 0, "the returned handle keeps working")
   }
 }
