@@ -200,6 +200,30 @@ object Dedup {
         minhashLsh(s, d, MaxBandSize).select(col("doc_a"), col("doc_b")))
         .orderBy(col("doc_id"))),
 
+    // Quality-aware cluster dedup: the production keep/drop decision a
+    // pipeline makes AFTER clustering — per near-dup cluster, keep the
+    // single highest-quality member (longest n_chars; ties to the
+    // smaller doc_id), not the arbitrary min-id. Rides the identical
+    // CC kernel as d_neardup_clusters, then ONE cluster-keyed window
+    // shuffle computes size and pick together (both windows share the
+    // partitioning, so Catalyst plans a single exchange). Cluster
+    // sizes are bounded by the same band-cap discipline as the pair
+    // graph, so the window never sees a corpus-sized partition.
+    "d_cluster_keep_best" -> ((s, d) => {
+      val cc = connectedComponents(
+        Tables.documents(s, d).select(col("doc_id")),
+        minhashLsh(s, d, MaxBandSize).select(col("doc_a"), col("doc_b")))
+      val byCluster = Window.partitionBy(col("cluster_id"))
+      val pick = byCluster.orderBy(col("n_chars").desc, col("doc_id"))
+      cc.select(col("doc_id"), col("cluster_id"))
+        .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+        .withColumn("cluster_size", count(lit(1)).over(byCluster))
+        .withColumn("rk", row_number().over(pick))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("cluster_id"), col("n_chars"), col("cluster_size"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Embedding near-dup, the SCALE route: sign-LSH banded candidate
     // discovery instead of all-pairs. Eight 8-bit sign bands tile all
     // 64 dims of the normalized vector; a pair is a candidate when it
@@ -738,6 +762,20 @@ object Dedup {
        |LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Recursive min-label closure over the ground-truth pair set (ends
+    * with CTE `cl`: doc_id → cluster_id) — shared by the clustering
+    * gate and the keep-best selection gate. */
+  private lazy val closureCtes: String =
+    s"""$jaccardCtes,
+       |jp AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= $JaccardThreshold),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+       |      UNION ALL SELECT doc_b, doc_a FROM jp),
+       |reach(v, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN e ON reach.v = e.src),
+       |cl AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "d_exact_dedup" ->
       """SELECT doc_id, content_hash,
@@ -759,16 +797,19 @@ object Dedup {
     // list (UNION = distinct → terminates); MIN(r) per node is the
     // component id — exactly what min-label propagation converges to.
     "d_neardup_clusters" ->
-      s"""WITH RECURSIVE $jaccardCtes,
-         |jp AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= $JaccardThreshold),
-         |e AS (SELECT doc_a AS src, doc_b AS dst FROM jp
-         |      UNION ALL SELECT doc_b, doc_a FROM jp),
-         |reach(v, r) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.dst, reach.r FROM reach JOIN e ON reach.v = e.src)
-         |SELECT v AS doc_id, MIN(r) AS cluster_id, MIN(r) = v AS is_canonical
-         |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE $closureCtes
+         |SELECT doc_id, cluster_id, cluster_id = doc_id AS is_canonical
+         |FROM cl ORDER BY doc_id""".stripMargin,
+    // Same closure, then the keep-best window pick per cluster.
+    "d_cluster_keep_best" ->
+      s"""WITH RECURSIVE $closureCtes
+         |SELECT doc_id, cluster_id, n_chars, cluster_size FROM (
+         |  SELECT c.doc_id, c.cluster_id, d.n_chars,
+         |    COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+         |    ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+         |                       ORDER BY d.n_chars DESC, c.doc_id) AS rk
+         |  FROM cl c JOIN documents d USING (doc_id))
+         |WHERE rk = 1 ORDER BY doc_id""".stripMargin,
     "d_simhash" ->
       s"""WITH $simhashSqlCte
          |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,

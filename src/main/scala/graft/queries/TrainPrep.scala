@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.TextHash.h60
 
 /** Training-data preparation operators: sequence packing (the
   * concat-and-chunk step that turns documents into fixed-budget
@@ -121,7 +122,89 @@ object TrainPrep {
         .orderBy(col("overlap").desc, col("doc_id"))
     }),
 
-    "t_span_dedup" -> ((s, d) => spanDedup(s, d))
+    "t_span_dedup" -> ((s, d) => spanDedup(s, d)),
+
+    // Domain mixture rebalancing: downsample every source to the
+    // smallest source's TOKEN budget — the "don't let CommonCrawl
+    // drown the books" step of training-mix construction (mixtures
+    // are token-weighted, not doc-weighted). Per-source keep
+    // thresholds are integral (div(1e6·min_tokens, tokens_s), exact in
+    // both engines); membership is the h60 hash-bucket coin, so the
+    // sample is reproducible across engines, runs, and partitionings —
+    // no RNG, and E[kept tokens] ≈ min_tokens for every source.
+    //
+    // Scale shape: the source-token agg is |sources| rows (tiny), its
+    // min is a 1-row cross join, and the threshold table joins back
+    // BROADCAST — the corpus itself is touched by exactly one scan +
+    // map-side filter. At 100 TB the rates table is still |sources|
+    // rows; nothing here grows with the corpus.
+    "t_domain_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cnts = docs.groupBy(col("source"))
+        .agg(sum(expr("div(n_chars + 3, 4)")).as("toks"))
+      val minCnt = cnts.agg(min(col("toks")).as("min_toks"))
+      val thr = cnts.crossJoin(broadcast(minCnt))
+        .select(col("source"), expr("div(1000000 * min_toks, toks)").as("thr"))
+      docs.join(broadcast(thr), Seq("source"))
+        .filter(h60(concat(lit("mix#"), col("doc_id").cast("string"))) % 1000000
+          < col("thr"))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic global training-order shuffle WITHOUT a global
+    // window: the standard "shuffle the corpus once before packing"
+    // step. Each doc's shuffle key is its h60 hash; the global
+    // position is rank within the key order. A naive row_number()
+    // over (ORDER BY key) is a single-partition sort — the classic
+    // scale-killer — so this computes it as per-shard rank + shard
+    // offset, where shard = the key's top 10 bits: shards partition
+    // the key ORDER (k_a < k_b whenever shard_a < shard_b), so
+    // offset(shard) + rank-within-shard ≡ the global row_number. The
+    // shard ranks ride ONE hash shuffle + per-shard sort; the offsets
+    // are a 1024-row running sum joined back broadcast. The oracle
+    // computes the naive global form — the gate pins the two-stage
+    // decomposition exactly equal to it.
+    "t_global_shuffle" -> ((s, d) => {
+      val keyed = Tables.documents(s, d)
+        .select(col("doc_id"),
+          h60(concat(lit("shuf#"), col("doc_id").cast("string"))).as("k"))
+        .withColumn("shard", expr("shiftright(k, 50)"))
+      val perShard = Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
+      val ranked = keyed.withColumn("rk", row_number().over(perShard))
+      // ≤1024 rows: the unpartitioned running-sum window is bounded by
+      // the shard-id space, not the corpus — single partition is fine.
+      val offW = Window.orderBy(col("shard")).rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = keyed.groupBy(col("shard")).agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum(col("cnt")).over(offW), lit(0L)))
+        .select(col("shard"), col("off"))
+      ranked.join(broadcast(offsets), Seq("shard"))
+        .select(col("doc_id"), (col("off") + col("rk") - 1).as("pos"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Sliding-window chunking for retrieval indexing (RAG prep):
+    // 32-token chunks at stride 16 — every token is covered, interior
+    // tokens twice, so a query phrase never straddles an unseen
+    // boundary. Chunk count per doc is max(1, ceil((len-16)/16)); the
+    // final chunk may be short. Purely narrow per-row work (transform
+    // + posexplode inside the scan projection): scales with the scan,
+    // zero shuffles before the presentation sort. Chunk text is keyed
+    // by md5 to keep the result (and the oracle compare) narrow.
+    "t_chunk_overlap" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .withColumn("nc",
+          greatest(lit(1), ceil((size(col("ts")) - 16) / 16.0).cast("int")))
+        .select(col("doc_id"), col("ts"),
+          posexplode(expr(
+            "transform(sequence(0, nc - 1), i -> array_join(slice(ts, i*16+1, 32), ' '))"))
+            .as(Seq("chunk_id", "chunk")))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          least(lit(32), size(col("ts")) - col("chunk_id") * 16).cast("long")
+            .as("n_tokens"),
+          md5(col("chunk")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_id")))
   )
 
   /** Duplicated-chunk hash counts above this ride a broadcast into the
@@ -244,6 +327,34 @@ object TrainPrep {
     // differs only in physical shape (separate probe scan + broadcast
     // join).
     "t_contamination_probe" -> contaminationOracleSql,
+    "t_domain_mix" ->
+      """WITH c AS (
+        |  SELECT source, CAST(SUM((n_chars + 3) // 4) AS BIGINT) AS toks
+        |  FROM documents GROUP BY source),
+        |r AS (SELECT source, (1000000 * (SELECT MIN(toks) FROM c)) // toks AS thr FROM c)
+        |SELECT doc_id, source FROM documents JOIN r USING (source)
+        |WHERE ('0x' || substr(md5('mix#' || doc_id), 1, 15))::BIGINT % 1000000 < thr
+        |ORDER BY doc_id""".stripMargin,
+    // The NAIVE global form — the Spark side must reproduce it exactly
+    // via the per-shard decomposition.
+    "t_global_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('shuf#' || doc_id), 1, 15))::BIGINT AS k
+        |  FROM documents)
+        |SELECT doc_id, ROW_NUMBER() OVER (ORDER BY k, doc_id) - 1 AS pos
+        |FROM k ORDER BY doc_id""".stripMargin,
+    "t_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |n AS (SELECT doc_id, ts,
+        |        greatest(1, CAST(ceil((len(ts) - 16) / 16.0) AS INT)) AS nc
+        |      FROM t),
+        |c AS (SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_id,
+        |        array_to_string(ts[u.i*16+1 : u.i*16+32], ' ') AS chunk,
+        |        CAST(least(32, len(ts) - u.i*16) AS BIGINT) AS n_tokens
+        |      FROM n, UNNEST(generate_series(0, nc - 1)) AS u(i))
+        |SELECT doc_id, chunk_id, n_tokens, md5(chunk) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "t_span_dedup" ->
       """WITH c AS (
         |  SELECT doc_id, u.pos AS pos, u.chunk AS chunk FROM (

@@ -84,4 +84,26 @@ class DedupClusterSpec extends SparkSuite {
       Dedup.connectedComponents(nodes, pairs, maxRounds = 1)
     }
   }
+
+  test("d_cluster_keep_best: one keeper per cluster, longest member wins") {
+    val d = "/root/testdata/sf0.001"
+    val clusters = SparkEntry.queries("d_neardup_clusters")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val nChars = Tables.documents(spark, d)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("n_chars"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val members = clusters.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val kept = SparkEntry.queries("d_cluster_keep_best")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(kept.map(_._2).toSet == members.keySet, "exactly one keeper per cluster")
+    kept.foreach { case (id, cid, nc, size) =>
+      val mem = members(cid)
+      assert(mem.contains(id), s"keeper $id belongs to cluster $cid")
+      assert(size == mem.size, s"cluster $cid size")
+      assert(nc == nChars(id), s"keeper $id n_chars")
+      val best = mem.toSeq.map(m => (-nChars(m), m)).min._2
+      assert(id == best, s"cluster $cid keeper is the longest member (min id on ties)")
+    }
+  }
 }

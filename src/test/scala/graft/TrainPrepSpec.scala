@@ -128,6 +128,84 @@ class TrainPrepSpec extends SparkSuite {
     }
   }
 
+  test("t_global_shuffle: per-shard decomposition equals the naive global row_number") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextHash.h60
+    val got = SparkEntry.queries("t_global_shuffle")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // naive single-partition form, fine at test scale
+    val naive = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        h60(concat(lit("shuf#"), col("doc_id").cast("string"))).as("k"))
+      .withColumn("pos", row_number().over(Window.orderBy(col("k"), col("doc_id"))) - 1)
+      .collect().map(r => r.getLong(0) -> (r.getInt(2) - 0L)).toMap
+    assert(got == naive, "two-stage rank must equal the global row_number")
+    assert(got.values.toSeq.sorted == (0L until got.size).toSeq,
+      "positions are a permutation of 0..n-1")
+  }
+
+  test("t_global_shuffle: the corpus-sized window rank is per-shard, not global") {
+    val p = SparkEntry.queries("t_global_shuffle")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(shard"),
+      "the rank window must hash-partition on the shard key:\n" + p)
+    // The only SinglePartition convergence allowed is the ≤1024-row
+    // offsets running sum; the corpus-sized rank stream must never
+    // collapse onto one partition.
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 1,
+      "only the tiny offsets window may single-partition:\n" + p)
+  }
+
+  test("t_domain_mix: smallest source keeps everything, sample is deterministic") {
+    val docs = Tables.documents(spark, d)
+    val toks = docs.groupBy(col("source"))
+      .agg(sum(expr("div(n_chars + 3, 4)")).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minSource = toks.minBy { case (s, t) => (t, s) }._1
+    val perSource = docs.groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = SparkEntry.queries("t_domain_mix")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val keptBySource = kept.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(keptBySource(minSource) == perSource(minSource),
+      s"the min-token source ($minSource, thr=1e6) keeps every doc")
+    keptBySource.foreach { case (s, n) =>
+      assert(n <= perSource(s), s"source $s cannot keep more than it has")
+    }
+    val again = SparkEntry.queries("t_domain_mix")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.toSeq == again.toSeq, "hash-coin sampling is run-deterministic")
+  }
+
+  test("t_domain_mix: the threshold table joins back broadcast") {
+    val p = SparkEntry.queries("t_domain_mix")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "the |sources|-row threshold table must broadcast:\n" + p)
+  }
+
+  test("t_chunk_overlap: stride-16/size-32 chunks tile every document") {
+    val lens = Tables.documents(spark, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = SparkEntry.queries("t_chunk_overlap")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(chunks.keySet == lens.keySet, "every document chunks")
+    chunks.foreach { case (id, cs) =>
+      val len = lens(id).toLong
+      val expected = math.max(1L, math.ceil((len - 16) / 16.0).toLong)
+      val ids = cs.map(_._2).sorted.toSeq
+      assert(ids == (0L until expected).toSeq, s"doc $id chunk ids contiguous")
+      cs.foreach { case (_, cid, nt) =>
+        assert(nt >= 1 && nt <= 32, s"doc $id chunk $cid token count")
+        assert(nt == math.min(32L, len - cid * 16), s"doc $id chunk $cid span")
+      }
+      val (lastId, lastN) = (ids.last, cs.maxBy(_._2)._3)
+      assert(lastId * 16 + lastN == len, s"doc $id final chunk reaches the end")
+    }
+  }
+
   test("t_contamination_probe: broadcast on the probe side, same answer") {
     val probe = SparkEntry.queries("t_contamination_probe")(spark, d)
     val p = probe.queryExecution.executedPlan.toString
