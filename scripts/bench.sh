@@ -14,7 +14,11 @@ rm -f "$out"
 sbt -batch "runMain graft.Bench" 1>&2
 rc=$?
 if [ -f "$out" ]; then
+  # Full per-query record first, then the SHORT headline line LAST —
+  # the driver tail-parses the final stdout line and its window can't
+  # hold the ~100-entry full line.
   cat "$out"
+  [ -f "$out.short" ] && cat "$out.short"
 else
   echo '{"metric":"total","value":null,"error":"bench produced no '"$out"'"}'
   rc=1

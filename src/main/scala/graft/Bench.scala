@@ -156,16 +156,22 @@ object Bench {
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$p50s,""" +
       s""""p95":$p95s,"rounds":$roundsUsed$setupJson$inRoundBuildsJson,""" +
       s""""protocol":"p50 of <=$Rounds rounds, warm, full materialization (toRdd), untimed index-build setup, ${PerQueryCapSec.toInt}s/query cap, per-round orphan unpersist + per-query gc isolation, local[$cpus], heap ${Runtime.getRuntime.maxMemory() >> 30}g"$skippedJson,"sf":"$sfDir"}"""
-    try Files.writeString(Paths.get(outPath), json + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
-    println(json)
     // The driver tail-parses a bounded slice of the run log; the full
-    // line above (~95 query entries) overflows that window and has
-    // recorded as parsed:null since r5. Re-emit the headline numbers as
-    // a LAST, short stdout line that always fits the tail — per-query
-    // data stays in the full line above and in outPath.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},""" +
-      s""""setup_sec":${fmt(setupSec)},"detail":"$outPath"$skippedJson,"sf":"$sfDir"}""")
+    // line (~100 query entries) overflows that window and has recorded
+    // as parsed:null since r5. Emit the headline numbers as a LAST,
+    // short stdout line that always fits the tail — per-query data
+    // stays in the full line and in outPath. The short line is ALSO
+    // written to outPath+".short" so scripts/bench.sh can end its
+    // stdout with it.
+    val shortJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},""" +
+      s""""setup_sec":${fmt(setupSec)},"detail":"$outPath"$skippedJson,"sf":"$sfDir"}"""
+    try {
+      Files.writeString(Paths.get(outPath), json + "\n")
+      Files.writeString(Paths.get(outPath + ".short"), shortJson + "\n")
+    } catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
+    println(json)
+    println(shortJson)
     spark.stop()
   }
 }
