@@ -6,8 +6,11 @@ object ExplainCheck {
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
-    for (q <- Seq("s2_scan_project", "q5_star_join", "q3_shipping_priority", "o2_bm25_topk",
-        "d_embed_neardup", "d_simhash_pairs", "ann_lsh", "d_minhash_lsh")) {
+    val qs =
+      if (args.nonEmpty) args.toSeq
+      else Seq("s2_scan_project", "q5_star_join", "q3_shipping_priority", "o2_bm25_topk",
+        "d_embed_neardup", "d_simhash_pairs", "ann_lsh", "d_minhash_lsh")
+    for (q <- qs) {
       println(s"\n===== $q =====")
       val plan = graft.SparkEntry.queries(q)(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)

@@ -39,7 +39,7 @@ object SparkEntry {
       graft.search.PostingsIndex.forDocuments(spark, sfDir)
     if (names("ann_ivf"))
       graft.queries.Ann.prebuildIndex(spark, sfDir)
-    if (names("d_incr_indexed"))
+    if (names("d_incr_indexed") || names("pipe_incr_clean"))
       graft.queries.Dedup.incrIndex(spark, sfDir)
     ()
   }

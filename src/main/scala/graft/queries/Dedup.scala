@@ -743,10 +743,12 @@ object Dedup {
       |sig AS (SELECT doc_id, CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
       |        FROM bits GROUP BY doc_id)""".stripMargin
 
-  /** DuckDB mirror of the incremental near-dup contract, shared by
-    * the self-contained gate and the [[MinhashIndex]]-probe gate. */
-  private lazy val incrNearDupSql: String =
-    s"""WITH $jaccardCtes,
+  /** Ground-truth delta-vs-corpus best-match CTEs (ends with `best`:
+    * doc_id → dup_of/jaccard/rn, rn=1 is the best corpus match at
+    * J ≥ threshold) — shared by the two incremental near-dup gates and
+    * [[CorpusClean]]'s incremental pipeline oracle. */
+  private[queries] lazy val incrBestCtes: String =
+    s"""$jaccardCtes,
        |m AS (SELECT CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS doc_id,
        |             CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS dup_of,
        |             jaccard
@@ -756,7 +758,12 @@ object Dedup {
        |best AS (SELECT doc_id, dup_of, jaccard,
        |           ROW_NUMBER() OVER (PARTITION BY doc_id
        |                              ORDER BY jaccard DESC, dup_of) AS rn
-       |         FROM m)
+       |         FROM m)""".stripMargin
+
+  /** DuckDB mirror of the incremental near-dup contract, shared by
+    * the self-contained gate and the [[MinhashIndex]]-probe gate. */
+  private lazy val incrNearDupSql: String =
+    s"""WITH $incrBestCtes
        |SELECT d.doc_id, b.dup_of, b.jaccard, b.dup_of IS NULL AS is_new
        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
        |LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
