@@ -39,7 +39,7 @@ object SparkEntry {
       graft.search.PostingsIndex.forDocuments(spark, sfDir)
     if (names("ann_ivf"))
       graft.queries.Ann.prebuildIndex(spark, sfDir)
-    if (names("d_incr_indexed") || names("pipe_incr_clean"))
+    if (names("d_incr_indexed") || names("pipe_incr_clean") || names("st_incr_neardup"))
       graft.queries.Dedup.incrIndex(spark, sfDir)
     ()
   }

@@ -761,8 +761,9 @@ object Dedup {
        |         FROM m)""".stripMargin
 
   /** DuckDB mirror of the incremental near-dup contract, shared by
-    * the self-contained gate and the [[MinhashIndex]]-probe gate. */
-  private lazy val incrNearDupSql: String =
+    * the self-contained gate, the [[MinhashIndex]]-probe gate, and the
+    * streaming probe gate (`st_incr_neardup`, [[StreamQ]]). */
+  private[queries] lazy val incrNearDupSql: String =
     s"""WITH $incrBestCtes
        |SELECT d.doc_id, b.dup_of, b.jaccard, b.dup_of IS NULL AS is_new
        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d

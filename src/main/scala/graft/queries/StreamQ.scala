@@ -40,6 +40,17 @@ object StreamQ {
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
         .orderBy(col("event_type"))),
 
+    // Streaming standing-pipeline dedup: delta documents arrive as a
+    // file stream, each micro-batch probes the PERSISTED corpus
+    // MinHash index inside foreachBatch (build once, probe per batch —
+    // the continuous form of d_incr_indexed). Batch probes are
+    // independent against the fixed corpus, so the accumulated sink
+    // equals the batch probe of the full delta; the oracle is the same
+    // all-pairs ground truth as the batch gates. DocStreamSpec pins
+    // multi-batch splitting.
+    "st_incr_neardup" -> ((s, d) =>
+      graft.streaming.DocStreams.incrNearDupStream(s, d)),
+
     // Multimodal: binary payload + metadata struct → partition-parallel
     // decode-stub features.
     "mm_decode_features" -> ((s, d) =>
@@ -69,6 +80,8 @@ object StreamQ {
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // The streaming probe answers the batch incremental contract.
+    "st_incr_neardup" -> Dedup.incrNearDupSql,
     "mm_decode_features" ->
       """SELECT doc_id, strlen(text) AS n_bytes,
         |  unicode(substr(text, 1, 1)) AS first_byte,

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, Row, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the documents table — the STREAMING front
+  * of the standing dedup pipeline: new documents arrive as files, and
+  * each micro-batch probes the persisted MinHash index
+  * ([[graft.queries.MinhashIndex]]) built once over the corpus. This
+  * is the continuous-ingest shape of `d_incr_indexed`/`pipe_incr_clean`
+  * — probe cost per batch ∝ the batch, the corpus never recomputes,
+  * and the probe (multi-job: count-gated broadcast, checkpointed
+  * frames, a window) runs inside `foreachBatch`, which is exactly what
+  * foreachBatch exists for: per-batch logic a single streaming plan
+  * cannot express.
+  *
+  * With `Trigger.AvailableNow` over the driver's parquet the result is
+  * deterministic and equals the batch probe of the full delta — each
+  * batch's delta slice probes the same fixed corpus independently, so
+  * the union over batches IS the batch answer (no cross-batch state to
+  * get wrong). DocStreamSpec pins that equality under forced
+  * one-file-per-micro-batch splitting.
+  */
+object DocStreams {
+
+  private val seq = new AtomicInteger(0)
+
+  /** Parquet schema of documents.parquet (driver testdata and ScaleUp
+    * corpora share it; no encoding variance across rounds so far —
+    * unlike events.ts, see [[EventStreams.eventSchema]]). */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Stream the DELTA documents (doc_id ≡ 0 mod 10, the `d_incr_*`
+    * convention) out of `dir` and probe each micro-batch against the
+    * persisted corpus index; returns the accumulated verdicts
+    * (doc_id, dup_of, jaccard, is_new) over all batches, doc_id-ordered.
+    */
+  def incrNearDupStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val d = EventStreams.streamDir(dir, "documents.parquet")
+    // Built once per corpus (session-cached, bench-setup aware) — the
+    // stream below only ever probes it.
+    val idx = graft.queries.Dedup.incrIndex(spark, dir)
+    val n = seq.incrementAndGet()
+    // Fresh sink + checkpoint per invocation: batches APPEND within a
+    // run; a reused path across runs would double the verdicts.
+    val sinkPath = graft.util.Scratch.dir(
+      s"st_incr_sink_${n}_${graft.util.Scratch.md5hex(dir + System.nanoTime(), 8)}")
+    val ckpt = sinkPath + "_ckpt"
+
+    val reader = spark.readStream.schema(docSchema)
+    maxFilesPerTrigger.foreach(m => reader.option("maxFilesPerTrigger", m))
+    val stream = reader.parquet(d)
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id"), col("text"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        idx.probe(batch).write.mode("append").parquet(sinkPath)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sinkPath).orderBy(col("doc_id"))
+  }
+}

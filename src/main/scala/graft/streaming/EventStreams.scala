@@ -39,7 +39,7 @@ object EventStreams {
     * part-files are symlinked flat — the file source does not recurse
     * into subdirectories). A production deployment would already point
     * at a directory. */
-  private def streamDir(dir: String): String = {
+  private[streaming] def streamDir(dir: String, table: String = "events.parquet"): String = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     // ABSOLUTE from the start: the symlink targets below must resolve
@@ -47,7 +47,7 @@ object EventStreams {
     // produces links whose targets dangle, and the file stream source
     // silently reads ZERO files (empty result, no error — round-6
     // finding while re-recording BENCH_sf1).
-    val src = Paths.get(s"$dir/events.parquet").toAbsolutePath
+    val src = Paths.get(s"$dir/$table").toAbsolutePath
     // Keyed by a path DIGEST, not hashCode: Math.abs(Int.MinValue) is
     // negative and two corpora can share a hashCode (ADVICE r5).
     val d = Paths.get(
@@ -57,7 +57,7 @@ object EventStreams {
         Files.list(src).iterator().asScala
           .filter(_.getFileName.toString.endsWith(".parquet"))
           .map(p => p.getFileName.toString -> p).toMap
-      else Map("events.parquet" -> src)
+      else Map(table -> src)
     // Refresh when the source listing changed (a regenerated ScaleUp
     // corpus writes new part-file names — the old code left dangling
     // symlinks and never linked the new files): wipe and relink.
