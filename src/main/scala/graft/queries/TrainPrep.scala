@@ -183,6 +183,63 @@ object TrainPrep {
         .orderBy(col("doc_id"))
     }),
 
+    // End-to-end training-data PREPARATION — the composition that
+    // follows cleaning, as ONE declarative plan:
+    //
+    //   1. domain mixing   (t_domain_mix's token-weighted keep set);
+    //   2. global shuffle  (t_global_shuffle's deterministic
+    //                       permutation, over the KEPT docs);
+    //   3. sequence packing (t_seq_pack's budget arithmetic — but in
+    //                       SHUFFLE order, the production semantic:
+    //                       "shuffle once, then pack").
+    //
+    // The scale point of composing them: steps 2 and 3 are BOTH
+    // prefix sums over the same (k, doc_id) order, so they share the
+    // per-shard decomposition — ONE hash shuffle on the shuffle-key
+    // shard carries the rank window AND the cumulative-token window
+    // (same partitioning + ordering → Catalyst plans a single
+    // exchange+sort), and the ≤1024-row shard offsets (row count AND
+    // token sum) ride one broadcast join back. The corpus is never
+    // globally sorted and nothing corpus-sized converges to one
+    // partition. Like t_global_shuffle, the offsets agg re-scans the
+    // narrow keyed columns rather than checkpointing the corpus-sized
+    // kept frame. The oracle computes the NAIVE form — mix filter,
+    // global ROW_NUMBER, global windowed token sum — and the gate pins
+    // the decomposition exactly equal.
+    "pipe_train_prep" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      // 1. token-weighted mix thresholds (|sources| rows, broadcast)
+      val cnts = docs.groupBy(col("source"))
+        .agg(sum(expr("div(n_chars + 3, 4)")).as("toks"))
+      val minCnt = cnts.agg(min(col("toks")).as("min_toks"))
+      val thr = cnts.crossJoin(broadcast(minCnt))
+        .select(col("source"), expr("div(1000000 * min_toks, toks)").as("thr"))
+      val kept = docs.join(broadcast(thr), Seq("source"))
+        .filter(h60(concat(lit("mix#"), col("doc_id").cast("string"))) % 1000000
+          < col("thr"))
+        .select(col("doc_id"), col("source"), expr("div(n_chars + 3, 4)").as("tokens"),
+          h60(concat(lit("shuf#"), col("doc_id").cast("string"))).as("k"))
+        .withColumn("shard", expr("shiftright(k, 50)"))
+      // 2+3. one shard exchange, two windows over it
+      val perShard = Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
+      val ranked = kept
+        .withColumn("rk", row_number().over(perShard))
+        .withColumn("cum_shard", coalesce(sum(col("tokens"))
+          .over(perShard.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val offW = Window.orderBy(col("shard")).rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = kept.groupBy(col("shard"))
+        .agg(count(lit(1)).as("cnt"), sum(col("tokens")).as("stoks"))
+        .withColumn("off", coalesce(sum(col("cnt")).over(offW), lit(0L)))
+        .withColumn("tok_off", coalesce(sum(col("stoks")).over(offW), lit(0L)))
+        .select(col("shard"), col("off"), col("tok_off"))
+      ranked.join(broadcast(offsets), Seq("shard"))
+        .select(col("doc_id"), col("source"), col("tokens"),
+          (col("off") + col("rk") - 1).as("pos"),
+          expr("div(tok_off + cum_shard, 2048)").as("pack_id"),
+          ((col("tok_off") + col("cum_shard")) % 2048).as("pack_offset"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Sliding-window chunking for retrieval indexing (RAG prep):
     // 32-token chunks at stride 16 — every token is covered, interior
     // tokens twice, so a query phrase never straddles an unseen
@@ -344,6 +401,28 @@ object TrainPrep {
         |  FROM documents)
         |SELECT doc_id, ROW_NUMBER() OVER (ORDER BY k, doc_id) - 1 AS pos
         |FROM k ORDER BY doc_id""".stripMargin,
+    // The NAIVE composed form: mix filter, then one global
+    // ROW_NUMBER and one global windowed token sum over the kept set
+    // (HUGEINT-cast per the §9.10 oracle-authoring rule).
+    "pipe_train_prep" ->
+      """WITH c AS (
+        |  SELECT source, CAST(SUM((n_chars + 3) // 4) AS BIGINT) AS toks
+        |  FROM documents GROUP BY source),
+        |r AS (SELECT source, (1000000 * (SELECT MIN(toks) FROM c)) // toks AS thr FROM c),
+        |kept AS (
+        |  SELECT doc_id, source, (n_chars + 3) // 4 AS tokens,
+        |    ('0x' || substr(md5('shuf#' || doc_id), 1, 15))::BIGINT AS k
+        |  FROM documents JOIN r USING (source)
+        |  WHERE ('0x' || substr(md5('mix#' || doc_id), 1, 15))::BIGINT % 1000000 < thr),
+        |w AS (
+        |  SELECT doc_id, source, tokens,
+        |    ROW_NUMBER() OVER (ORDER BY k, doc_id) - 1 AS pos,
+        |    CAST(COALESCE(SUM(tokens) OVER (ORDER BY k, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_excl
+        |  FROM kept)
+        |SELECT doc_id, source, tokens, pos,
+        |  cum_excl // 2048 AS pack_id, cum_excl % 2048 AS pack_offset
+        |FROM w ORDER BY doc_id""".stripMargin,
     "t_chunk_overlap" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |n AS (SELECT doc_id, ts,

@@ -156,6 +156,49 @@ class TrainPrepSpec extends SparkSuite {
       "only the tiny offsets window may single-partition:\n" + p)
   }
 
+  test("pipe_train_prep: composes its three stages exactly") {
+    val out = SparkEntry.queries("pipe_train_prep")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // 1. the kept set IS t_domain_mix's keep set
+    val mixKept = SparkEntry.queries("t_domain_mix")(spark, d)
+      .collect().map(_.getLong(0)).toSet
+    assert(out.map(_._1).toSet == mixKept)
+    assert(out.length < Tables.documents(spark, d).count(), "mix drops something")
+    // 2. pos is a permutation of 0..n-1 over the kept docs
+    assert(out.map(_._4).sorted.toSeq == (0L until out.length).toSeq)
+    // 3. packing is the running token sum in POS order
+    var cum = 0L
+    out.sortBy(_._4).foreach { case (id, _, tokens, _, packId, packOff) =>
+      assert(packId == cum / 2048 && packOff == cum % 2048,
+        s"doc $id: pack ($packId,$packOff) != cum $cum")
+      cum += tokens
+    }
+  }
+
+  test("pipe_train_prep: one corpus-sized exchange serves both windows") {
+    val p = SparkEntry.queries("pipe_train_prep")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(shard"),
+      "rank+packing windows must hash-partition on the shard key:\n" + p)
+    // The rank window and the cumulative-token window share
+    // partitioning AND ordering, so they must ride ONE corpus-sized
+    // hash exchange (the offsets agg has its own small one).
+    assert("Exchange hashpartitioning\\(shard".r.findAllIn(p).size <= 2,
+      "shard exchanges: one for the shared windows, at most one for the offsets agg:\n" + p)
+    // SinglePartition convergences are all BOUNDED frames: the
+    // |sources|-row min-token agg (planned twice — the kept frame is
+    // derived independently for the window path and the offsets path)
+    // and the <=1024-row shard-offsets window. The corpus-sized
+    // window stream itself must never appear under one of them —
+    // pinned indirectly: the only Window over corpus rows hash-
+    // partitions on shard (asserted above), and the rank window of
+    // the component gate pins the same (t_global_shuffle test).
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 3,
+      "only the bounded agg/offsets frames may single-partition:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), "thresholds and offsets join broadcast:\n" + p)
+  }
+
   test("t_domain_mix: smallest source keeps everything, sample is deterministic") {
     val docs = Tables.documents(spark, d)
     val toks = docs.groupBy(col("source"))
