@@ -17,11 +17,14 @@ import graft.usage.UsageLog
   *   sync  [root] [--skip-generate]                  — full re-index
   *   stats [root]                                    — project stats table
   *   usage [root] [--days n]                         — telemetry rollup
-  *   serve [root]                                    — JSON-lines tool loop
+  *   serve [root] [--mcp]                            — tool loop (JSON-lines
+  *                                                     or MCP stdio framing)
   *
   * `serve` (cli.py:154-161) runs [[graft.serve.JsonLineServer]] over
   * the [[graft.api.Engine]] facade: the reference's 10-tool contract on
-  * a JSON-lines stdin/stdout transport instead of MCP stdio.
+  * a JSON-lines stdin/stdout transport; `--mcp` selects the MCP
+  * JSON-RPC 2.0 framing ([[graft.serve.McpServer]]) over the same
+  * dispatch.
   *
   * The "index" is the catalog parquet written by [[Writer]] under
   * `<root>/.graft/index` (the reference's `.ariadne/index.db`), and
@@ -65,19 +68,24 @@ object Cli {
         initOrSync(spark, rootOf(rest), targets, skipGenerate, out)
       case "stats" :: rest => stats(spark, rootOf(rest), out)
       case "usage" :: rest => usageStats(spark, rootOf(rest), days, out)
-      case "serve" :: rest => serve(spark, rootOf(rest), out, in)
+      case "serve" :: rest =>
+        serve(spark, rootOf(rest), out, in, mcp = flags.contains("--mcp"))
       case other =>
         out.println(s"usage: graft.Cli (init|sync|stats|usage|serve) [project_root] " +
-          s"[--target=t] [--skip-generate] [--days=n]" +
+          s"[--target=t] [--skip-generate] [--days=n] [--mcp]" +
           other.headOption.fold("")(v => s"  (got: $v)"))
         2
     }
   }
 
   /** `ariadne serve` equivalent: ingest the project's manifest, then
-    * answer JSON-lines tool requests until EOF/`exit`. */
+    * answer tool requests until EOF/`exit`. Default transport is
+    * JSON-lines ([[graft.serve.JsonLineServer]]); `--mcp` selects MCP
+    * stdio framing ([[graft.serve.McpServer]] — JSON-RPC 2.0 with
+    * initialize/tools/list/tools/call, the reference's wire protocol). */
   private def serve(spark: SparkSession, root: Path,
-      out: java.io.PrintStream, in: java.io.BufferedReader): Int = {
+      out: java.io.PrintStream, in: java.io.BufferedReader,
+      mcp: Boolean = false): Int = {
     val cfg = Config.load(root)
     val manifest =
       if (cfg.manifestPath.isAbsolute) cfg.manifestPath
@@ -88,7 +96,8 @@ object Cli {
     }
     val engine = graft.api.Engine.fromManifest(spark, manifest.toString,
       Some(root.resolve(".graft/usage").toString), cfg)
-    graft.serve.JsonLineServer.loop(engine, in, out)
+    if (mcp) graft.serve.McpServer.loop(engine, in, out)
+    else graft.serve.JsonLineServer.loop(engine, in, out)
   }
 
   private def rootOf(rest: List[String]): Path =
