@@ -62,6 +62,19 @@ object BenchServe {
     val capsuleMs = warmRounds(20)(
       engine.getContextCapsule("debug metric model", focusModel = Some("fct_model_499")))
 
+    // The MCP framing (`serve --mcp`, round 8) must not tax the
+    // latency targets: the same three tools through McpServer.handle —
+    // full JSON-RPC parse + dispatch + row render per call, the
+    // whole per-request path a connected MCP client pays.
+    def mcpLine(tool: String, args: String) =
+      s"""{"jsonrpc":"2.0","id":1,"method":"tools/call","params":{"name":"$tool","arguments":$args}}"""
+    val mcpSearchMs = warmRounds(20)(graft.serve.McpServer.handle(engine,
+      mcpLine("search_models", """{"query":"metric model","limit":10}""")))
+    val mcpLineageMs = warmRounds(20)(graft.serve.McpServer.handle(engine,
+      mcpLine("get_lineage", """{"model_id":"model.gen.m_250"}""")))
+    val mcpCapsuleMs = warmRounds(20)(graft.serve.McpServer.handle(engine,
+      mcpLine("get_context_capsule", """{"task":"debug metric model","focus_model":"fct_model_499"}""")))
+
     // Token reduction vs the naive dump-every-model estimate, both as
     // chars/4 (README.md:140 claims 50-65%; run.py:155-196).
     val cap = engine.getContextCapsule("debug metric model", focusModel = Some("fct_model_499"))
@@ -104,6 +117,8 @@ object BenchServe {
         s""""rebuild_sec":${f(p50(rebuildTimes) / 1000)},"search_ms":${f(p50(searchMs))},""" +
         s""""lineage_ms":${f(p50(lineageMs))},"capsule_ms":${f(p50(capsuleMs))},""" +
         s""""token_reduction_pct":${f(reduction * 100)},""" +
+        s""""mcp":{"search_ms":${f(p50(mcpSearchMs))},"lineage_ms":${f(p50(mcpLineageMs))},""" +
+        s""""capsule_ms":${f(p50(mcpCapsuleMs))}},""" +
         s""""targets":{"rebuild_sec":5,"search_ms":100,"lineage_ms":50,"capsule_ms":500,"token_reduction_pct":50},""" +
         s""""at_10k":{"workload":"10000-model chained manifest","rounds":{"rebuild":3,"warm":20},""" +
         s""""rebuild_sec":${f(p50(rebuild10k) / 1000)},"search_ms":${f(p50(search10kMs))},""" +
