@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir, extra @ _*) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Tables.configure(SparkSession.builder())
       .master(s"local[$cpus]")
@@ -15,10 +15,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Optional comma-separated filter for targeted local gate checks
-    // (e.g. SPARK_GRAFT_VERIFY_ONLY=j_skew_salted); the driver runs
-    // unfiltered.
-    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+    // Optional comma-separated filter for targeted local gate checks —
+    // either a third CLI arg or SPARK_GRAFT_VERIFY_ONLY (e.g.
+    // j_skew_salted,q1_pricing_summary); the driver runs unfiltered.
+    val only = extra.headOption.orElse(sys.env.get("SPARK_GRAFT_VERIFY_ONLY"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
