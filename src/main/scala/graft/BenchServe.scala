@@ -61,6 +61,11 @@ object BenchServe {
     val lineageMs = warmRounds(20)(engine.getLineage("model.gen.m_250", 3, 3).collect())
     val capsuleMs = warmRounds(20)(
       engine.getContextCapsule("debug metric model", focusModel = Some("fct_model_499")))
+    // BASELINE.md row 5: pattern extraction (get_stats + get_patterns
+    // workload, run.py:146-153) — target P95 < 200 ms. Served from the
+    // snapshot tier like every other interactive call (the distributed
+    // Patterns formulations are gate-checked separately).
+    val patternsMs = warmRounds(20)(engine.getPatternsSummary())
 
     // The MCP framing (`serve --mcp`, round 8) must not tax the
     // latency targets: the same three tools through McpServer.handle —
@@ -116,10 +121,12 @@ object BenchServe {
       s"""{"workload":"500-model chained manifest","rounds":{"rebuild":5,"warm":20},""" +
         s""""rebuild_sec":${f(p50(rebuildTimes) / 1000)},"search_ms":${f(p50(searchMs))},""" +
         s""""lineage_ms":${f(p50(lineageMs))},"capsule_ms":${f(p50(capsuleMs))},""" +
+        s""""patterns_ms":${f(p50(patternsMs))},"patterns_p95_ms":${f(Bench.percentile(patternsMs, 95))},""" +
+        s""""models_per_sec":${f(500 / (p50(rebuildTimes) / 1000))},""" +
         s""""token_reduction_pct":${f(reduction * 100)},""" +
         s""""mcp":{"search_ms":${f(p50(mcpSearchMs))},"lineage_ms":${f(p50(mcpLineageMs))},""" +
         s""""capsule_ms":${f(p50(mcpCapsuleMs))}},""" +
-        s""""targets":{"rebuild_sec":5,"search_ms":100,"lineage_ms":50,"capsule_ms":500,"token_reduction_pct":50},""" +
+        s""""targets":{"rebuild_sec":5,"search_ms":100,"lineage_ms":50,"capsule_ms":500,"patterns_p95_ms":200,"token_reduction_pct":50},""" +
         s""""at_10k":{"workload":"10000-model chained manifest","rounds":{"rebuild":3,"warm":20},""" +
         s""""rebuild_sec":${f(p50(rebuild10k) / 1000)},"search_ms":${f(p50(search10kMs))},""" +
         s""""lineage_ms":${f(p50(lineage10kMs))},"capsule_ms":${f(p50(capsule10kMs))},""" +

@@ -146,6 +146,24 @@ class Engine private (spark: SparkSession, manifestPath: String,
     }
 
   def getProjectStats(): DataFrame = patternsOps.stats()
+
+  // Exposure count for the serving-tier summary, cached per catalog
+  // instance (refreshIndex swaps `catalog`, invalidating it naturally).
+  private var exposuresCache: Option[(Catalog, Long)] = None
+  private def exposuresCount: Long = exposuresCache match {
+    case Some((c, n)) if c eq catalog => n
+    case _ =>
+      val n = catalog.exposures.count()
+      exposuresCache = Some((catalog, n))
+      n
+  }
+
+  /** Serving-tier stats + patterns in one driver-side pass — the
+    * reference's pattern-extraction benchmark workload (get_stats +
+    * get_patterns) at interactive latency; the distributed
+    * [[Patterns]] formulations above remain the scale path. */
+  def getPatternsSummary(): scala.collection.immutable.ListMap[String, Any] =
+    catalog.snapshot.patternsSummary(exposuresCount)
   def getPatterns(): Patterns = patternsOps
   def getTopCentral(k: Int = 10): DataFrame = lineageOps.topCentral(k)
   def sourceDeps(modelId: String): DataFrame = lineageOps.sourceDeps(modelId)

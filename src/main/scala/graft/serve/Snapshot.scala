@@ -87,6 +87,72 @@ final class Snapshot(
     }
     dist.toSeq
   }
+
+  /** Serving-tier stats + patterns — the reference benchmark's
+    * "pattern extraction" workload (get_stats + get_patterns,
+    * `/root/reference/benchmarks/run.py:146-153`, target P95 < 200 ms)
+    * answered from the already-collected snapshot, O(catalog)
+    * driver-side like every other serving call. Field semantics are
+    * pinned equal to the distributed [[graft.patterns.Patterns]]
+    * formulations (PatternsSpec parity tests), which remain the
+    * oracle-gated scale path. `exposures` comes from the caller — the
+    * snapshot doesn't carry exposure rows (nothing else serves them). */
+  def patternsSummary(exposures: Long): scala.collection.immutable.ListMap[String, Any] = {
+    import scala.collection.immutable.ListMap
+    val allTests = testsByModel.values.flatten.toVector
+    val totalCols = columnsByModel.values.map(_.size.toLong).sum
+    val testedCols = allTests.filter(_.columnName.nonEmpty)
+      .map(t => (t.modelId, t.columnName)).toSet
+    val layerOf = models.map(m => m.uniqueId -> m.layer).toMap
+
+    val layerCounts = ListMap(models.groupBy(_.layer).toSeq
+      .map { case (l, v) => l -> v.size.toLong }.sortBy(_._1): _*)
+    val matByLayer = ListMap(models.groupBy(_.layer).toSeq.map { case (l, v) =>
+      val top = v.groupBy(_.materialization).toSeq
+        .map { case (m, g) => (m, g.size.toLong) }
+        .minBy { case (m, n) => (-n, m) }
+      l -> ListMap("materialization" -> top._1, "n" -> top._2)
+    }.sortBy(_._1): _*)
+    val colsByLayer = columnsByModel.toSeq
+      .flatMap { case (mid, cs) => layerOf.get(mid).map(_ -> cs.size.toLong) }
+      .groupBy(_._1).map { case (l, v) => l -> v.map(_._2).sum }
+    val testedByLayer = testedCols.toSeq
+      .flatMap { case (mid, _) => layerOf.get(mid) }
+      .groupBy(identity).map { case (l, v) => l -> v.size.toLong }
+    val coverageByLayer = ListMap(colsByLayer.toSeq.sortBy(_._1).map { case (l, tot) =>
+      val tested = testedByLayer.getOrElse(l, 0L)
+      l -> ListMap("total_cols" -> tot, "tested_cols" -> tested,
+        "coverage_pct" -> (if (tot == 0) 0.0 else tested.toDouble / tot * 100.0))
+    }: _*)
+    val staging = models.filter(_.layer == "staging")
+    val naming = ListMap(
+      "uses_double_underscore" -> staging.exists(_.name.contains("__")),
+      "has_int_prefix" -> models.exists(_.name.startsWith("int_")),
+      "has_fct_prefix" -> models.exists(_.name.startsWith("fct_")),
+      "has_dim_prefix" -> models.exists(_.name.startsWith("dim_")),
+      "staging_example" -> staging.map(_.name).sorted.headOption.orNull)
+    val topTags = models.flatMap(_.tags).groupBy(identity).toSeq
+      .map { case (t, v) => (t, v.size.toLong) }
+      .sortBy { case (t, n) => (-n, t) }.take(10)
+      .map { case (t, n) => ListMap("tag" -> t, "n" -> n) }
+
+    ListMap(
+      "models" -> models.size.toLong,
+      "sources" -> sources.size.toLong,
+      "source_systems" -> sources.values.map(_.sourceName).toSet.size.toLong,
+      "tests" -> allTests.size.toLong,
+      "macros" -> macros.size.toLong,
+      "exposures" -> exposures,
+      "total_columns" -> totalCols,
+      "tested_columns" -> testedCols.size.toLong,
+      "column_coverage_pct" ->
+        (if (totalCols == 0) 0.0 else testedCols.size.toDouble / totalCols * 100.0),
+      "layer_counts" -> layerCounts,
+      "materialization_by_layer" -> matByLayer,
+      "coverage_by_layer" -> coverageByLayer,
+      "naming" -> naming,
+      "top_tags" -> topTags)
+  }
 }
 
 object Snapshot {
