@@ -51,11 +51,15 @@ object CorpusClean {
     "pipe_corpus_clean" -> ((s, d) => {
       val docs = Tables.documents(s, d)
 
-      // 1. exact dedup
-      val wDup = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
-      val exact = docs.select(col("doc_id"), contentHash.as("content_hash"))
-        .withColumn("is_exact_dup", row_number().over(wDup) > 1)
-        .select(col("doc_id"), col("is_exact_dup"))
+      // 1. exact dedup — skew-safe min-agg + join, not a digest-keyed
+      // window (the d_exact_dedup discipline: partial min collapses
+      // map-side, and AQE can split the probe join's skewed partitions
+      // where a window partition cannot be split).
+      val hashed = docs.select(col("doc_id"), contentHash.as("content_hash"))
+      val keepers = hashed.groupBy(col("content_hash"))
+        .agg(min(col("doc_id")).as("keeper_id"))
+      val exact = hashed.join(keepers, "content_hash")
+        .select(col("doc_id"), (col("doc_id") =!= col("keeper_id")).as("is_exact_dup"))
 
       // 2. near-dup removal — the SCALE route, not the all-pairs
       // verifier: capped MinHash+LSH candidate discovery with

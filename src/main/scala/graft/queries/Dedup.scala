@@ -129,13 +129,27 @@ object Dedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: normalize → md5 → first doc_id per digest wins.
+    //
+    // Keeper selection is a two-stage MIN aggregation + join, NOT a
+    // row_number window over content_hash (r8 VERDICT #5): a window
+    // partition cannot be split, so a pathological corpus where one
+    // digest covers a large fraction (the ×64 copy shape at higher
+    // copy counts) serializes that fraction through one task. The agg
+    // form is skew-safe twice over — partial (map-side) min collapses
+    // every scan partition's contribution to one row per digest before
+    // the shuffle, and the probe join back is an equi-join AQE's
+    // skew-join optimization CAN split. Same answer: is_keeper ⟺
+    // doc_id = min(doc_id) over the digest. ExactDedupSkewSpec pins
+    // window-form equality and the window-free plan.
     "d_exact_dedup" -> ((s, d) => {
       val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
-      val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
-      Tables.documents(s, d)
+      val hashed = Tables.documents(s, d)
         .select(col("doc_id"), md5(norm).as("content_hash"))
-        .withColumn("rn", row_number().over(w))
-        .select(col("doc_id"), col("content_hash"), (col("rn") === 1).as("is_keeper"))
+      val keepers = hashed.groupBy(col("content_hash"))
+        .agg(min(col("doc_id")).as("keeper_id"))
+      hashed.join(keepers, "content_hash")
+        .select(col("doc_id"), col("content_hash"),
+          (col("doc_id") === col("keeper_id")).as("is_keeper"))
         .orderBy(col("doc_id"))
     }),
 
@@ -337,7 +351,7 @@ object Dedup {
     * 4× slower in-suite at sf1 when it followed the cluster gates).
     * Only ever called on frames whose data is provably never needed
     * again — an unpersisted local checkpoint cannot be recomputed. */
-  private def freeCheckpoint(df: DataFrame): Unit =
+  private[queries] def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collect {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
     }.foreach(_.unpersist(blocking = false))

@@ -15,7 +15,7 @@ import graft.Tables
   *   SPARK_GRAFT_SF_DIR=<dir> sbt "runMain graft.queries.IncrDeltaProbe"
   *
   * Prints one JSON line: corpus size, untimed build seconds, and
-  * (delta_docs → p50/p95 seconds) per slice. A flat-ish curve in
+  * (delta_docs → p50/max seconds) per slice. A flat-ish curve in
   * delta (and NO term growing with the corpus) is the pass criterion;
   * the complement — corpus-size scaling at a fixed delta fraction —
   * is `d_incr_indexed`'s column in SURVEY §9.12.
@@ -66,10 +66,13 @@ object IncrDeltaProbe {
         }
         t
       }.sorted
-      // The slice's checkpoint frames are dead once its rounds end —
+      // The slice's checkpoint blocks are dead once its rounds end —
       // drop them before the next (bigger) slice so sizes don't tax
       // each other through block-manager pressure (the Bench lesson).
-      slice.unpersist(blocking = true)
+      // Dataset.unpersist is a no-op on a localCheckpoint'd frame (it
+      // only uncaches CacheManager entries), so free the underlying
+      // checkpoint RDD directly (r8 ADVICE).
+      Dedup.freeCheckpoint(slice)
       System.gc()
       Thread.sleep(200)
       System.err.println(s"[delta-probe] n=$n p50=${ts(ts.length / 2)}")

@@ -23,7 +23,8 @@ import graft.util.{Json, JsonParse}
   *                                convention), protocol-level failures
   *                                as JSON-RPC error objects (-32700
   *                                parse / -32600 invalid / -32601
-  *                                unknown method).
+  *                                unknown method / -32602 bad params
+  *                                or unknown tool name).
   *
   * Tool semantics and argument names are EXACTLY
   * [[JsonLineServer.dispatch]] — this object adds framing only, so the
@@ -81,6 +82,11 @@ object McpServer {
           case Some(s: String) => s
           case _ => return Some(errorJson(id, -32602, "params.name must be a string"))
         }
+        // Unknown tool NAME is a protocol error (-32602 per the MCP
+        // 2024-11-05 spec), not an isError tool result — isError is
+        // reserved for failures INSIDE a known tool's execution.
+        if (!JsonLineServer.toolNames.contains(name))
+          return Some(errorJson(id, -32602, s"Unknown tool: $name"))
         val args = params.getOrElse("arguments", Map.empty[String, Any])
         try {
           val r = JsonLineServer.dispatch(engine, Map("tool" -> name, "args" -> args))
@@ -97,6 +103,10 @@ object McpServer {
         }
       case Some(other: String) if hasId =>
         Some(errorJson(id, -32601, s"method not found: $other"))
+      case Some(_) if hasId =>
+        // Non-string method on an id-bearing request: JSON-RPC 2.0
+        // requires an Invalid Request response, not a silent drop.
+        Some(errorJson(id, -32600, "method must be a string"))
       case Some(_) => None // unknown notification: ignored per JSON-RPC 2.0
       case None => Some(errorJson(id, -32600, "missing method"))
     }

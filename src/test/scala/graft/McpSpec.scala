@@ -68,17 +68,24 @@ class McpSpec extends SparkSuite {
       """this is not json""",
       """{"jsonrpc":"2.0","id":7,"method":"no/such/method"}""",
       """{"jsonrpc":"2.0","id":8,"method":"tools/call","params":{"name":"no_such_tool","arguments":{}}}""",
-      """{"jsonrpc":"2.0","id":9,"method":"tools/call","params":{"name":"get_model_details","arguments":{"model_name":"nope_not_there"}}}"""))
-    assert(responses.size == 4)
+      """{"jsonrpc":"2.0","id":9,"method":"tools/call","params":{"name":"get_model_details","arguments":{"model_name":"nope_not_there"}}}""",
+      """{"jsonrpc":"2.0","id":10,"method":42}"""))
+    assert(responses.size == 5)
     val parseErr = responses(0)("error").asInstanceOf[Map[String, Any]]
     assert(parseErr("code") == -32700L)
     val unknownMethod = responses(1)("error").asInstanceOf[Map[String, Any]]
     assert(unknownMethod("code") == -32601L && responses(1)("id") == 7L)
-    // a well-formed MCP call to a bad tool is a RESULT with isError
-    Seq(responses(2), responses(3)).foreach { r =>
-      assert(!r.contains("error"), s"tool failure must not be a protocol error: $r")
-      assert(r("result").asInstanceOf[Map[String, Any]]("isError") == true)
-    }
+    // an UNKNOWN TOOL NAME is a protocol error (-32602, MCP 2024-11-05)
+    val unknownTool = responses(2)("error").asInstanceOf[Map[String, Any]]
+    assert(unknownTool("code") == -32602L && responses(2)("id") == 8L)
+    assert(unknownTool("message").toString.contains("Unknown tool"))
+    // a well-formed call to a KNOWN tool that fails is a RESULT with isError
+    val toolFail = responses(3)
+    assert(!toolFail.contains("error"), s"tool failure must not be a protocol error: $toolFail")
+    assert(toolFail("result").asInstanceOf[Map[String, Any]]("isError") == true)
+    // a non-string method carrying an id is Invalid Request, not a silent drop
+    val badMethod = responses(4)("error").asInstanceOf[Map[String, Any]]
+    assert(badMethod("code") == -32600L && responses(4)("id") == 10L)
   }
 
   test("tools/call answers match the JSON-lines transport verbatim") {
