@@ -45,6 +45,106 @@ object TrainPrep {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic global training-order shuffle WITHOUT a global
+    * window: the standard "shuffle the corpus once before packing"
+    * step. Each doc's shuffle key is its h60 hash; the global
+    * position is rank within the key order. A naive row_number()
+    * over (ORDER BY key) is a single-partition sort — the classic
+    * scale-killer — so this computes it as per-shard rank + shard
+    * offset, where shard = the key's top `shardBits` bits: shards
+    * partition the key ORDER (k_a < k_b whenever shard_a < shard_b),
+    * so offset(shard) + rank-within-shard ≡ the global row_number.
+    * The shard ranks ride ONE hash shuffle + per-shard sort; the
+    * offsets are a 2^shardBits-row running sum joined back broadcast.
+    *
+    * `shardBits` must scale with the corpus (the `seqPack(shards)`
+    * precedent, r8 VERDICT #3): at the gate's 10 bits a 100 TB corpus
+    * would sort ~100 GB per shard — production uses ~16 bits (65k
+    * shards, ~1.5 GB per shard-sort), which keeps the offsets table a
+    * trivially-broadcast 65k rows and the plan shape IDENTICAL
+    * (TrainPrepSpec pins equality and the one-exchange plan at both
+    * widths). The gate keeps 10 for oracle stability; the oracle
+    * computes the naive global form — the decomposition must equal it
+    * exactly at any width. */
+  def globalShuffle(s: SparkSession, d: String, shardBits: Int = 10): DataFrame = {
+    require(shardBits >= 0 && shardBits <= 40, s"shardBits in [0,40] (got $shardBits)")
+    val keyed = Tables.documents(s, d)
+      .select(col("doc_id"),
+        h60(concat(lit("shuf#"), col("doc_id").cast("string"))).as("k"))
+      .withColumn("shard", expr(s"shiftright(k, ${60 - shardBits})"))
+    val perShard = Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
+    val ranked = keyed.withColumn("rk", row_number().over(perShard))
+    // ≤2^shardBits rows: the unpartitioned running-sum window is
+    // bounded by the shard-id space, not the corpus — single partition
+    // is fine.
+    val offW = Window.orderBy(col("shard")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col("shard")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(offW), lit(0L)))
+      .select(col("shard"), col("off"))
+    ranked.join(broadcast(offsets), Seq("shard"))
+      .select(col("doc_id"), (col("off") + col("rk") - 1).as("pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** End-to-end training-data PREPARATION — the composition that
+    * follows cleaning, as ONE declarative plan:
+    *
+    *   1. domain mixing   (t_domain_mix's token-weighted keep set);
+    *   2. global shuffle  ([[globalShuffle]]'s deterministic
+    *                       permutation, over the KEPT docs);
+    *   3. sequence packing (t_seq_pack's budget arithmetic — but in
+    *                       SHUFFLE order, the production semantic:
+    *                       "shuffle once, then pack").
+    *
+    * The scale point of composing them: steps 2 and 3 are BOTH
+    * prefix sums over the same (k, doc_id) order, so they share the
+    * per-shard decomposition — ONE hash shuffle on the shuffle-key
+    * shard carries the rank window AND the cumulative-token window
+    * (same partitioning + ordering → Catalyst plans a single
+    * exchange+sort), and the ≤2^shardBits-row shard offsets (row count
+    * AND token sum) ride one broadcast join back. The corpus is never
+    * globally sorted and nothing corpus-sized converges to one
+    * partition. Like [[globalShuffle]], the offsets agg re-scans the
+    * narrow keyed columns rather than checkpointing the corpus-sized
+    * kept frame, and `shardBits` carries the same 100 TB sizing note
+    * (gate 10 bits, production ~16). The oracle computes the NAIVE
+    * form — mix filter, global ROW_NUMBER, global windowed token sum —
+    * and the gate pins the decomposition exactly equal. */
+  def trainPrep(s: SparkSession, d: String, shardBits: Int = 10): DataFrame = {
+    require(shardBits >= 0 && shardBits <= 40, s"shardBits in [0,40] (got $shardBits)")
+    val docs = Tables.documents(s, d)
+    // 1. token-weighted mix thresholds (|sources| rows, broadcast)
+    val cnts = docs.groupBy(col("source"))
+      .agg(sum(expr("div(n_chars + 3, 4)")).as("toks"))
+    val minCnt = cnts.agg(min(col("toks")).as("min_toks"))
+    val thr = cnts.crossJoin(broadcast(minCnt))
+      .select(col("source"), expr("div(1000000 * min_toks, toks)").as("thr"))
+    val kept = docs.join(broadcast(thr), Seq("source"))
+      .filter(h60(concat(lit("mix#"), col("doc_id").cast("string"))) % 1000000
+        < col("thr"))
+      .select(col("doc_id"), col("source"), expr("div(n_chars + 3, 4)").as("tokens"),
+        h60(concat(lit("shuf#"), col("doc_id").cast("string"))).as("k"))
+      .withColumn("shard", expr(s"shiftright(k, ${60 - shardBits})"))
+    // 2+3. one shard exchange, two windows over it
+    val perShard = Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
+    val ranked = kept
+      .withColumn("rk", row_number().over(perShard))
+      .withColumn("cum_shard", coalesce(sum(col("tokens"))
+        .over(perShard.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val offW = Window.orderBy(col("shard")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = kept.groupBy(col("shard"))
+      .agg(count(lit(1)).as("cnt"), sum(col("tokens")).as("stoks"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(offW), lit(0L)))
+      .withColumn("tok_off", coalesce(sum(col("stoks")).over(offW), lit(0L)))
+      .select(col("shard"), col("off"), col("tok_off"))
+    ranked.join(broadcast(offsets), Seq("shard"))
+      .select(col("doc_id"), col("source"), col("tokens"),
+        (col("off") + col("rk") - 1).as("pos"),
+        expr("div(tok_off + cum_shard, 2048)").as("pack_id"),
+        ((col("tok_off") + col("cum_shard")) % 2048).as("pack_offset"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "t_seq_pack" -> ((s, d) => seqPack(s, d)),
@@ -152,93 +252,9 @@ object TrainPrep {
         .orderBy(col("doc_id"))
     }),
 
-    // Deterministic global training-order shuffle WITHOUT a global
-    // window: the standard "shuffle the corpus once before packing"
-    // step. Each doc's shuffle key is its h60 hash; the global
-    // position is rank within the key order. A naive row_number()
-    // over (ORDER BY key) is a single-partition sort — the classic
-    // scale-killer — so this computes it as per-shard rank + shard
-    // offset, where shard = the key's top 10 bits: shards partition
-    // the key ORDER (k_a < k_b whenever shard_a < shard_b), so
-    // offset(shard) + rank-within-shard ≡ the global row_number. The
-    // shard ranks ride ONE hash shuffle + per-shard sort; the offsets
-    // are a 1024-row running sum joined back broadcast. The oracle
-    // computes the naive global form — the gate pins the two-stage
-    // decomposition exactly equal to it.
-    "t_global_shuffle" -> ((s, d) => {
-      val keyed = Tables.documents(s, d)
-        .select(col("doc_id"),
-          h60(concat(lit("shuf#"), col("doc_id").cast("string"))).as("k"))
-        .withColumn("shard", expr("shiftright(k, 50)"))
-      val perShard = Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
-      val ranked = keyed.withColumn("rk", row_number().over(perShard))
-      // ≤1024 rows: the unpartitioned running-sum window is bounded by
-      // the shard-id space, not the corpus — single partition is fine.
-      val offW = Window.orderBy(col("shard")).rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = keyed.groupBy(col("shard")).agg(count(lit(1)).as("cnt"))
-        .withColumn("off", coalesce(sum(col("cnt")).over(offW), lit(0L)))
-        .select(col("shard"), col("off"))
-      ranked.join(broadcast(offsets), Seq("shard"))
-        .select(col("doc_id"), (col("off") + col("rk") - 1).as("pos"))
-        .orderBy(col("doc_id"))
-    }),
+    "t_global_shuffle" -> ((s, d) => globalShuffle(s, d)),
 
-    // End-to-end training-data PREPARATION — the composition that
-    // follows cleaning, as ONE declarative plan:
-    //
-    //   1. domain mixing   (t_domain_mix's token-weighted keep set);
-    //   2. global shuffle  (t_global_shuffle's deterministic
-    //                       permutation, over the KEPT docs);
-    //   3. sequence packing (t_seq_pack's budget arithmetic — but in
-    //                       SHUFFLE order, the production semantic:
-    //                       "shuffle once, then pack").
-    //
-    // The scale point of composing them: steps 2 and 3 are BOTH
-    // prefix sums over the same (k, doc_id) order, so they share the
-    // per-shard decomposition — ONE hash shuffle on the shuffle-key
-    // shard carries the rank window AND the cumulative-token window
-    // (same partitioning + ordering → Catalyst plans a single
-    // exchange+sort), and the ≤1024-row shard offsets (row count AND
-    // token sum) ride one broadcast join back. The corpus is never
-    // globally sorted and nothing corpus-sized converges to one
-    // partition. Like t_global_shuffle, the offsets agg re-scans the
-    // narrow keyed columns rather than checkpointing the corpus-sized
-    // kept frame. The oracle computes the NAIVE form — mix filter,
-    // global ROW_NUMBER, global windowed token sum — and the gate pins
-    // the decomposition exactly equal.
-    "pipe_train_prep" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      // 1. token-weighted mix thresholds (|sources| rows, broadcast)
-      val cnts = docs.groupBy(col("source"))
-        .agg(sum(expr("div(n_chars + 3, 4)")).as("toks"))
-      val minCnt = cnts.agg(min(col("toks")).as("min_toks"))
-      val thr = cnts.crossJoin(broadcast(minCnt))
-        .select(col("source"), expr("div(1000000 * min_toks, toks)").as("thr"))
-      val kept = docs.join(broadcast(thr), Seq("source"))
-        .filter(h60(concat(lit("mix#"), col("doc_id").cast("string"))) % 1000000
-          < col("thr"))
-        .select(col("doc_id"), col("source"), expr("div(n_chars + 3, 4)").as("tokens"),
-          h60(concat(lit("shuf#"), col("doc_id").cast("string"))).as("k"))
-        .withColumn("shard", expr("shiftright(k, 50)"))
-      // 2+3. one shard exchange, two windows over it
-      val perShard = Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
-      val ranked = kept
-        .withColumn("rk", row_number().over(perShard))
-        .withColumn("cum_shard", coalesce(sum(col("tokens"))
-          .over(perShard.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      val offW = Window.orderBy(col("shard")).rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = kept.groupBy(col("shard"))
-        .agg(count(lit(1)).as("cnt"), sum(col("tokens")).as("stoks"))
-        .withColumn("off", coalesce(sum(col("cnt")).over(offW), lit(0L)))
-        .withColumn("tok_off", coalesce(sum(col("stoks")).over(offW), lit(0L)))
-        .select(col("shard"), col("off"), col("tok_off"))
-      ranked.join(broadcast(offsets), Seq("shard"))
-        .select(col("doc_id"), col("source"), col("tokens"),
-          (col("off") + col("rk") - 1).as("pos"),
-          expr("div(tok_off + cum_shard, 2048)").as("pack_id"),
-          ((col("tok_off") + col("cum_shard")) % 2048).as("pack_offset"))
-        .orderBy(col("doc_id"))
-    }),
+    "pipe_train_prep" -> ((s, d) => trainPrep(s, d)),
 
     // Sliding-window chunking for retrieval indexing (RAG prep):
     // 32-token chunks at stride 16 — every token is covered, interior

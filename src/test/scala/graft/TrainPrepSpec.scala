@@ -128,6 +128,35 @@ class TrainPrepSpec extends SparkSuite {
     }
   }
 
+  test("shuffle shard width is a parameter; production 16 bits = gate 10 bits, same plan") {
+    // The seqPack(shards) precedent applied to the shuffle shard (r8
+    // VERDICT #3): the gate keeps 10 bits for oracle stability, but at
+    // 100 TB ~10 bits means ~100 GB per shard-sort — production uses
+    // ~16. Both widths must agree row-for-row (shards partition the
+    // key order at ANY width) and keep the one-corpus-exchange plan.
+    assert(graft.queries.TrainPrep.globalShuffle(spark, d, shardBits = 16)
+        .collect().toSeq ==
+      graft.queries.TrainPrep.globalShuffle(spark, d).collect().toSeq,
+      "globalShuffle at 16 bits must equal the 10-bit gate row-for-row")
+    // plan asserts on fresh (pre-execution) frames — the same
+    // measurement point as the 10-bit gate tests below
+    val pGs = graft.queries.TrainPrep.globalShuffle(spark, d, shardBits = 16)
+      .queryExecution.executedPlan.toString
+    assert(pGs.contains("hashpartitioning(shard") &&
+      "Exchange SinglePartition".r.findAllIn(pGs).size <= 1,
+      "16-bit shuffle keeps the per-shard plan shape:\n" + pGs)
+
+    assert(graft.queries.TrainPrep.trainPrep(spark, d, shardBits = 16)
+        .collect().toSeq ==
+      graft.queries.TrainPrep.trainPrep(spark, d).collect().toSeq,
+      "trainPrep at 16 bits must equal the 10-bit gate row-for-row")
+    val pTp = graft.queries.TrainPrep.trainPrep(spark, d, shardBits = 16)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(shard".r.findAllIn(pTp).size <= 2 &&
+      "Exchange SinglePartition".r.findAllIn(pTp).size <= 3,
+      "16-bit trainPrep keeps the one-corpus-exchange plan shape:\n" + pTp)
+  }
+
   test("t_global_shuffle: per-shard decomposition equals the naive global row_number") {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.TextHash.h60
