@@ -24,6 +24,21 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Join"))
   }
 
+  test("all three ANN paths scan the one persisted normalized-vector table") {
+    // r8 VERDICT #4: ann_bruteforce/ann_lsh used to re-normalize the
+    // corpus (fresh localCheckpoint) per call and swung ~2× at ×64
+    // saturation; all three must now read the graft_ivf table.
+    for (q <- Seq("ann_bruteforce", "ann_lsh", "ann_ivf")) {
+      val p = plan(q)
+      assert(p.contains("graft_ivf"),
+        s"$q must scan the persisted IVF vector table:\n$p")
+      // ann_ivf keeps its intentional tiny probes checkpoint (queries ×
+      // nprobe rows); the two fixed paths must carry no RDD scan at all.
+      if (q != "ann_ivf") assert(!p.contains("Scan ExistingRDD"),
+        s"$q must not rebuild a checkpointed normalization frame:\n$p")
+    }
+  }
+
   test("q5_star_join broadcasts every dimension") {
     val p = plan("q5_star_join")
     assert(p.contains("BroadcastHashJoin"))
