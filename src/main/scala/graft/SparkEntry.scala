@@ -41,6 +41,8 @@ object SparkEntry {
       graft.queries.Ann.prebuildIndex(spark, sfDir)
     if (names("d_incr_indexed") || names("pipe_incr_clean") || names("st_incr_neardup"))
       graft.queries.Dedup.incrIndex(spark, sfDir)
+    if (names("pipe_incr_clean"))
+      graft.queries.Dedup.digestIndex(spark, sfDir)
     ()
   }
 

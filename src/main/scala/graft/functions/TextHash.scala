@@ -31,6 +31,14 @@ object TextHash {
     * real corpora would pre-normalize with regexp_replace(\\s+). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Normalized content digest — THE exact-dedup identity, shared by
+    * `d_exact_dedup`, both [[graft.queries.CorpusClean]] gates, and the
+    * persisted [[graft.queries.DigestIndex]]: md5 over the
+    * lowercased, whitespace-collapsed, trimmed text. DuckDB mirror:
+    * `md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))`. */
+  def contentDigest(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
   /** Distinct n-token shingles as space-joined strings; empty if the
     * document has fewer than n tokens (guards sequence() which would
     * otherwise count backwards for start > stop). */

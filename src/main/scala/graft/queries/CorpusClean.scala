@@ -31,8 +31,8 @@ object CorpusClean {
   private val enStop = Seq("the", "a", "of", "and", "is")
 
   /** Normalized content digest — the exact-dedup identity shared by
-    * both pipeline gates (and `d_exact_dedup`). */
-  private def contentHash = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+    * both pipeline gates (and `d_exact_dedup`, [[DigestIndex]]). */
+  private def contentHash = graft.functions.TextHash.contentDigest(col("text"))
 
   /** (quality_score, c_en) columns over a frame with `text` — the
     * step-3/4 signals shared by both pipeline gates. */
@@ -101,10 +101,10 @@ object CorpusClean {
     // verdict in pipeline order:
     //
     //   1. exact_dup  — its normalized digest matches ANY corpus doc
-    //                   (the corpus side ships 16-byte digests only —
-    //                   in production a persisted digest table probed
-    //                   bucket-locally), or an earlier delta doc (first
-    //                   id keeps within the batch);
+    //                   (probed against the PERSISTED [[DigestIndex]] —
+    //                   built once, bucketed on content_hash, scanned
+    //                   in place), or an earlier delta doc (first id
+    //                   keeps within the batch);
     //   2. near_dup   — the MinhashIndex probe finds a corpus match at
     //                   J ≥ 0.8 (best match reported as dup_of/jaccard;
     //                   delta-internal near-dup is the batch kernel's
@@ -113,26 +113,28 @@ object CorpusClean {
     //   3. low_quality / 4. non_english — the batch gate's signals,
     //                   computed on the delta only.
     //
-    // NOTHING here shuffles with the corpus: the step-1 corpus scan
-    // reads text only to derive 16-byte digests and ships just those
-    // (a production deployment persists the digest table next to the
-    // band tables and retires even that scan); the probe broadcasts
-    // the delta's band keys against the bucketed corpus tables; every
-    // other stage is delta-sized.
+    // NOTHING here shuffles with the corpus, and NOTHING corpus-sized
+    // recomputes per batch: the exact stage probes the persisted
+    // digest table (built once, bucketed on content_hash — the
+    // per-batch corpus TEXT scan this comment used to describe as "the
+    // production shape" is now retired, r8 VERDICT #1); the near-dup
+    // probe broadcasts the delta's band keys against the bucketed
+    // corpus band tables; every other stage is delta-sized.
     "pipe_incr_clean" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val isDelta = pmod(col("doc_id"), lit(10)) === 0
       val delta = docs.filter(isDelta)
 
-      // 1. exact dedup vs corpus digests + within-batch first-id-keeps
-      val corpusDigests = docs.filter(!isDelta)
-        .select(contentHash.as("content_hash")).distinct()
-      val wDup = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
-      val exact = delta.select(col("doc_id"), contentHash.as("content_hash"))
-        .join(corpusDigests.withColumn("in_corpus", lit(true)), Seq("content_hash"), "left")
-        .withColumn("dup_in_delta", row_number().over(wDup) > 1)
+      // 1. exact dedup: digest-index membership probe + within-batch
+      // first-id-keeps (delta-sized min-agg + join — the d_exact_dedup
+      // skew discipline; DigestIndexSpec pins probe ≡ recompute)
+      val probedDigests = Dedup.digestIndex(s, d)
+        .probe(delta.select(col("doc_id"), col("text")))
+      val batchKeepers = probedDigests.groupBy(col("content_hash"))
+        .agg(min(col("doc_id")).as("keeper_id"))
+      val exact = probedDigests.join(batchKeepers, "content_hash")
         .select(col("doc_id"),
-          (coalesce(col("in_corpus"), lit(false)) || col("dup_in_delta")).as("is_exact_dup"))
+          (col("in_corpus") || col("doc_id") =!= col("keeper_id")).as("is_exact_dup"))
 
       // 2. near-dup probe against the persisted corpus index (shared
       // with d_incr_indexed — the bench pre-builds it untimed)
