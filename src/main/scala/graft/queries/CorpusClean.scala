@@ -122,44 +122,105 @@ object CorpusClean {
     // corpus band tables; every other stage is delta-sized.
     "pipe_incr_clean" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val isDelta = pmod(col("doc_id"), lit(10)) === 0
-      val delta = docs.filter(isDelta)
-
-      // 1. exact dedup: digest-index membership probe + within-batch
-      // first-id-keeps (delta-sized min-agg + join — the d_exact_dedup
-      // skew discipline; DigestIndexSpec pins probe ≡ recompute)
-      val probedDigests = Dedup.digestIndex(s, d)
-        .probe(delta.select(col("doc_id"), col("text")))
-      val batchKeepers = probedDigests.groupBy(col("content_hash"))
-        .agg(min(col("doc_id")).as("keeper_id"))
-      val exact = probedDigests.join(batchKeepers, "content_hash")
-        .select(col("doc_id"),
-          (col("in_corpus") || col("doc_id") =!= col("keeper_id")).as("is_exact_dup"))
-
-      // 2. near-dup probe against the persisted corpus index (shared
-      // with d_incr_indexed — the bench pre-builds it untimed)
-      val probed = Dedup.incrIndex(s, d)
-        .probe(delta.select(col("doc_id"), col("text")))
-        .select(col("doc_id"), col("dup_of"), col("jaccard"))
-
-      // 3+4. quality + language on the delta only
-      val (quality, enCount) = qualityCols
-
-      delta.select(col("doc_id"), quality.as("quality_score"), enCount.as("c_en"))
-        .join(exact, "doc_id")
-        .join(probed, Seq("doc_id"), "left")
-        .withColumn("reason",
-          when(col("is_exact_dup"), "exact_dup")
-            .when(col("dup_of").isNotNull, "near_dup")
-            .when(col("quality_score") < 0.5, "low_quality")
-            .when(col("c_en") === 0, "non_english")
-            .otherwise("kept"))
-        .select(col("doc_id"), round(col("quality_score"), 9).as("quality_score"),
-          col("dup_of"), col("jaccard"),
-          col("reason"), (col("reason") === "kept").as("keep"))
+      val delta = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      incrLedger(s, delta, Dedup.digestIndex(s, d), Dedup.incrIndex(s, d))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // The EVOLVING-corpus closure of the ledger above (r8 VERDICT #2):
+    // the delta arrives as K ORDERED batches, and each batch's
+    // ACCEPTED (keep = true) documents are APPENDED to both persisted
+    // indexes before the next batch probes — so batch N+1 dedups
+    // against batch N's survivors, the cross-batch shape
+    // [[graft.streaming.DocStreams]] explicitly scopes out. Batch
+    // assignment is deterministic: batch = (doc_id mod 10K) / 10 over
+    // the delta cohort (K = 3 in the gate). The gate builds
+    // CALLER-OWNED fresh indexes per invocation (append must never
+    // leak into the session's shared probe indexes) and drops them
+    // after the ledgers are checkpointed; the oracle replays the
+    // sequential closure as chained CTEs over the ground-truth pair
+    // set. CorpusCleanSpec pins K=1 ≡ pipe_incr_clean.
+    "pipe_incr_evolve" -> ((s, d) => incrEvolve(s, d, EvolveBatches))
   )
+
+  /** Gate batch count for `pipe_incr_evolve` (the oracle's CTE chain
+    * is generated for the same K). */
+  val EvolveBatches = 3
+
+  /** ONE delta batch's cleaning ledger against the standing persisted
+    * indexes — the shared body of `pipe_incr_clean` (whole delta, one
+    * batch) and `pipe_incr_evolve` (K ordered batches, indexes evolving
+    * between them). Per doc, first applicable verdict in pipeline
+    * order; every stage is delta-sized (the digest membership and
+    * MinHash band probes scan the bucketed corpus tables in place). */
+  private[queries] def incrLedger(s: SparkSession, delta: DataFrame,
+      dg: DigestIndex.Index, mh: MinhashIndex.Index): DataFrame = {
+    // 1. exact dedup: digest-index membership probe + within-batch
+    // first-id-keeps (delta-sized min-agg + join — the d_exact_dedup
+    // skew discipline; DigestIndexSpec pins probe ≡ recompute)
+    val probedDigests = dg.probe(delta.select(col("doc_id"), col("text")))
+    val batchKeepers = probedDigests.groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"))
+    val exact = probedDigests.join(batchKeepers, "content_hash")
+      .select(col("doc_id"),
+        (col("in_corpus") || col("doc_id") =!= col("keeper_id")).as("is_exact_dup"))
+
+    // 2. near-dup probe against the persisted corpus index
+    val probed = mh.probe(delta.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("dup_of"), col("jaccard"))
+
+    // 3+4. quality + language on the delta only
+    val (quality, enCount) = qualityCols
+
+    delta.select(col("doc_id"), quality.as("quality_score"), enCount.as("c_en"))
+      .join(exact, "doc_id")
+      .join(probed, Seq("doc_id"), "left")
+      .withColumn("reason",
+        when(col("is_exact_dup"), "exact_dup")
+          .when(col("dup_of").isNotNull, "near_dup")
+          .when(col("quality_score") < 0.5, "low_quality")
+          .when(col("c_en") === 0, "non_english")
+          .otherwise("kept"))
+      .select(col("doc_id"), round(col("quality_score"), 9).as("quality_score"),
+        col("dup_of"), col("jaccard"),
+        col("reason"), (col("reason") === "kept").as("keep"))
+  }
+
+  /** K-batch evolving-corpus replay (see the `pipe_incr_evolve` entry).
+    * Each ledger is EAGERLY checkpointed before the appends it gates —
+    * a lazy frame would otherwise probe the post-append index — and the
+    * per-invocation indexes are dropped once every ledger is
+    * materialized, so repeated invocations (bench rounds) leave no
+    * standing tables behind. */
+  private[graft] def incrEvolve(s: SparkSession, d: String, k: Int): DataFrame = {
+    require(k >= 1, s"need at least one batch (got $k)")
+    val docs = Tables.documents(s, d)
+    val isDelta = pmod(col("doc_id"), lit(10)) === 0
+    val corpus = docs.filter(!isDelta).select(col("doc_id"), col("text"))
+    val mh = MinhashIndex.fresh(s, s"evolve|$d", corpus)
+    val dg = DigestIndex.fresh(s, s"evolve|$d", corpus)
+    try {
+      val parts = (0 until k).map { b =>
+        val batch = docs
+          .filter(isDelta && pmod(col("doc_id"), lit(10L * k)) === lit(10L * b))
+        val ledger = incrLedger(s, batch, dg, mh)
+          .withColumn("batch", lit(b.toLong))
+          .localCheckpoint() // eager: materialize BEFORE the appends
+        val accepted = batch
+          .join(ledger.filter(col("keep")).select(col("doc_id")), "doc_id")
+          .select(col("doc_id"), col("text"))
+        // Append EVERY batch (the standing pipeline keeps the index
+        // current for the next day's delta too, not just intra-run).
+        mh.append(accepted)
+        dg.append(accepted)
+        ledger
+      }
+      parts.reduce(_ union _)
+        .select(col("doc_id"), col("batch"), col("quality_score"),
+          col("dup_of"), col("jaccard"), col("reason"), col("keep"))
+        .orderBy(col("doc_id"))
+    } finally { mh.drop(); dg.drop() }
+  }
 
   def oracles: Map[String, String] = Map(
     "pipe_corpus_clean" ->
@@ -252,6 +313,73 @@ object CorpusClean {
         |JOIN q USING (doc_id)
         |LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
         |JOIN lg USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "pipe_incr_evolve" -> evolveOracle(EvolveBatches)
   )
+
+  /** Sequential replay of the K-batch evolving closure as chained
+    * CTEs: idx0 = the corpus ids; for each batch b, the exact/near
+    * verdicts are computed against idx{b} (digest membership +
+    * ground-truth best pair at J ≥ threshold) and idx{b+1} = idx{b} ∪
+    * the batch's kept docs — exactly the append-between-batches
+    * contract the Spark side runs through its per-invocation indexes. */
+  private def evolveOracle(k: Int): String = {
+    val qualityCte =
+      """q AS (SELECT doc_id,
+        |        least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0) * 0.4
+        |        + (1.0 - CAST(len(list_filter(string_split(text,' '),
+        |            t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
+        |            / CAST(len(string_split(text,' ')) AS DOUBLE)) * 0.3
+        |        + (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+        |            / CAST(length(text) AS DOUBLE)) * 0.3 AS quality_score
+        |      FROM documents WHERE doc_id % 10 = 0),
+        |lg AS (SELECT doc_id, len(list_filter(string_split(text,' '),
+        |         t -> t IN ('the','a','of','and','is'))) AS c_en
+        |       FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+    val blocks = (0 until k).map { b =>
+      s"""ex$b AS (SELECT dd.doc_id,
+         |    dd.content_hash IN (SELECT content_hash FROM dig JOIN idx$b USING (doc_id))
+         |    OR (ROW_NUMBER() OVER (PARTITION BY dd.content_hash ORDER BY dd.doc_id) > 1)
+         |      AS is_exact_dup
+         |  FROM dig dd JOIN delta USING (doc_id) WHERE batch = $b),
+         |best$b AS (SELECT doc_id, dup_of, jaccard FROM (
+         |    SELECT jp.x AS doc_id, jp.y AS dup_of, jp.jaccard,
+         |      ROW_NUMBER() OVER (PARTITION BY jp.x ORDER BY jp.jaccard DESC, jp.y) AS rn
+         |    FROM jp
+         |    JOIN delta ON jp.x = delta.doc_id AND delta.batch = $b
+         |    JOIN idx$b ix ON jp.y = ix.doc_id
+         |    WHERE jp.jaccard >= ${Dedup.JaccardThreshold}) WHERE rn = 1),
+         |led$b AS (SELECT d.doc_id, CAST($b AS BIGINT) AS batch, q.quality_score,
+         |    bb.dup_of, bb.jaccard,
+         |    CASE WHEN e.is_exact_dup THEN 'exact_dup'
+         |         WHEN bb.dup_of IS NOT NULL THEN 'near_dup'
+         |         WHEN q.quality_score < 0.5 THEN 'low_quality'
+         |         WHEN lg.c_en = 0 THEN 'non_english'
+         |         ELSE 'kept' END AS reason
+         |  FROM (SELECT doc_id FROM delta WHERE batch = $b) d
+         |  JOIN ex$b e USING (doc_id)
+         |  JOIN q USING (doc_id)
+         |  LEFT JOIN best$b bb USING (doc_id)
+         |  JOIN lg USING (doc_id)),
+         |idx${b + 1} AS (SELECT doc_id FROM idx$b UNION ALL
+         |  SELECT doc_id FROM led$b WHERE reason = 'kept')""".stripMargin
+    }
+    val unioned = (0 until k).map(b => s"SELECT * FROM led$b").mkString("\n  UNION ALL ")
+    s"""WITH ${Dedup.jaccardCtes},
+       |jp AS (SELECT doc_a AS x, doc_b AS y, jaccard FROM j
+       |       UNION ALL SELECT doc_b, doc_a, jaccard FROM j),
+       |dig AS (SELECT doc_id,
+       |          md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash
+       |        FROM documents),
+       |delta AS (SELECT doc_id, (doc_id % ${10 * k}) // 10 AS batch
+       |          FROM documents WHERE doc_id % 10 = 0),
+       |$qualityCte,
+       |idx0 AS (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0),
+       |${blocks.mkString(",\n")}
+       |SELECT doc_id, batch, round(quality_score, 9) AS quality_score,
+       |  dup_of, jaccard, reason, reason = 'kept' AS keep
+       |FROM ($unioned)
+       |ORDER BY doc_id""".stripMargin
+  }
 }

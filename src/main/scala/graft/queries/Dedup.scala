@@ -87,8 +87,9 @@ object Dedup {
   }
 
   /** Ground-truth pair CTE chain (ends with CTE `j`), shared by the
-    * pair oracles and the recursive-closure clustering oracle. */
-  private val jaccardCtes =
+    * pair oracles, the recursive-closure clustering oracle, and the
+    * evolving-corpus replay oracle ([[CorpusClean]]). */
+  private[queries] val jaccardCtes =
     """tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
       |sh AS (SELECT DISTINCT doc_id, s FROM (
       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ts)-2),

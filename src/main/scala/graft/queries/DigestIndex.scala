@@ -111,6 +111,14 @@ object DigestIndex {
       this
     }
 
+    /** Drop the table and its scratch dir NOW — the lifecycle end of a
+      * [[DigestIndex.fresh]] index (cached of() indexes live for the
+      * session and never need this). */
+    def drop(): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $tableName")
+      Scratch.delete(tableName)
+    }
+
     /** Rewrite into a fresh generation with ONE file per bucket (each
       * append leaves a file per bucket behind). Content untouched →
       * probes identical pre/post; path reads, not table reads — see
@@ -143,6 +151,17 @@ object DigestIndex {
       build(spark, corpusKey, corpus, key)
     })
   }
+
+  private val freshSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Build an UNcached, caller-owned index (the [[MinhashIndex.fresh]]
+    * contract: per-invocation mutation must never leak into the shared
+    * of() instances; call [[Index.drop]] when done). */
+  def fresh(spark: SparkSession, corpusKey: String, corpus: DataFrame): Index =
+    graft.util.BuildLog.timed(s"digest-fresh:$corpusKey") {
+      val k = s"$corpusKey#${freshSeq.incrementAndGet()}"
+      build(spark, k, corpus, Scratch.sessionId(spark) + "|" + k)
+    }
 
   private def build(spark: SparkSession, corpusKey: String, corpus: DataFrame,
       cacheKey: String): Index = {

@@ -212,6 +212,16 @@ object MinhashIndex {
       this
     }
 
+    /** Drop both tables and their scratch dirs NOW — the lifecycle end
+      * of a [[MinhashIndex.fresh]] index (cached of() indexes live for
+      * the session and never need this). */
+    def drop(): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $tableName")
+      spark.sql(s"DROP TABLE IF EXISTS $arraysTable")
+      Scratch.delete(tableName)
+      Scratch.delete(arraysTable)
+    }
+
     /** Rewrite both tables into a fresh generation with ONE file per
       * bucket (each append leaves a file per bucket behind). Content
       * untouched → probe results identical pre/post; the old
@@ -264,6 +274,18 @@ object MinhashIndex {
       build(spark, corpusKey, corpus, key)
     })
   }
+
+  private val freshSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Build an UNcached, caller-owned index — for pipelines that MUTATE
+    * their index per invocation (the evolving-corpus gate appends every
+    * batch's accepted docs), which must never leak into the session's
+    * shared of() instances. Call [[Index.drop]] when done. */
+  def fresh(spark: SparkSession, corpusKey: String, corpus: DataFrame): Index =
+    graft.util.BuildLog.timed(s"minhash-fresh:$corpusKey") {
+      val k = s"$corpusKey#${freshSeq.incrementAndGet()}"
+      build(spark, k, corpus, Scratch.sessionId(spark) + "|" + k)
+    }
 
   private def build(spark: SparkSession, corpusKey: String, corpus: DataFrame,
       cacheKey: String): Index = {

@@ -59,4 +59,60 @@ class CorpusCleanSpec extends SparkSuite {
     }.toSet
     assert(ledger.filter(_.getString(4) == "exact_dup").map(_.getLong(0)).toSet == expected)
   }
+
+  test("pipe_incr_evolve at K=1 degenerates to pipe_incr_clean") {
+    val evolved = graft.queries.CorpusClean.incrEvolve(spark, d, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getLong(3),
+        if (r.isNullAt(4)) null else r.getDouble(4),
+        r.getString(5), r.getBoolean(6))).toSeq
+    assert(evolved.forall(_._2 == 0L), "one batch: every row is batch 0")
+    val clean = ledger
+      .map(r => (r.getLong(0), 0L, r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3),
+        r.getString(4), r.getBoolean(5))).toSeq
+    assert(evolved == clean,
+      "K=1 evolve (batch column dropped) must equal the one-shot ledger")
+  }
+
+  test("evolve: batch N+1 dedups against batch N's ACCEPTED docs only") {
+    import spark.implicits._
+    // K=3 batch assignment over delta ids: batch = (doc_id % 30) / 10.
+    //   corpus:  1 (kept shape), 2
+    //   batch 0: 30  kept long text A
+    //            60  low_quality (digits)   -> REJECTED
+    //   batch 1: 40  duplicates 30's text   -> exact_dup (vs accepted)
+    //            70  duplicates 60's text   -> NOT exact_dup (60 was
+    //                rejected, never indexed) -> low_quality itself
+    //   batch 2: 50  near-dups 30's text    -> near_dup (vs accepted)
+    // 61 distinct tokens -> 59 distinct 3-gram shingles; changing ONE
+    // interior word alters 3 shingles: J = 56/62 ~= 0.90 >= 0.8.
+    val longA = "the " + (1 to 60).map(i => s"word$i").mkString(" ")
+    val longB = longA.replace("word57", "changed") // near-dup, not exact
+    val digits = "1234567890 " * 30
+    val rows = Seq(
+      (1L, "some corpus of the day with a calm and ordinary tone here", "en"),
+      (2L, "another corpus doc is around for the membership side", "en"),
+      (30L, longA, "en"),
+      (60L, digits.trim, "en"),
+      (40L, longA, "en"),
+      (70L, digits.trim, "en"),
+      (50L, longB, "en"))
+      .map { case (id, t, l) => (id, t, l, "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    rows.write.mode("overwrite")
+      .parquet(java.nio.file.Paths.get(tmp, "documents.parquet").toString)
+    val out = SparkEntry.queries("pipe_incr_evolve")(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(5))).toMap
+    assert(out(30L) == (0L, "kept"), s"batch-0 doc 30 is accepted: $out")
+    assert(out(60L) == (0L, "low_quality"), s"batch-0 doc 60 is rejected: $out")
+    assert(out(40L) == (1L, "exact_dup"),
+      s"doc 40 duplicates ACCEPTED doc 30 across batches: $out")
+    assert(out(70L)._2 == "low_quality",
+      s"doc 70 duplicates a REJECTED doc — never indexed, so its own verdict: $out")
+    assert(out(50L) == (2L, "near_dup"),
+      s"doc 50 near-dups accepted doc 30 two batches later: $out")
+  }
 }
