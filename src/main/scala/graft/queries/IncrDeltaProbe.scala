@@ -5,20 +5,23 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 
-/** Delta-scaling probe for the persisted MinHash index — the claim
-  * behind every `*_incr_*` operator is "probe cost scales with the
-  * DELTA, the corpus is a constant": this main measures it directly by
-  * building ONE index over a fixed corpus and probing it with
-  * geometrically growing delta slices, p50 of several fully
+/** Delta-scaling probe for the persisted indexes — the claim behind
+  * every `*_incr_*` operator is "cost scales with the DELTA, the
+  * corpus is a constant": this main measures it directly by building
+  * the indexes ONCE over a fixed corpus and running geometrically
+  * growing delta slices through (a) the bare MinHash probe and (b) the
+  * COMPOSED cleaning ledger (`pipe_incr_clean`'s body: digest-index
+  * membership + MinHash probe + quality/language — the pipeline a user
+  * actually runs per batch, r8 VERDICT #7), p50 of several fully
   * materialized rounds each.
   *
   *   SPARK_GRAFT_SF_DIR=<dir> sbt "runMain graft.queries.IncrDeltaProbe"
   *
   * Prints one JSON line: corpus size, untimed build seconds, and
-  * (delta_docs → p50/max seconds) per slice. A flat-ish curve in
-  * delta (and NO term growing with the corpus) is the pass criterion;
-  * the complement — corpus-size scaling at a fixed delta fraction —
-  * is `d_incr_indexed`'s column in SURVEY §9.12.
+  * (delta_docs → probe p50/max + ledger p50/max seconds) per slice. A
+  * flat-ish curve in delta (and NO term growing with the corpus) is
+  * the pass criterion; the complement — corpus-size scaling at a fixed
+  * delta fraction — is `d_incr_indexed`'s column in SURVEY §9.12.
   */
 object IncrDeltaProbe {
 
@@ -42,6 +45,8 @@ object IncrDeltaProbe {
     val t0 = System.nanoTime()
     val idx = Dedup.incrIndex(spark, sfDir)
     mat(idx.bands.groupBy().count())
+    val dgIdx = Dedup.digestIndex(spark, sfDir)
+    mat(dgIdx.digests.groupBy().count())
     val buildSec = (System.nanoTime() - t0) / 1e9
     val corpusDocs = Tables.documents(spark, sfDir)
       .filter(pmod(col("doc_id"), lit(10)) =!= 0).count()
@@ -57,15 +62,19 @@ object IncrDeltaProbe {
     val results = sizes.map { n =>
       val slice = deltaAll.orderBy(col("doc_id")).limit(n.toInt)
         .repartition(cpus.toInt).localCheckpoint()
-      timeOnce { mat(idx.probe(slice)) } // warmup
-      val ts = (1 to rounds).map { _ =>
-        val baseline = spark.sparkContext.getPersistentRDDs.keySet
-        val t = timeOnce { mat(idx.probe(slice)) }
-        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-          if (!baseline.contains(id)) rdd.unpersist(blocking = true)
-        }
-        t
-      }.sorted
+      def timedRounds(body: => Unit): Seq[Double] = {
+        timeOnce { body } // warmup
+        (1 to rounds).map { _ =>
+          val baseline = spark.sparkContext.getPersistentRDDs.keySet
+          val t = timeOnce { body }
+          spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+            if (!baseline.contains(id)) rdd.unpersist(blocking = true)
+          }
+          t
+        }.sorted
+      }
+      val ts = timedRounds { mat(idx.probe(slice)) }
+      val tl = timedRounds { mat(CorpusClean.incrLedger(spark, slice, dgIdx, idx)) }
       // The slice's checkpoint blocks are dead once its rounds end —
       // drop them before the next (bigger) slice so sizes don't tax
       // each other through block-manager pressure (the Bench lesson).
@@ -75,17 +84,20 @@ object IncrDeltaProbe {
       Dedup.freeCheckpoint(slice)
       System.gc()
       Thread.sleep(200)
-      System.err.println(s"[delta-probe] n=$n p50=${ts(ts.length / 2)}")
-      (n, ts(ts.length / 2), ts.last)
+      System.err.println(
+        s"[delta-probe] n=$n probe_p50=${ts(ts.length / 2)} ledger_p50=${tl(tl.length / 2)}")
+      (n, ts(ts.length / 2), ts.last, tl(tl.length / 2), tl.last)
     }
 
     def f(v: Double) = f"$v%.3f"
     val rows = results
-      .map { case (n, p50, worst) => s"""{"delta_docs":$n,"p50_sec":${f(p50)},"max_sec":${f(worst)}}""" }
+      .map { case (n, p50, worst, lp50, lworst) =>
+        s"""{"delta_docs":$n,"p50_sec":${f(p50)},"max_sec":${f(worst)},""" +
+          s""""ledger_p50_sec":${f(lp50)},"ledger_max_sec":${f(lworst)}}""" }
       .mkString("[", ",", "]")
     println(s"""{"metric":"incr_delta_scaling","corpus_docs":$corpusDocs,""" +
       s""""index_build_sec":${f(buildSec)},"rounds":$rounds,"deltas":$rows,""" +
-      s""""protocol":"p50 of $rounds rounds, warm, full materialization (toRdd), per-round orphan unpersist, local[$cpus]","sf":"$sfDir"}""")
+      s""""protocol":"p50 of $rounds rounds, warm, full materialization (toRdd), per-round orphan unpersist, local[$cpus]; probe = MinhashIndex.probe, ledger = pipe_incr_clean body (digest + minhash + quality)","sf":"$sfDir"}""")
     spark.stop()
   }
 }
