@@ -54,8 +54,10 @@ object CorpusClean {
       // 1. exact dedup — skew-safe min-agg + join, not a digest-keyed
       // window (the d_exact_dedup discipline: partial min collapses
       // map-side, and AQE can split the probe join's skewed partitions
-      // where a window partition cannot be split).
+      // where a window partition cannot be split). Checkpointed so the
+      // regexp+md5 text normalization runs once, not per consumer.
       val hashed = docs.select(col("doc_id"), contentHash.as("content_hash"))
+        .localCheckpoint(false)
       val keepers = hashed.groupBy(col("content_hash"))
         .agg(min(col("doc_id")).as("keeper_id"))
       val exact = hashed.join(keepers, "content_hash")

@@ -143,9 +143,14 @@ object Dedup {
     // doc_id = min(doc_id) over the digest. ExactDedupSkewSpec pins
     // window-form equality and the window-free plan.
     "d_exact_dedup" -> ((s, d) => {
-      val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+      // The narrow (doc_id, digest) frame is checkpointed: both the
+      // keepers agg and the probe join consume it, and re-deriving it
+      // means re-running the regexp normalization + md5 over the full
+      // corpus TEXT per consumer (+10 s at ×64, measured round 9).
       val hashed = Tables.documents(s, d)
-        .select(col("doc_id"), md5(norm).as("content_hash"))
+        .select(col("doc_id"),
+          graft.functions.TextHash.contentDigest(col("text")).as("content_hash"))
+        .localCheckpoint(false)
       val keepers = hashed.groupBy(col("content_hash"))
         .agg(min(col("doc_id")).as("keeper_id"))
       hashed.join(keepers, "content_hash")
