@@ -17,14 +17,16 @@ import graft.usage.UsageLog
   *   sync  [root] [--skip-generate]                  — full re-index
   *   stats [root]                                    — project stats table
   *   usage [root] [--days n]                         — telemetry rollup
-  *   serve [root] [--mcp]                            — tool loop (JSON-lines
-  *                                                     or MCP stdio framing)
+  *   serve [root] [--mcp] [--sse[=port]]             — tool loop (JSON-lines,
+  *                                                     MCP stdio, or MCP SSE)
   *
   * `serve` (cli.py:154-161) runs [[graft.serve.JsonLineServer]] over
   * the [[graft.api.Engine]] facade: the reference's 10-tool contract on
   * a JSON-lines stdin/stdout transport; `--mcp` selects the MCP
   * JSON-RPC 2.0 framing ([[graft.serve.McpServer]]) over the same
-  * dispatch.
+  * dispatch, and `--sse[=port]` the MCP HTTP+SSE transport
+  * ([[graft.serve.McpSseServer]], loopback; the reference's
+  * `transport="sse"` mode) — the server runs until stdin closes.
   *
   * The "index" is the catalog parquet written by [[Writer]] under
   * `<root>/.graft/index` (the reference's `.ariadne/index.db`), and
@@ -69,10 +71,15 @@ object Cli {
       case "stats" :: rest => stats(spark, rootOf(rest), out)
       case "usage" :: rest => usageStats(spark, rootOf(rest), days, out)
       case "serve" :: rest =>
-        serve(spark, rootOf(rest), out, in, mcp = flags.contains("--mcp"))
+        val ssePort = flags.collectFirst {
+          case f if f == "--sse" => 0 // ephemeral; port printed on ready
+          case f if f.startsWith("--sse=") => f.stripPrefix("--sse=").toInt
+        }
+        serve(spark, rootOf(rest), out, in, mcp = flags.contains("--mcp"),
+          ssePort = ssePort)
       case other =>
         out.println(s"usage: graft.Cli (init|sync|stats|usage|serve) [project_root] " +
-          s"[--target=t] [--skip-generate] [--days=n] [--mcp]" +
+          s"[--target=t] [--skip-generate] [--days=n] [--mcp] [--sse[=port]]" +
           other.headOption.fold("")(v => s"  (got: $v)"))
         2
     }
@@ -85,7 +92,7 @@ object Cli {
     * initialize/tools/list/tools/call, the reference's wire protocol). */
   private def serve(spark: SparkSession, root: Path,
       out: java.io.PrintStream, in: java.io.BufferedReader,
-      mcp: Boolean = false): Int = {
+      mcp: Boolean = false, ssePort: Option[Int] = None): Int = {
     val cfg = Config.load(root)
     val manifest =
       if (cfg.manifestPath.isAbsolute) cfg.manifestPath
@@ -96,8 +103,18 @@ object Cli {
     }
     val engine = graft.api.Engine.fromManifest(spark, manifest.toString,
       Some(root.resolve(".graft/usage").toString), cfg)
-    if (mcp) graft.serve.McpServer.loop(engine, in, out)
-    else graft.serve.JsonLineServer.loop(engine, in, out)
+    ssePort match {
+      case Some(p) =>
+        val server = graft.serve.McpSseServer.start(engine, p)
+        out.println(s"""{"status":"ready","transport":"sse",""" +
+          s""""port":${server.getAddress.getPort}}""")
+        try { while (in.readLine() != null) () } // runs until stdin closes
+        finally graft.serve.McpSseServer.stop(server)
+        0
+      case None =>
+        if (mcp) graft.serve.McpServer.loop(engine, in, out)
+        else graft.serve.JsonLineServer.loop(engine, in, out)
+    }
   }
 
   private def rootOf(rest: List[String]): Path =

@@ -1,0 +1,130 @@
+package graft
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.net.{HttpURLConnection, URL}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import graft.serve.{McpServer, McpSseServer}
+import graft.util.JsonParse
+
+/** MCP HTTP+SSE transport: endpoint handshake, request/response over
+  * the stream, verbatim parity with the stdio framing (both route
+  * through McpServer.handle), and transport-level error handling. */
+class McpSseSpec extends SparkSuite {
+
+  private def withServer[A](body: (Int, BufferedReader, String) => A): A = {
+    val root = Files.createTempDirectory("graft_sse")
+    Files.createDirectories(root.resolve("target"))
+    for (f <- Seq("manifest.json", "catalog.json", "run_results.json"))
+      Files.copy(java.nio.file.Paths.get(fixturePath(f)), root.resolve(s"target/$f"))
+    val engine = graft.api.Engine.fromManifest(spark,
+      root.resolve("target/manifest.json").toString, None,
+      graft.config.Config.load(root))
+    val server = McpSseServer.start(engine, 0)
+    val port = server.getAddress.getPort
+    try {
+      val sse = new URL(s"http://127.0.0.1:$port/sse")
+        .openConnection().asInstanceOf[HttpURLConnection]
+      sse.setRequestMethod("GET")
+      sse.setReadTimeout(30000)
+      assert(sse.getResponseCode == 200)
+      assert(sse.getContentType.startsWith("text/event-stream"))
+      val reader = new BufferedReader(new InputStreamReader(sse.getInputStream, UTF_8))
+      // handshake: first frame is the endpoint event
+      val (ev, endpoint) = readFrame(reader)
+      assert(ev == "endpoint")
+      body(port, reader, endpoint)
+    } finally McpSseServer.stop(server)
+  }
+
+  /** Read one `event:`/`data:` SSE frame (blank-line terminated). */
+  private def readFrame(r: BufferedReader): (String, String) = {
+    var event = ""; var data = ""
+    var line = r.readLine()
+    while (line != null && line.nonEmpty) {
+      if (line.startsWith("event: ")) event = line.stripPrefix("event: ")
+      if (line.startsWith("data: ")) data = line.stripPrefix("data: ")
+      line = r.readLine()
+    }
+    (event, data)
+  }
+
+  private def post(port: Int, endpoint: String, body: String): Int = {
+    val c = new URL(s"http://127.0.0.1:$port$endpoint")
+      .openConnection().asInstanceOf[HttpURLConnection]
+    c.setRequestMethod("POST")
+    c.setDoOutput(true)
+    c.getOutputStream.write(body.getBytes(UTF_8))
+    c.getOutputStream.close()
+    val code = c.getResponseCode
+    c.disconnect()
+    code
+  }
+
+  test("handshake + initialize/tools-list/tools-call over the stream") {
+    withServer { (port, reader, endpoint) =>
+      assert(endpoint.startsWith("/messages?sessionId="),
+        s"endpoint event must carry the session POST URI: $endpoint")
+
+      assert(post(port, endpoint,
+        """{"jsonrpc":"2.0","id":1,"method":"initialize","params":{"protocolVersion":"2024-11-05","capabilities":{},"clientInfo":{"name":"spec","version":"0"}}}""") == 202)
+      val (e1, init) = readFrame(reader)
+      assert(e1 == "message")
+      val initR = JsonParse.parse(init).asInstanceOf[Map[String, Any]]
+      assert(initR("result").asInstanceOf[Map[String, Any]]("protocolVersion")
+        == McpServer.ProtocolVersion)
+
+      // notification: 202, no frame (verified implicitly — the next
+      // frame answers the next request)
+      assert(post(port, endpoint,
+        """{"jsonrpc":"2.0","method":"notifications/initialized"}""") == 202)
+
+      assert(post(port, endpoint,
+        """{"jsonrpc":"2.0","id":2,"method":"tools/list"}""") == 202)
+      val tools = JsonParse.parse(readFrame(reader)._2).asInstanceOf[Map[String, Any]]
+      assert(tools("id") == 2L)
+      assert(tools("result").asInstanceOf[Map[String, Any]]("tools")
+        .asInstanceOf[List[Map[String, Any]]].map(_("name"))
+        == graft.serve.JsonLineServer.toolNames.toList)
+
+      assert(post(port, endpoint,
+        """{"jsonrpc":"2.0","id":3,"method":"tools/call","params":{"name":"search_models","arguments":{"query":"orders","limit":5}}}""") == 202)
+      val call = JsonParse.parse(readFrame(reader)._2).asInstanceOf[Map[String, Any]]
+      val result = call("result").asInstanceOf[Map[String, Any]]
+      assert(result("isError") == false)
+      assert(result("content").asInstanceOf[List[Map[String, Any]]]
+        .head("text").toString.contains("fct_orders"))
+    }
+  }
+
+  test("SSE answers are verbatim the stdio framing's answers") {
+    withServer { (port, reader, endpoint) =>
+      val req = """{"jsonrpc":"2.0","id":9,"method":"tools/list"}"""
+      assert(post(port, endpoint, req) == 202)
+      val overSse = readFrame(reader)._2
+      // the stdio transport on the same engine fixture answers identically
+      val root = Files.createTempDirectory("graft_sse_parity")
+      Files.createDirectories(root.resolve("target"))
+      for (f <- Seq("manifest.json", "catalog.json", "run_results.json"))
+        Files.copy(java.nio.file.Paths.get(fixturePath(f)), root.resolve(s"target/$f"))
+      val engine = graft.api.Engine.fromManifest(spark,
+        root.resolve("target/manifest.json").toString, None,
+        graft.config.Config.load(root))
+      val overStdio = McpServer.handle(engine, req).get
+      assert(JsonParse.parse(overSse) == JsonParse.parse(overStdio))
+    }
+  }
+
+  test("transport errors: bad session 404, wrong methods 405") {
+    withServer { (port, _, _) =>
+      assert(post(port, "/messages?sessionId=nope", """{"jsonrpc":"2.0"}""") == 404)
+      assert(post(port, "/messages", """{}""") == 404)
+      val c = new URL(s"http://127.0.0.1:$port/messages")
+        .openConnection().asInstanceOf[HttpURLConnection]
+      c.setRequestMethod("GET")
+      assert(c.getResponseCode == 405)
+      c.disconnect()
+    }
+  }
+}
