@@ -159,8 +159,13 @@ object CorpusClean {
       dg: DigestIndex.Index, mh: MinhashIndex.Index): DataFrame = {
     // 1. exact dedup: digest-index membership probe + within-batch
     // first-id-keeps (delta-sized min-agg + join — the d_exact_dedup
-    // skew discipline; DigestIndexSpec pins probe ≡ recompute)
+    // skew discipline; DigestIndexSpec pins probe ≡ recompute). The
+    // probe output is checkpointed (delta-sized): the keepers agg AND
+    // the verdict join both consume it, and an unmaterialized probe
+    // re-runs its corpus-bucket membership join per consumer (+2 s at
+    // ×10, measured round 9).
     val probedDigests = dg.probe(delta.select(col("doc_id"), col("text")))
+      .localCheckpoint(false)
     val batchKeepers = probedDigests.groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("keeper_id"))
     val exact = probedDigests.join(batchKeepers, "content_hash")
