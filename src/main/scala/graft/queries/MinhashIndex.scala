@@ -222,6 +222,44 @@ object MinhashIndex {
       Scratch.delete(arraysTable)
     }
 
+    /** Caller-owned copy-on-write BRANCH of this index: both bucketed
+      * tables are rewritten byte-for-byte into fresh caller-owned
+      * names (the [[compact]] path-read discipline — one file per
+      * bucket) with NO signature recompute — the clone moves the
+      * index's serialized bytes, never the corpus text, so it skips
+      * the text scan, the `graft_minhash`/`graft_shingles` kernels
+      * and the corpus-sized checkpoint that [[MinhashIndex.fresh]]
+      * pays. This is the generation-pinned-clone route for
+      * index-MUTATING pipelines over a standing corpus (SURVEY
+      * §9.10): build the shared [[MinhashIndex.of]] index once per
+      * session, `snapshot()` per run, append freely, [[drop]] when
+      * done — the session's probe indexes never see the appends.
+      * MinhashIndexSpec pins snapshot-probe ≡ source-probe and
+      * append isolation. */
+    def snapshot(): Index = {
+      assertCurrent()
+      graft.util.BuildLog.timed(s"minhash-snap:$baseName") {
+        val k = s"snap|$baseName#${MinhashIndex.freshSeq.incrementAndGet()}"
+        val snap = Scratch.tableName(spark, "graft_mh", k)
+        val snapArr = snap + "_arr"
+        spark.sql(s"DROP TABLE IF EXISTS $snap")
+        spark.sql(s"DROP TABLE IF EXISTS $snapArr")
+        spark.read.parquet(Scratch.dir(tableName))
+          .repartition(MinhashIndex.NumBuckets, col("band_key"))
+          .write.mode("overwrite")
+          .bucketBy(MinhashIndex.NumBuckets, "band_key").sortBy("band_key")
+          .option("path", Scratch.dir(snap))
+          .saveAsTable(snap)
+        spark.read.parquet(Scratch.dir(arraysTable))
+          .repartition(MinhashIndex.NumBuckets, col("doc_id"))
+          .write.mode("overwrite")
+          .bucketBy(MinhashIndex.NumBuckets, "doc_id").sortBy("doc_id")
+          .option("path", Scratch.dir(snapArr))
+          .saveAsTable(snapArr)
+        new Index(spark, snap, 0, Scratch.sessionId(spark) + "|" + k)
+      }
+    }
+
     /** Rewrite both tables into a fresh generation with ONE file per
       * bucket (each append leaves a file per bucket behind). Content
       * untouched → probe results identical pre/post; the old
