@@ -62,26 +62,33 @@ object Cli {
       if (ts.isEmpty) Seq("claude_code") else ts
     }
     val skipGenerate = flags.contains("--skip-generate")
-    val days = flags.find(_.startsWith("--days=")).map(_.stripPrefix("--days=").toInt)
-      .getOrElse(30)
+    // Numeric flag values fall through to the usage message on garbage
+    // (never an uncaught NumberFormatException stack trace).
+    val days = flags.find(_.startsWith("--days="))
+      .map(f => scala.util.Try(f.stripPrefix("--days=").toInt).toOption)
+    val ssePort = flags.collectFirst {
+      case f if f == "--sse" => Some(0) // ephemeral; port printed on ready
+      case f if f.startsWith("--sse=") =>
+        scala.util.Try(f.stripPrefix("--sse=").toInt).toOption
+    }
+    def usage(got: Option[String]): Int = {
+      out.println(s"usage: graft.Cli (init|sync|stats|usage|serve) [project_root] " +
+        s"[--target=t] [--skip-generate] [--days=n] [--mcp] [--sse[=port]]" +
+        got.fold("")(v => s"  (got: $v)"))
+      2
+    }
 
     positional.toList match {
+      case _ if days.contains(None) => usage(flags.find(_.startsWith("--days=")))
+      case _ if ssePort.contains(None) => usage(flags.find(_.startsWith("--sse=")))
       case verb :: rest if Set("init", "sync")(verb) =>
         initOrSync(spark, rootOf(rest), targets, skipGenerate, out)
       case "stats" :: rest => stats(spark, rootOf(rest), out)
-      case "usage" :: rest => usageStats(spark, rootOf(rest), days, out)
+      case "usage" :: rest => usageStats(spark, rootOf(rest), days.flatten.getOrElse(30), out)
       case "serve" :: rest =>
-        val ssePort = flags.collectFirst {
-          case f if f == "--sse" => 0 // ephemeral; port printed on ready
-          case f if f.startsWith("--sse=") => f.stripPrefix("--sse=").toInt
-        }
         serve(spark, rootOf(rest), out, in, mcp = flags.contains("--mcp"),
-          ssePort = ssePort)
-      case other =>
-        out.println(s"usage: graft.Cli (init|sync|stats|usage|serve) [project_root] " +
-          s"[--target=t] [--skip-generate] [--days=n] [--mcp] [--sse[=port]]" +
-          other.headOption.fold("")(v => s"  (got: $v)"))
-        2
+          ssePort = ssePort.flatten)
+      case other => usage(other.headOption)
     }
   }
 

@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.queries.Dedup
+
+/** Embedding sign-band saturation measurement — the [[BandKnee]] twin
+  * for the `d_embed_lsh_pairs` family: for each corpus dir given on
+  * the command line, count candidate pairs (the pre-verify volume that
+  * drives the self-join cost), verified pairs, and the wall-clock of
+  * the full pipeline at each legal band width over the 64-dim
+  * normalized vectors. `runMain graft.EmbedBandKnee <dir> [dir…]` →
+  * one JSON line, also written to `SPARK_GRAFT_KNEE_OUT` (default
+  * `BENCH_embed_bands.json`).
+  *
+  * Collisions between UNrelated vectors scale ~ groups · n² / 2^bandBits
+  * (sign bits of independent dims are ~fair coins after L2 norm), so
+  * 8-bit keys saturate as n approaches ~2⁸ per key — the knee this
+  * artifact locates empirically; near-identical pairs (the ones the
+  * 0.45-cosine verify keeps) agree on nearly every sign, so widening
+  * bands sheds candidates without shedding recall (BandCapSpec pins
+  * pair-set equality across widths at test scale). SURVEY §9.12
+  * interprets the curve against the ×64 `d_embed_lsh_pairs` row.
+  */
+object EmbedBandKnee {
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: EmbedBandKnee <sfDir> [sfDir…]")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_KNEE_OUT", "BENCH_embed_bands.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = Tables.configure(SparkSession.builder())
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def swept(body: => Long): (Long, Double) = {
+      val baseline = spark.sparkContext.getPersistentRDDs.keySet
+      val t0 = System.nanoTime()
+      val n = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!baseline.contains(id)) rdd.unpersist(blocking = true)
+      }
+      (n, sec)
+    }
+
+    val cap = Dedup.MaxBandSize // the production view: hot keys capped as the gate runs
+    val dirJsons = args.map { d =>
+      val nVecs = Tables.embeddings(spark, d).count()
+      val settings = Seq(8, 16, 32).map { bits =>
+        val (cands, candSec) = swept(Dedup.embedLshCandCount(spark, d, cap, bits))
+        val (pairs, pairSec) = swept(
+          Dedup.embedLshPairs(spark, d, cap, bits).queryExecution.toRdd.count())
+        System.err.println(
+          s"[embed-knee] $d bits=$bits cands=$cands (${f(candSec)}s) " +
+            s"pairs=$pairs (${f(pairSec)}s)")
+        s""""$bits":{"groups":${64 / bits},"candidates":$cands,""" +
+          s""""cand_sec":${f(candSec)},"verified_pairs":$pairs,""" +
+          s""""pipeline_sec":${f(pairSec)}}"""
+      }.mkString("{", ",", "}")
+      s""""$d":{"vectors":$nVecs,"band_bits":$settings}"""
+    }.mkString("{", ",", "}")
+    val json = s"""{"cap":$cap,"cosine_threshold":0.45,"dirs":$dirJsons}"""
+    try Files.writeString(Paths.get(outPath), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[embed-knee] write $outPath failed: $e") }
+    println(json)
+    spark.stop()
+  }
+
+  private def f(v: Double) = f"$v%.3f"
+}

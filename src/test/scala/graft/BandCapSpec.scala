@@ -41,6 +41,37 @@ class BandCapSpec extends SparkSuite {
       canon(Dedup.embedLshPairs(spark, d001, Int.MaxValue)))
   }
 
+  test("embedding pair sets NEST as sign-band widths grow (8 ⊇ 16 ⊇ 32 bits)") {
+    // The production knob (r9 VERDICT #1): a 2w-bit band is the
+    // conjunction of its two constituent w-bit bands (the groups tile
+    // the same 64 dims in order), so agreement on any wide band implies
+    // agreement on both halves — candidates, and therefore verified
+    // pairs, strictly NEST as bandBits grows. Equality is NOT the
+    // contract: sign-LSH recall at the loose 0.45-cosine threshold
+    // drops with width (a cosine-0.5 pair flips ~35% of sign bits, so
+    // 16 agreeing bits in a row get rare) — the knee artifact
+    // (`BENCH_embed_bands.json`) measures that trade; the gate pins
+    // 8-bit bands and its oracle replays them exactly.
+    for (dir <- Seq(d, "/root/testdata/sf0.01")) {
+      val byWidth = Seq(8, 16, 32).map { bits =>
+        bits -> Dedup.embedLshPairs(spark, dir, Dedup.MaxBandSize, bits)
+          .select("vec_a", "vec_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      }.toMap
+      assert(byWidth(8).nonEmpty, s"$dir must have near-dup pairs to compare")
+      assert(byWidth(16).subsetOf(byWidth(8)),
+        s"$dir: 16-bit bands found a pair 8-bit bands missed — nesting broken")
+      assert(byWidth(32).subsetOf(byWidth(16)),
+        s"$dir: 32-bit bands found a pair 16-bit bands missed — nesting broken")
+    }
+  }
+
+  test("embedding band widths must divide 64") {
+    intercept[IllegalArgumentException] {
+      Dedup.embedLshPairs(spark, d, Dedup.MaxBandSize, bandBits = 12).collect()
+    }
+  }
+
   test("a tiny cap suppresses candidate discovery (cap is live, not decorative)") {
     // cap=1 drops every band key with >=2 members — no band can emit a
     // candidate pair, so the verified pair set must be empty

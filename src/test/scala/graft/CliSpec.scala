@@ -83,6 +83,15 @@ class CliSpec extends SparkSuite {
     assert(responses(11).contains("error"))
   }
 
+  test("garbage numeric flag values exit 2 with usage, not a stack trace") {
+    val (sseCode, sseOut) = capture("serve", "--sse=notaport")
+    assert(sseCode == 2, sseOut)
+    assert(sseOut.contains("usage:"), sseOut)
+    val (daysCode, daysOut) = capture("usage", "--days=soon")
+    assert(daysCode == 2, daysOut)
+    assert(daysOut.contains("usage:"), daysOut)
+  }
+
   test("init without a manifest exits 1; stats without an index exits 1") {
     val empty = Files.createTempDirectory("graft_cli_empty")
     assert(capture("init", empty.toString)._1 == 1)

@@ -29,6 +29,10 @@ class ConfigSpec extends SparkSuite {
       |[generator]
       |generate_skills = false
       |targets = ["claude_code", "cursor"]
+      |
+      |[scale]
+      |shard_bits = 16
+      |embed_band_bits = 16
       |""".stripMargin
 
   test("toml subset parses sections, ints, bools, arrays, comments") {
@@ -56,11 +60,19 @@ class ConfigSpec extends SparkSuite {
     assert(cfg.capsule.intentDepths("refactor") == ((1, 3)), "default preserved")
     assert(cfg.generator.targets == Seq("claude_code", "cursor"))
     assert(cfg.manifestPath.endsWith("target/manifest.json"))
+    // [scale] production-width knobs (r9 VERDICT #8): overridden fields
+    // load, unlisted fields keep their gate-pinned defaults.
+    assert(cfg.scale.shardBits == 16)
+    assert(cfg.scale.embedBandBits == 16)
+    assert(cfg.scale.seqPackShards == 8, "unset knob keeps its default")
   }
 
   test("missing config file yields pure defaults") {
     val cfg = Config.load(Files.createTempDirectory("graft_cfg_empty"))
     assert(cfg.capsule == CapsuleConfig())
+    assert(cfg.scale == graft.config.ScaleConfig())
+    assert(cfg.scale.shardBits == 10 && cfg.scale.seqPackShards == 8 &&
+      cfg.scale.embedBandBits == graft.queries.Dedup.EmbedBandBits)
   }
 
   test("capsule honors TOML-loaded depths and budget") {

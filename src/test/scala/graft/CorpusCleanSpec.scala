@@ -76,6 +76,25 @@ class CorpusCleanSpec extends SparkSuite {
       "K=1 evolve (batch column dropped) must equal the one-shot ledger")
   }
 
+  test("evolve sweeps its intermediate checkpoints; only the K ledgers survive") {
+    // The r9 ADVICE checkpoint-hygiene contract: one invocation leaves
+    // exactly its K eagerly-checkpointed ledger frames persisted (the
+    // returned union reads them) — every probe/append intermediate the
+    // loop checkpointed is unpersisted before return, so a long-lived
+    // session does not accumulate dead blocks per run.
+    val k = 2
+    graft.queries.CorpusClean.incrEvolve(spark, d, 1).count() // warm shared indexes
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
+    val df = graft.queries.CorpusClean.incrEvolve(spark, d, k)
+    assert(df.count() > 0)
+    val leftover = spark.sparkContext.getPersistentRDDs.keySet -- baseline
+    assert(leftover.size == k,
+      s"expected exactly the $k ledger checkpoints to survive, got ${leftover.size}")
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (leftover.contains(id)) rdd.unpersist(blocking = false)
+    }
+  }
+
   test("evolve: batch N+1 dedups against batch N's ACCEPTED docs only") {
     import spark.implicits._
     // K=3 batch assignment over delta ids: batch = (doc_id % 30) / 10.

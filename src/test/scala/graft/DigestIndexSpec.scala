@@ -69,6 +69,57 @@ class DigestIndexSpec extends SparkSuite {
     assert(e.getMessage.contains("disjointness"))
   }
 
+  test("snapshot probes identically to its source and isolates appends") {
+    import spark.implicits._
+    val idx = DigestIndex.of(spark, s"spec-snap|$d", corpusDocs)
+    val base = rows(idx.probe(deltaDocs))
+    val snap = idx.snapshot()
+    try {
+      assert(rows(snap.probe(deltaDocs)) == base, "snapshot-probe ≡ source-probe")
+      // Append a doc duplicating a delta doc's content TO THE SNAPSHOT:
+      // the snapshot must now flag it in_corpus, the source must not.
+      val deltaHead = deltaDocs.orderBy(col("doc_id")).limit(1).collect().head
+      val twin = Seq((deltaHead.getLong(0) + 1000000L, deltaHead.getString(1)))
+        .toDF("doc_id", "text")
+      snap.append(twin)
+      val probedSnap = rows(snap.probe(deltaDocs)).toMap2
+      assert(probedSnap(deltaHead.getLong(0)), "snapshot sees its own append")
+      assert(rows(idx.probe(deltaDocs)) == base,
+        "the shared source index must never see the snapshot's appends")
+    } finally snap.drop()
+  }
+
+  private implicit class RowsOps(rs: Seq[(Long, String, Boolean)]) {
+    def toMap2: Map[Long, Boolean] = rs.map(r => r._1 -> r._3).toMap
+  }
+
+  test("branch: zero-copy overlay probes like the base, isolates appends, drops clean") {
+    import spark.implicits._
+    val idx = DigestIndex.of(spark, s"spec-branch|$d", corpusDocs)
+    val base = rows(idx.probe(deltaDocs))
+    val br = idx.branch()
+    try {
+      assert(rows(br.probe(deltaDocs)) == base, "empty overlay ≡ the base")
+      val deltaHead = deltaDocs.orderBy(col("doc_id")).limit(1).collect().head
+      val twin = Seq((deltaHead.getLong(0) + 2000000L, deltaHead.getString(1)))
+        .toDF("doc_id", "text")
+      br.append(twin)
+      assert(rows(br.probe(deltaDocs)).toMap2(deltaHead.getLong(0)),
+        "the branch sees its own append")
+      assert(rows(idx.probe(deltaDocs)) == base,
+        "the shared base must never see the branch's appends")
+      val e = intercept[IllegalArgumentException] {
+        br.append(corpusDocs.limit(1)) // base doc id — guard sees through
+      }
+      assert(e.getMessage.contains("disjointness"))
+      assert(intercept[IllegalArgumentException](br.snapshot())
+        .getMessage.contains("branch"))
+      assert(intercept[IllegalArgumentException](br.compact())
+        .getMessage.contains("branch"))
+    } finally br.drop()
+    assert(rows(idx.probe(deltaDocs)) == base)
+  }
+
   test("compaction leaves probe results identical with fewer files") {
     val idx = DigestIndex.of(spark, s"spec-compact|$d",
         corpusDocs.filter(col("doc_id") % 2 === 1))

@@ -116,6 +116,116 @@ class McpSseSpec extends SparkSuite {
     }
   }
 
+  test("cross-site Origin is refused 403 on both endpoints (DNS-rebinding guard)") {
+    withServer { (port, _, endpoint) =>
+      // Raw socket: HttpURLConnection silently drops the restricted
+      // Origin header, so the hostile request must be hand-framed.
+      def withOrigin(path: String, method: String, origin: String): Int = {
+        val sock = new java.net.Socket("127.0.0.1", port)
+        try {
+          val body =
+            if (method == "POST") """{"jsonrpc":"2.0","id":1,"method":"tools/list"}"""
+            else ""
+          val req = s"$method $path HTTP/1.1\r\nHost: 127.0.0.1:$port\r\n" +
+            s"Origin: $origin\r\nContent-Length: ${body.length}\r\n" +
+            "Connection: close\r\n\r\n" + body
+          sock.getOutputStream.write(req.getBytes(UTF_8))
+          sock.getOutputStream.flush()
+          val status = new BufferedReader(
+            new InputStreamReader(sock.getInputStream, UTF_8)).readLine()
+          status.split(" ")(1).toInt
+        } finally sock.close()
+      }
+      // a hostile page that rebound its hostname to 127.0.0.1
+      assert(withOrigin("/sse", "GET", "http://evil.example") == 403)
+      assert(withOrigin(endpoint, "POST", "https://evil.example:8080") == 403)
+      // a legitimate local browser client keeps working
+      assert(withOrigin(endpoint, "POST", "http://localhost:3000") == 202)
+      assert(withOrigin(endpoint, "POST", "http://127.0.0.1") == 202)
+      // and the origin-allowlist logic itself
+      import graft.serve.McpSseServer.originAllowed
+      assert(originAllowed(None), "absent Origin (curl/SDK) is allowed")
+      assert(originAllowed(Some("http://localhost:8123")))
+      assert(originAllowed(Some("https://[::1]:9")))
+      assert(!originAllowed(Some("http://localhost.evil.example")))
+      assert(!originAllowed(Some("null")))
+    }
+  }
+
+  test("a disconnected client's session is evicted; POSTs answer 410/404, not silent 202") {
+    val root = Files.createTempDirectory("graft_sse_evict")
+    Files.createDirectories(root.resolve("target"))
+    for (f <- Seq("manifest.json", "catalog.json", "run_results.json"))
+      Files.copy(java.nio.file.Paths.get(fixturePath(f)), root.resolve(s"target/$f"))
+    val engine = graft.api.Engine.fromManifest(spark,
+      root.resolve("target/manifest.json").toString, None,
+      graft.config.Config.load(root))
+    val server = McpSseServer.start(engine, 0)
+    val port = server.getAddress.getPort
+    try {
+      // Raw socket so close() is a real TCP teardown, not a pooled
+      // keep-alive return.
+      val sock = new java.net.Socket("127.0.0.1", port)
+      sock.getOutputStream.write(
+        s"GET /sse HTTP/1.1\r\nHost: 127.0.0.1:$port\r\n\r\n".getBytes(UTF_8))
+      sock.getOutputStream.flush()
+      val in = new BufferedReader(new InputStreamReader(sock.getInputStream, UTF_8))
+      var line = in.readLine()
+      while (line != null && line.nonEmpty) line = in.readLine() // headers
+      // chunked body: scan for the endpoint data line
+      var endpoint: String = null
+      while (endpoint == null) {
+        val l = in.readLine()
+        assert(l != null, "stream ended before the endpoint event")
+        if (l.startsWith("data: ")) endpoint = l.stripPrefix("data: ")
+      }
+      assert(McpSseServer.sessionCount(server) == 1)
+      sock.close()
+      // The first write after close may land in the OS buffer; within a
+      // few POSTs the failed write must evict the session (410), after
+      // which the id is unknown (404). 202s may precede, but never
+      // follow, the eviction.
+      val req = """{"jsonrpc":"2.0","id":7,"method":"tools/list"}"""
+      val codes = (1 to 20).iterator
+        .map(_ => post(port, endpoint, req))
+        .takeWhile(_ == 202).toList
+      assert(codes.length < 20, s"POSTs to a closed session stayed 202 forever")
+      val after = post(port, endpoint, req)
+      assert(after == 410 || after == 404, s"expected 410/404 after eviction, got $after")
+      assert(McpSseServer.sessionCount(server) == 0, "dead session must leave the map")
+    } finally McpSseServer.stop(server)
+  }
+
+  test("stop() closes live streams and empties the session map") {
+    withServer { (port, reader, endpoint) =>
+      val root = Files.createTempDirectory("graft_sse_stop")
+      Files.createDirectories(root.resolve("target"))
+      for (f <- Seq("manifest.json", "catalog.json", "run_results.json"))
+        Files.copy(java.nio.file.Paths.get(fixturePath(f)), root.resolve(s"target/$f"))
+      val engine = graft.api.Engine.fromManifest(spark,
+        root.resolve("target/manifest.json").toString, None,
+        graft.config.Config.load(root))
+      val server2 = McpSseServer.start(engine, 0)
+      val port2 = server2.getAddress.getPort
+      val sse = new URL(s"http://127.0.0.1:$port2/sse")
+        .openConnection().asInstanceOf[HttpURLConnection]
+      sse.setRequestMethod("GET")
+      sse.setReadTimeout(30000)
+      val r2 = new BufferedReader(new InputStreamReader(sse.getInputStream, UTF_8))
+      readFrame(r2) // handshake
+      assert(McpSseServer.sessionCount(server2) == 1)
+      McpSseServer.stop(server2)
+      assert(McpSseServer.sessionCount(server2) == 0)
+      // the held stream is closed: the blocked read terminates instead
+      // of waiting out its 30 s timeout (EOF or connection reset)
+      try r2.readLine() catch { case _: java.io.IOException => () }
+      // the first server is untouched by stopping the second
+      assert(post(port, endpoint,
+        """{"jsonrpc":"2.0","id":8,"method":"tools/list"}""") == 202)
+      readFrame(reader)
+    }
+  }
+
   test("transport errors: bad session 404, wrong methods 405") {
     withServer { (port, _, _) =>
       assert(post(port, "/messages?sessionId=nope", """{"jsonrpc":"2.0"}""") == 404)

@@ -46,6 +46,36 @@ class MinhashIndexSpec extends SparkSuite {
     assert(e.getMessage.contains("disjointness"))
   }
 
+  test("branch: zero-copy overlay probes like the base, isolates appends, drops clean") {
+    val half1 = corpusDocs.filter(col("doc_id") % 2 === 1)
+    val half2 = corpusDocs.filter(col("doc_id") % 2 === 0)
+    val base = MinhashIndex.of(spark, s"spec-branch|$d", half1)
+    val baseRows = rows(base.probe(deltaDocs))
+    val br = base.branch()
+    try {
+      // pre-append: the branch IS the base (no delta table exists yet)
+      assert(rows(br.probe(deltaDocs)) == baseRows)
+      // append the other half TO THE BRANCH: the branch now answers
+      // like a from-scratch full index; the base is untouched
+      br.append(half2)
+      val full = MinhashIndex.of(spark, s"spec-branch-full|$d", corpusDocs)
+      assert(rows(br.probe(deltaDocs)) == rows(full.probe(deltaDocs)),
+        "branch + append ≡ full index")
+      assert(rows(base.probe(deltaDocs)) == baseRows,
+        "the shared base must never see the branch's appends")
+      // the branch's disjointness guard sees THROUGH to the base
+      val e = intercept[IllegalArgumentException] { br.append(half1.limit(1)) }
+      assert(e.getMessage.contains("disjointness"))
+      // corpus-sized ops are refused on the overlay
+      assert(intercept[IllegalArgumentException](br.snapshot())
+        .getMessage.contains("branch"))
+      assert(intercept[IllegalArgumentException](br.compact())
+        .getMessage.contains("branch"))
+    } finally br.drop()
+    // drop() removed the overlay only
+    assert(rows(base.probe(deltaDocs)) == baseRows)
+  }
+
   test("compaction leaves probe results identical with fewer band files") {
     val idx = MinhashIndex.of(spark, s"spec-compact|$d",
         corpusDocs.filter(col("doc_id") % 2 === 1))
