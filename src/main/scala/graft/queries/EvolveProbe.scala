@@ -116,7 +116,7 @@ object EvolveProbe {
     println(s"""{"metric":"incr_evolve_scaling","sf":"$sfDir","delta_docs":$deltaDocs,""" +
       s""""shared_index_build_sec":${f(buildSec)},"rounds":$rounds,""" +
       s""""k_curve":$kRows,"write_path":$appendRows,""" +
-      s""""protocol":"p50 of $rounds fully-materialized rounds per K, per-round orphan unpersist, local[$cpus]; evolve = CorpusClean.incrEvolve (snapshot clones of the shared indexes, appends between batches); write path = 1 snapshot + $nBatches sequential appends + compact on caller-owned clones"}""")
+      s""""protocol":"p50 of $rounds fully-materialized rounds per K, per-round orphan unpersist, local[$cpus]; evolve = CorpusClean.incrEvolve (zero-copy branches of the shared indexes, appends between batches); write path = 1 snapshot + $nBatches sequential appends + compact on caller-owned clones"}""")
     spark.stop()
   }
 
