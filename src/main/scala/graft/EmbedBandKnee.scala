@@ -62,7 +62,19 @@ object EmbedBandKnee {
           s""""cand_sec":${f(candSec)},"verified_pairs":$pairs,""" +
           s""""pipeline_sec":${f(pairSec)}}"""
       }.mkString("{", ",", "}")
-      s""""$d":{"vectors":$nVecs,"band_bits":$settings}"""
+      // Multi-probe recall curve: rotations recover the loose-cosine
+      // pairs single-probe misses (8-bit), and compensate a width
+      // that saturates nothing (16-bit at 100k+ vectors).
+      val multi = Seq((8, 2), (8, 4), (16, 4)).map { case (bits, r) =>
+        val (pairs, sec) = swept(
+          Dedup.embedLshPairsMulti(spark, d, cap, bits, r)
+            .queryExecution.toRdd.count())
+        System.err.println(
+          s"[embed-knee] $d bits=$bits R=$r pairs=$pairs (${f(sec)}s)")
+        s""""${bits}x$r":{"band_bits":$bits,"rotations":$r,""" +
+          s""""verified_pairs":$pairs,"pipeline_sec":${f(sec)}}"""
+      }.mkString("{", ",", "}")
+      s""""$d":{"vectors":$nVecs,"band_bits":$settings,"multiprobe":$multi}"""
     }.mkString("{", ",", "}")
     val json = s"""{"cap":$cap,"cosine_threshold":0.45,"dirs":$dirJsons}"""
     try Files.writeString(Paths.get(outPath), json + "\n")

@@ -155,7 +155,7 @@ object CorpusClean {
     * between them). Per doc, first applicable verdict in pipeline
     * order; every stage is delta-sized (the digest membership and
     * MinHash band probes scan the bucketed corpus tables in place). */
-  private[queries] def incrLedger(s: SparkSession, delta: DataFrame,
+  private[graft] def incrLedger(s: SparkSession, delta: DataFrame,
       dg: DigestIndex.Index, mh: MinhashIndex.Index): DataFrame = {
     // 1. exact dedup: digest-index membership probe + within-batch
     // first-id-keeps (delta-sized min-agg + join — the d_exact_dedup

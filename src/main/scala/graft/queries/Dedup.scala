@@ -256,6 +256,16 @@ object Dedup {
     // d_embed_neardup's O(n²) when the corpus outgrows a broadcast.
     "d_embed_lsh_pairs" -> ((s, d) => embedLshPairs(s, d, MaxBandSize)),
 
+    // Multi-probe sign-LSH: the recall knob on the row above (see
+    // [[embedLshPairsMulti]]) — 4 deterministic coordinate rotations
+    // re-tile the 64 sign bits into different 8-bit band groups, so a
+    // loose-cosine pair gets 32 chances instead of 8. Both engines
+    // compute the identical rotations, so the gate is exact despite
+    // LSH's partial recall; measured at sf0.1: 84 of 144 true pairs
+    // vs single-probe's 33.
+    "d_embed_lsh_multiprobe" -> ((s, d) =>
+      embedLshPairsMulti(s, d, MaxBandSize, EmbedBandBits, 4)),
+
     // Incremental near-dup: probe a delta batch against the standing
     // corpus (see [[incrementalNearDup]]) — the build-once/probe-many
     // dedup shape; cost scales with the delta, the corpus never
@@ -545,6 +555,73 @@ object Dedup {
   private[graft] def embedLshCandCount(s: SparkSession, d: String,
       cap: Int, bandBits: Int): Long =
     embedLshCands(normalizedVecs(s, d), cap, bandBits).count()
+
+  /** Multi-probe coordinate rotations: dim i of rotation r reads
+    * source dim (a_r·i + b_r) mod 64 — a_r ODD makes the map a
+    * bijection mod 64, so each rotation re-tiles the SAME 64 sign
+    * bits into different band groups. Rotation 0 is the identity
+    * ((1,0)), pinning multiprobe(R=1) ≡ the single-probe pipeline.
+    * (Sign flips would add nothing: flipping a dim on both sides of
+    * a pair leaves bit-agreement unchanged — only the grouping
+    * matters for sign-LSH.) */
+  private[graft] val EmbedRotations = Vector((1, 0), (5, 17), (9, 33), (13, 49))
+
+  /** MULTI-PROBE banded embedding pair discovery — the recall knob
+    * sign-LSH needs at a loose cosine threshold (§9.10): one probe of
+    * `64/bandBits` groups catches a pair only if it agrees on some
+    * contiguous group, and at cosine ~0.5 a pair flips ~35% of sign
+    * bits, so single-probe recall at the 0.45 gate threshold is 23%
+    * at sf0.1 (33 of 144 true pairs, measured). Each extra rotation
+    * re-tiles the dims into DIFFERENT groups (deterministic affine
+    * index permutations, [[EmbedRotations]]) and gives every pair
+    * `rotations × groups` independent chances: measured recall
+    * 33 → 54 → 84 of 144 at R = 1/2/4 (8-bit bands, sf0.1) for
+    * linearly-in-R candidate cost — the standard multi-probe LSH
+    * trade, and the route to HIGH recall at the wide band widths a
+    * 100k+ corpus needs (a 16-bit width that saturates nothing can
+    * be compensated with more rotations instead of narrower keys).
+    * Candidates are a superset of every lower-R run (rotation set is
+    * a prefix); the exact-cosine verify keeps the gate deterministic
+    * on both engines. */
+  def embedLshPairsMulti(s: SparkSession, d: String, cap: Int,
+      bandBits: Int = EmbedBandBits, rotations: Int = 4): DataFrame = {
+    val e = normalizedVecs(s, d)
+    embedVerify(embedLshCandsMulti(e, cap, bandBits, rotations), e)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  private def embedLshCandsMulti(e: DataFrame, cap: Int, bandBits: Int,
+      rotations: Int): DataFrame = {
+    require(bandBits >= 1 && bandBits <= 62 && 64 % bandBits == 0,
+      s"bandBits must divide 64 and fit a long key (got $bandBits)")
+    require(rotations >= 1 && rotations <= EmbedRotations.size,
+      s"rotations in [1, ${EmbedRotations.size}] (got $rotations)")
+    val groups = 64 / bandBits
+    def bandKey(a: Int, b: Int, lo: Int): Column = (0 until bandBits)
+      .map { bb =>
+        val src = (a * (lo + bb) + b) % 64
+        when(element_at(col("v"), src + 1) > 0, lit(1L << bb)).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
+    val keys = for {
+      r <- 0 until rotations
+      g <- 0 until groups
+    } yield {
+      val (a, b) = EmbedRotations(r)
+      struct(lit(r).as("rot"), lit(g).as("band"),
+        bandKey(a, b, g * bandBits).as("key"))
+    }
+    val bands = capHotBands(
+      e.select(col("vec_id"), explode(array(keys: _*)).as("bk"))
+        .select(col("vec_id"), col("bk.rot").as("rot"),
+          col("bk.band").as("band"), col("bk.key").as("key")),
+      cap, "rot", "band", "key")
+    bands.as("x").join(bands.as("y"),
+        col("x.rot") === col("y.rot") && col("x.band") === col("y.band") &&
+          col("x.key") === col("y.key") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+  }
 
   /** L2-normalized embeddings, localCheckpoint'ed: shared by the
     * all-pairs verifier and the banded LSH pair path (the interpreted
@@ -918,6 +995,28 @@ object Dedup {
          |ORDER BY vec_a, vec_b""".stripMargin,
     "d_embed_lsh_pairs" ->
       s"""WITH $embLshCtes
+         |SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.45
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    // Multi-probe: same pipeline with the 4 rotated band tilings —
+    // the oracle replays the exact affine index permutations.
+    "d_embed_lsh_multiprobe" ->
+      s"""WITH $embNormCte,
+         |u AS (${(for {
+             r <- 0 until 4
+             g <- 0 until 8
+           } yield {
+             val (a, b) = EmbedRotations(r)
+             val bits = (0 until 8)
+               .map(bb => s"(CASE WHEN v[${(a * (g * 8 + bb) + b) % 64 + 1}] > 0 THEN ${1 << bb} ELSE 0 END)")
+               .mkString(" + ")
+             s"SELECT vec_id, $r AS rot, $g AS band, $bits AS key FROM e"
+           }).mkString("\n      UNION ALL\n      ")}),
+         |c AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |      FROM u x JOIN u y
+         |        ON x.rot = y.rot AND x.band = y.band AND x.key = y.key
+         |       AND x.vec_id < y.vec_id),
+         |p AS (SELECT vec_a, vec_b, ${embDotSql("a.v", "b.v")} AS cosine
+         |      FROM c JOIN e a ON c.vec_a = a.vec_id JOIN e b ON c.vec_b = b.vec_id)
          |SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.45
          |ORDER BY vec_a, vec_b""".stripMargin,
     // Closure over the LSH-discovered pair set (both engines compute

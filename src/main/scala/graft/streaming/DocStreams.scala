@@ -98,4 +98,94 @@ object DocStreams {
     graft.util.Scratch.delete(ckptName)
     result
   }
+
+  /** The EVOLVING streaming pipeline — the continuous-ingest closure of
+    * [[graft.queries.CorpusClean.incrEvolve]]: each micro-batch runs
+    * the full cleaning ledger (digest probe + MinHash probe + quality /
+    * language) against ZERO-COPY BRANCHES of the session's shared
+    * corpus indexes, then APPENDS the batch's ACCEPTED docs to the
+    * branches — so micro-batch N+1 dedups against micro-batch N's
+    * survivors, continuously, and nothing corpus-sized runs per batch
+    * (branch creation ≈ 0.3 ms; probes and appends are batch-sized).
+    * This is the standing 100 TB ingest loop as ONE streaming query.
+    *
+    * No oracle gate by design: unlike [[incrNearDupStream]] (whose
+    * batches probe a FIXED corpus independently, making the union
+    * batch-invariant), the evolving verdicts legitimately depend on
+    * micro-batch boundaries — a near-dup pair split across batches is
+    * flagged (the earlier doc was indexed), the same pair inside one
+    * batch is not (delta-internal near-dup stays the batch kernel's
+    * contract, `CorpusClean`'s documented semantics). DocStreamSpec
+    * pins both sides of that boundary dependence deterministically
+    * (single-batch run ≡ the one-shot ledger; forced per-file batches
+    * flag the cross-batch near-dup) and branch cleanup.
+    *
+    * Returns the accumulated ledgers over all batches
+    * (doc_id, quality_score, dup_of, jaccard, reason, keep),
+    * doc_id-ordered.
+    */
+  def incrEvolveStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val d = EventStreams.streamDir(dir, "documents.parquet")
+    val mh = graft.queries.Dedup.incrIndex(spark, dir).branch()
+    val dg = graft.queries.Dedup.digestIndex(spark, dir).branch()
+    try {
+      val n = seq.incrementAndGet()
+      val sinkName =
+        s"st_evolve_sink_${n}_${graft.util.Scratch.md5hex(dir + System.nanoTime(), 8)}"
+      val ckptName = sinkName + "_ckpt"
+      val sinkPath = graft.util.Scratch.dir(sinkName)
+      val ckpt = graft.util.Scratch.dir(ckptName)
+
+      val reader = spark.readStream.schema(docSchema)
+      maxFilesPerTrigger.foreach(m => reader.option("maxFilesPerTrigger", m))
+      val stream = reader.parquet(d)
+        .filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id"), col("text"))
+      val q = stream.writeStream
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          // The r9-ADVICE checkpoint discipline per micro-batch: once
+          // the ledger is ON DISK in the sink, every frame this batch
+          // checkpointed (probe intermediates, the ledger itself) is
+          // dead — sweep before the next batch arrives.
+          val baseline = spark.sparkContext.getPersistentRDDs.keySet
+          val ledger = graft.queries.CorpusClean
+            .incrLedger(spark, batch.toDF(), dg, mh)
+            .localCheckpoint() // materialize BEFORE the appends below
+          val accepted = batch.toDF()
+            .join(ledger.filter(col("keep")).select(col("doc_id")), "doc_id")
+            .select(col("doc_id"), col("text"))
+          mh.append(accepted)
+          dg.append(accepted)
+          ledger.write.mode("append").parquet(sinkPath)
+          spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+            if (!baseline.contains(id)) rdd.unpersist(blocking = false)
+          }
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+
+      val hasParts = {
+        val p = java.nio.file.Paths.get(sinkPath)
+        java.nio.file.Files.exists(p) && {
+          val s = java.nio.file.Files.list(p)
+          try s.anyMatch(f => f.getFileName.toString.endsWith(".parquet"))
+          finally s.close()
+        }
+      }
+      val ledgerSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("quality_score", DoubleType),
+        StructField("dup_of", LongType), StructField("jaccard", DoubleType),
+        StructField("reason", StringType), StructField("keep", BooleanType)))
+      val result =
+        if (!hasParts) spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], ledgerSchema)
+        else spark.read.parquet(sinkPath).orderBy(col("doc_id")).localCheckpoint()
+      graft.util.Scratch.delete(sinkName)
+      graft.util.Scratch.delete(ckptName)
+      result
+    } finally { mh.drop(); dg.drop() }
+  }
 }
