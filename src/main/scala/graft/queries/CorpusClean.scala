@@ -172,8 +172,10 @@ object CorpusClean {
       .select(col("doc_id"),
         (col("in_corpus") || col("doc_id") =!= col("keeper_id")).as("is_exact_dup"))
 
-    // 2. near-dup probe against the persisted corpus index
-    val probed = mh.probe(delta.select(col("doc_id"), col("text")))
+    // 2. near-dup probe against the persisted corpus index (unsorted:
+    // the verdicts feed the ledger join below, so the gate-facing
+    // probe's global doc_id sort would plan a wasted range exchange)
+    val probed = mh.probeRows(delta.select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("dup_of"), col("jaccard"))
 
     // 3+4. quality + language on the delta only

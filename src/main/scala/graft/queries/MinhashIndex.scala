@@ -103,6 +103,15 @@ object MinhashIndex {
       * verdict per delta doc — the [[Dedup.incrementalNearDup]]
       * contract against the persisted corpus. */
     def probe(delta: DataFrame, cap: Int = Dedup.MaxBandSize,
+        broadcastMaxKeys: Long = MinhashIndex.ProbeBroadcastMaxKeys): DataFrame =
+      probeRows(delta, cap, broadcastMaxKeys).orderBy(col("doc_id"))
+
+    /** [[probe]] without the final global doc_id sort — for COMPOSING
+      * callers (the incremental ledger, the streaming sink) where the
+      * verdicts feed a join or a parquet append and the range exchange
+      * the orderBy plans is pure waste; the gate-facing [[probe]] keeps
+      * the sorted contract its oracle pins. */
+    private[graft] def probeRows(delta: DataFrame, cap: Int = Dedup.MaxBandSize,
         broadcastMaxKeys: Long = MinhashIndex.ProbeBroadcastMaxKeys): DataFrame = {
       assertCurrent()
       graft.functions.MinhashSig.register(spark)
@@ -175,7 +184,6 @@ object MinhashIndex {
         .join(best, Seq("doc_id"), "left")
         .select(col("doc_id"), col("dup_of"), col("jaccard"),
           col("dup_of").isNull.as("is_new"))
-        .orderBy(col("doc_id"))
     }
 
     /** Incrementally index `newDocs` ((doc_id, text) rows with NEW doc

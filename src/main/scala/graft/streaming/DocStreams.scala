@@ -69,7 +69,9 @@ object DocStreams {
       .select(col("doc_id"), col("text"))
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        idx.probe(batch).write.mode("append").parquet(sinkPath)
+        // unsorted probe: the sink is re-read doc_id-ordered below, so
+        // a per-batch global sort before the parquet append is waste
+        idx.probeRows(batch).write.mode("append").parquet(sinkPath)
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
