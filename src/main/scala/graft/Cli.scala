@@ -70,6 +70,7 @@ object Cli {
       case f if f == "--sse" => Some(0) // ephemeral; port printed on ready
       case f if f.startsWith("--sse=") =>
         scala.util.Try(f.stripPrefix("--sse=").toInt).toOption
+          .filter(p => p >= 0 && p <= 65535) // out-of-range → usage, not an ISA throw
     }
     def usage(got: Option[String]): Int = {
       out.println(s"usage: graft.Cli (init|sync|stats|usage|serve) [project_root] " +

@@ -37,16 +37,14 @@ object EmbedBandKnee {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def swept(body: => Long): (Long, Double) = {
-      val baseline = spark.sparkContext.getPersistentRDDs.keySet
-      val t0 = System.nanoTime()
-      val n = body
-      val sec = (System.nanoTime() - t0) / 1e9
-      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!baseline.contains(id)) rdd.unpersist(blocking = true)
+    // Per-measurement orphan sweep (blocking, outside the timed window)
+    // — the packaged Bench discipline.
+    def swept(body: => Long): (Long, Double) =
+      graft.util.CheckpointHygiene.scoped(spark, blocking = true) {
+        val t0 = System.nanoTime()
+        val n = body
+        (n, (System.nanoTime() - t0) / 1e9)
       }
-      (n, sec)
-    }
 
     val cap = Dedup.MaxBandSize // the production view: hot keys capped as the gate runs
     val dirJsons = args.map { d =>

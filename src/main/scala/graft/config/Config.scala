@@ -95,14 +95,17 @@ final case class GeneratorConfig(
   * reference's surface: the oracle-gated queries pin spec-stable
   * defaults (10-bit shards, 8 pack shards, 8-bit embedding sign
   * bands), and a production deployment sizes these up WITHOUT code
-  * edits (r9 VERDICT #8). Consumers: `shardBits` →
-  * [[graft.queries.TrainPrep.globalShuffle]]/`trainPrep` (16 at 100 TB
-  * — ~1.5 GB per shard-sort; 16-bit ≡ 10-bit is spec-pinned);
-  * `seqPackShards` → [[graft.queries.TrainPrep.seqPack]];
-  * `embedBandBits` → [[graft.queries.Dedup.embedLshPairs]] (16+ on
-  * dense 100k+ corpora — candidates shrink ~2^Δ per group, knee and
-  * recall trade measured in `BENCH_embed_bands.json`; cross-width
-  * pair-set NESTING is spec-pinned). */
+  * edits (r9 VERDICT #8) by calling the config-wired entry points in
+  * [[graft.queries.ScaleOps]] (ScaleOpsSpec pins each knob actually
+  * reaching its operator). The widths: `shardBits` →
+  * `TrainPrep.globalShuffle`/`trainPrep` (16 at 100 TB — ~1.5 GB per
+  * shard-sort; 16-bit ≡ 10-bit is spec-pinned); `seqPackShards` →
+  * `TrainPrep.seqPack`; `embedBandBits` → `Dedup.embedLshPairs` /
+  * `embedLshPairsMulti` (16+ on dense 100k+ corpora — candidates
+  * shrink ~2^Δ per group, knee and recall trade measured in
+  * `BENCH_embed_bands.json`; uncapped cross-width pair-set NESTING
+  * is spec-pinned, and the hot-band cap inverts it exactly where the
+  * narrow width saturates). */
 final case class ScaleConfig(
     shardBits: Int = 10,
     seqPackShards: Int = 8,

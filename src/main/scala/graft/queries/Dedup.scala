@@ -504,11 +504,17 @@ object Dedup {
     * groups of consecutive dims, each band key the packed sign bits of
     * its group. Wider bands = fewer, more selective keys — candidates
     * shrink ~2^Δ per group. Recall trade: a 2w-bit band is the
-    * conjunction of its two w-bit halves, so pair sets strictly NEST
-    * as width grows (BandCapSpec pins 8 ⊇ 16 ⊇ 32) — near-identical
-    * vectors survive widening (signs nearly all agree), pairs near
-    * the loose 0.45-cosine floor (~35% sign flips) thin out; the
-    * knee artifact measures both sides of the trade per width. */
+    * conjunction of its two w-bit halves, so UNCAPPED pair sets
+    * strictly NEST as width grows — near-identical vectors survive
+    * widening (signs nearly all agree), pairs near the loose
+    * 0.45-cosine floor (~35% sign flips) thin out. The hot-band cap
+    * breaks nesting exactly where the narrow width saturates: a band
+    * hot at w bits (dropped) can refine into under-cap 2w-bit bands,
+    * so the capped WIDE run finds pairs the capped narrow run lost —
+    * measured at 128k vectors, where capped 8-bit finds ZERO and
+    * capped 16-bit finds 2,308. BandCapSpec pins 8 ⊇ 16 ⊇ 32 at the
+    * gate scales (cap headroom there, so capped ≡ uncapped); the
+    * knee artifact measures both regimes per width. */
   def embedLshPairs(s: SparkSession, d: String, cap: Int,
       bandBits: Int = EmbedBandBits): DataFrame = {
     val e = normalizedVecs(s, d)

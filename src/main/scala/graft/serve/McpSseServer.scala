@@ -29,15 +29,19 @@ import graft.api.Engine
   *
   * Transport hygiene (per the MCP HTTP-transport security guidance):
   *
-  *   - Requests carrying an `Origin` header that is not a localhost
-  *     origin are rejected 403 on both endpoints — loopback binding
-  *     alone does not stop DNS-rebinding (a hostile page resolving its
-  *     own hostname to 127.0.0.1 could otherwise drive the engine from
-  *     a browser and read answers over the same-origin SSE stream).
-  *   - Dead sessions are evicted: a failed SSE write closes the stream
-  *     and removes it from the session map, and a POST targeting a
-  *     closed session answers 410 Gone instead of silently dropping
-  *     the response. [[stop]] closes every live stream.
+  *   - Requests whose `Origin` OR `Host` header is present and not a
+  *     localhost value are rejected 403 on both endpoints — loopback
+  *     binding alone does not stop DNS-rebinding (a hostile page
+  *     resolving its own hostname to 127.0.0.1 could otherwise drive
+  *     the engine from a browser and read answers over the same-origin
+  *     SSE stream; its same-origin GET carries no Origin header, which
+  *     is why Host is checked too).
+  *   - Dead sessions are evicted two ways: a failed SSE write closes
+  *     the stream, and a POST targeting a closed session answers 410
+  *     Gone and removes it; a keepalive sweeper pings every session
+  *     with an SSE comment frame (default every 15 s) so clients that
+  *     disconnect and never POST again (EventSource reconnects) are
+  *     reaped too. [[stop]] closes every live stream and the sweeper.
   *   - The `/messages` dispatch always answers the POST exchange, even
   *     if the engine throws (500), so clients never hang on a held
   *     exchange.
@@ -58,10 +62,17 @@ object McpSseServer {
     private val out: OutputStream = exchange.getResponseBody
     @volatile private var open = true
     def alive: Boolean = open
-    def send(event: String, data: String): Boolean = synchronized {
+    def send(event: String, data: String): Boolean =
+      write(s"event: $event\ndata: $data\n\n")
+    /** SSE comment frame — ignored by clients, fails on a dead socket:
+      * the keepalive probe that evicts silently-disconnected sessions
+      * (lazy POST-driven eviction alone leaks one entry per client
+      * that reconnects and never POSTs to its old session id). */
+    def ping(): Boolean = write(": ping\n\n")
+    private def write(frame: String): Boolean = synchronized {
       if (open) {
         try {
-          out.write(s"event: $event\ndata: $data\n\n".getBytes(UTF_8))
+          out.write(frame.getBytes(UTF_8))
           out.flush()
         } catch { case _: java.io.IOException => close() }
       }
@@ -75,10 +86,13 @@ object McpSseServer {
 
   private val seq = new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** Live session maps, one per running server, so [[stop]] can close
-    * every held stream (the map itself is per-[[start]] state). */
-  private val serverSessions =
-    new ConcurrentHashMap[HttpServer, ConcurrentHashMap[String, SseStream]]()
+  /** Per-[[start]] server state, so [[stop]] can close every held
+    * stream and halt the keepalive sweeper. */
+  private final class ServerState(
+      val sessions: ConcurrentHashMap[String, SseStream],
+      val keepAlive: java.util.concurrent.ScheduledExecutorService)
+
+  private val serverState = new ConcurrentHashMap[HttpServer, ServerState]()
 
   /** Loopback origins a browser could legitimately present. Absent
     * Origin (curl, SDK clients) is allowed; anything else is a
@@ -91,26 +105,48 @@ object McpSseServer {
       bare == "localhost" || bare == "127.0.0.1" || bare == "[::1]"
     }
 
-  private def rejectOrigin(ex: HttpExchange): Boolean = {
+  /** Host-header twin of [[originAllowed]] — a DNS-rebound page's
+    * SAME-ORIGIN GET carries NO Origin header but does carry the
+    * hostile hostname in Host, so the rebinding guard needs both
+    * checks (per MCP HTTP-transport security guidance). Absent Host
+    * (HTTP/1.0 tools) is allowed. */
+  private[graft] def hostAllowed(host: Option[String]): Boolean =
+    host.forall { h =>
+      val l = h.toLowerCase
+      val bare = if (l.startsWith("[::1]")) "[::1]" else l.takeWhile(_ != ':')
+      bare == "localhost" || bare == "127.0.0.1" || bare == "[::1]"
+    }
+
+  private def rejectNonLocal(ex: HttpExchange): Boolean = {
     val origin = Option(ex.getRequestHeaders.getFirst("Origin"))
-    val ok = originAllowed(origin)
+    val host = Option(ex.getRequestHeaders.getFirst("Host"))
+    val ok = originAllowed(origin) && hostAllowed(host)
     if (!ok) respond(ex, 403, "forbidden origin")
     !ok
   }
 
   /** Start serving `engine` on loopback `port` (0 = ephemeral; read
     * the bound port off the returned server). Caller stops via
-    * [[stop]]. */
-  def start(engine: Engine, port: Int): HttpServer = {
+    * [[stop]]. `keepAliveMillis` paces the SSE comment-frame heartbeat
+    * that evicts silently-disconnected sessions. */
+  def start(engine: Engine, port: Int,
+      keepAliveMillis: Long = 15000L): HttpServer = {
     val sessions = new ConcurrentHashMap[String, SseStream]()
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-    serverSessions.put(server, sessions)
+    val keepAlive = Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-mcp-sse-keepalive"); t.setDaemon(true); t
+    })
+    keepAlive.scheduleWithFixedDelay(() => {
+      val it = sessions.entrySet().iterator()
+      while (it.hasNext) { if (!it.next().getValue.ping()) it.remove() }
+    }, keepAliveMillis, keepAliveMillis, java.util.concurrent.TimeUnit.MILLISECONDS)
+    serverState.put(server, new ServerState(sessions, keepAlive))
     server.setExecutor(Executors.newCachedThreadPool(r => {
       val t = new Thread(r, "graft-mcp-sse"); t.setDaemon(true); t
     }))
 
     server.createContext("/sse", (ex: HttpExchange) => {
-      if (rejectOrigin(ex)) ()
+      if (rejectNonLocal(ex)) ()
       else if (ex.getRequestMethod != "GET") { respond(ex, 405, "GET only") }
       else {
         val sid = seq.incrementAndGet().toString +
@@ -130,7 +166,7 @@ object McpSseServer {
     })
 
     server.createContext("/messages", (ex: HttpExchange) => {
-      if (rejectOrigin(ex)) ()
+      if (rejectNonLocal(ex)) ()
       else if (ex.getRequestMethod != "POST") { respond(ex, 405, "POST only") }
       else {
         val sid = Option(ex.getRequestURI.getQuery).getOrElse("")
@@ -165,12 +201,13 @@ object McpSseServer {
     server
   }
 
-  /** Stop `server`, close every live SSE stream, and release its pool
-    * (idempotent). */
+  /** Stop `server`, close every live SSE stream, halt the keepalive
+    * sweeper, and release the pool (idempotent). */
   def stop(server: HttpServer): Unit = {
-    Option(serverSessions.remove(server)).foreach { sessions =>
-      sessions.values.forEach(_.close())
-      sessions.clear()
+    Option(serverState.remove(server)).foreach { st =>
+      st.keepAlive.shutdownNow()
+      st.sessions.values.forEach(_.close())
+      st.sessions.clear()
     }
     server.stop(0)
     server.getExecutor match {
@@ -181,7 +218,7 @@ object McpSseServer {
 
   /** Live-session count for `server` (spec hook for eviction checks). */
   private[graft] def sessionCount(server: HttpServer): Int =
-    Option(serverSessions.get(server)).map(_.size).getOrElse(0)
+    Option(serverState.get(server)).map(_.sessions.size).getOrElse(0)
 
   private def respond(ex: HttpExchange, code: Int, msg: String): Unit = {
     val bytes = msg.getBytes(UTF_8)

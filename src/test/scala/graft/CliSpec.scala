@@ -90,6 +90,9 @@ class CliSpec extends SparkSuite {
     val (daysCode, daysOut) = capture("usage", "--days=soon")
     assert(daysCode == 2, daysOut)
     assert(daysOut.contains("usage:"), daysOut)
+    // out-of-range ports are the same failure class as non-numeric ones
+    val (rangeCode, rangeOut) = capture("serve", "--sse=70000")
+    assert(rangeCode == 2 && rangeOut.contains("usage:"), rangeOut)
   }
 
   test("init without a manifest exits 1; stats without an index exits 1") {

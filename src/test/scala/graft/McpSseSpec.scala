@@ -38,15 +38,21 @@ class McpSseSpec extends SparkSuite {
     } finally McpSseServer.stop(server)
   }
 
-  /** Read one `event:`/`data:` SSE frame (blank-line terminated). */
+  /** Read one `event:`/`data:` SSE frame (blank-line terminated),
+    * skipping keepalive comment frames (`: ping`). */
   private def readFrame(r: BufferedReader): (String, String) = {
     var event = ""; var data = ""
-    var line = r.readLine()
-    while (line != null && line.nonEmpty) {
-      if (line.startsWith("event: ")) event = line.stripPrefix("event: ")
-      if (line.startsWith("data: ")) data = line.stripPrefix("data: ")
-      line = r.readLine()
-    }
+    var sawEof = false
+    do {
+      event = ""; data = ""
+      var line = r.readLine()
+      sawEof = line == null
+      while (line != null && line.nonEmpty) {
+        if (line.startsWith("event: ")) event = line.stripPrefix("event: ")
+        if (line.startsWith("data: ")) data = line.stripPrefix("data: ")
+        line = r.readLine()
+      }
+    } while (!sawEof && event.isEmpty && data.isEmpty)
     (event, data)
   }
 
@@ -139,6 +145,23 @@ class McpSseSpec extends SparkSuite {
       // a hostile page that rebound its hostname to 127.0.0.1
       assert(withOrigin("/sse", "GET", "http://evil.example") == 403)
       assert(withOrigin(endpoint, "POST", "https://evil.example:8080") == 403)
+      // the rebound page's SAME-ORIGIN GET carries no Origin header —
+      // only the hostile Host value betrays it
+      def withHost(host: String): Int = {
+        val sock = new java.net.Socket("127.0.0.1", port)
+        try {
+          sock.getOutputStream.write(
+            s"GET /sse HTTP/1.1\r\nHost: $host\r\nConnection: close\r\n\r\n".getBytes(UTF_8))
+          sock.getOutputStream.flush()
+          new BufferedReader(new InputStreamReader(sock.getInputStream, UTF_8))
+            .readLine().split(" ")(1).toInt
+        } finally sock.close()
+      }
+      assert(withHost("evil.example") == 403)
+      assert(withHost("evil.example:80") == 403)
+      import graft.serve.McpSseServer.hostAllowed
+      assert(hostAllowed(None) && hostAllowed(Some("localhost:8000")) &&
+        hostAllowed(Some("127.0.0.1")) && !hostAllowed(Some("localhost.evil.example")))
       // a legitimate local browser client keeps working
       assert(withOrigin(endpoint, "POST", "http://localhost:3000") == 202)
       assert(withOrigin(endpoint, "POST", "http://127.0.0.1") == 202)
@@ -193,6 +216,37 @@ class McpSseSpec extends SparkSuite {
       val after = post(port, endpoint, req)
       assert(after == 410 || after == 404, s"expected 410/404 after eviction, got $after")
       assert(McpSseServer.sessionCount(server) == 0, "dead session must leave the map")
+    } finally McpSseServer.stop(server)
+  }
+
+  test("keepalive sweeper evicts a disconnected client that never POSTs") {
+    // The EventSource-reconnect leak: a client opens /sse, drops, and
+    // only ever talks to its NEW session — nothing POSTs to the old id,
+    // so only the heartbeat can discover the dead socket.
+    val root = Files.createTempDirectory("graft_sse_keepalive")
+    Files.createDirectories(root.resolve("target"))
+    for (f <- Seq("manifest.json", "catalog.json", "run_results.json"))
+      Files.copy(java.nio.file.Paths.get(fixturePath(f)), root.resolve(s"target/$f"))
+    val engine = graft.api.Engine.fromManifest(spark,
+      root.resolve("target/manifest.json").toString, None,
+      graft.config.Config.load(root))
+    val server = McpSseServer.start(engine, 0, keepAliveMillis = 100L)
+    val port = server.getAddress.getPort
+    try {
+      val sock = new java.net.Socket("127.0.0.1", port)
+      sock.getOutputStream.write(
+        s"GET /sse HTTP/1.1\r\nHost: 127.0.0.1:$port\r\n\r\n".getBytes(UTF_8))
+      sock.getOutputStream.flush()
+      val in = new BufferedReader(new InputStreamReader(sock.getInputStream, UTF_8))
+      var line = in.readLine()
+      while (line != null && !line.startsWith("data: ")) line = in.readLine()
+      assert(McpSseServer.sessionCount(server) == 1)
+      sock.close() // client gone; NO POST ever targets this session
+      val deadline = System.currentTimeMillis() + 10000
+      while (McpSseServer.sessionCount(server) > 0 &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(McpSseServer.sessionCount(server) == 0,
+        "the heartbeat must reap a silently-disconnected session")
     } finally McpSseServer.stop(server)
   }
 

@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.config.Config
+import graft.queries.{Dedup, ScaleOps, TrainPrep}
+
+/** The `[scale]` knobs must actually REACH the operators: a loaded
+  * `graft.toml` width changes what [[graft.queries.ScaleOps]] computes
+  * (the r10 review caught the knobs parsed-but-unread). */
+class ScaleOpsSpec extends SparkSuite {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private lazy val cfg16 = {
+    val root = Files.createTempDirectory("graft_scale_cfg")
+    Files.writeString(root.resolve(Config.ConfigFilename),
+      """[scale]
+        |embed_band_bits = 16
+        |shard_bits = 12
+        |seq_pack_shards = 4
+        |""".stripMargin)
+    Config.load(root)
+  }
+
+  private def pairs(df: org.apache.spark.sql.DataFrame) =
+    df.select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("embed_band_bits reaches the sign-band pipeline") {
+    val viaCfg = pairs(ScaleOps.embedLshPairs(spark, d, cfg16))
+    assert(viaCfg == pairs(Dedup.embedLshPairs(spark, d, Dedup.MaxBandSize, 16)),
+      "cfg-wired call ≡ the directly parameterized 16-bit call")
+    // 16-bit and 8-bit genuinely differ on this corpus (the knee data:
+    // the 3 sf0.001 pairs sit near the cosine floor), so a knob that
+    // silently stayed at the default would be caught here.
+    assert(viaCfg != pairs(Dedup.embedLshPairs(spark, d, Dedup.MaxBandSize, 8)),
+      "the configured width must actually change the computation")
+    assert(pairs(ScaleOps.embedLshPairsMulti(spark, d, cfg16)) ==
+      pairs(Dedup.embedLshPairsMulti(spark, d, Dedup.MaxBandSize, 16, 4)))
+  }
+
+  test("shard_bits and seq_pack_shards reach the training-prep operators") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+    assert(rows(ScaleOps.globalShuffle(spark, d, cfg16)) ==
+      rows(TrainPrep.globalShuffle(spark, d, shardBits = 12)))
+    assert(rows(ScaleOps.trainPrep(spark, d, cfg16)) ==
+      rows(TrainPrep.trainPrep(spark, d, shardBits = 12)))
+    assert(rows(ScaleOps.seqPack(spark, d, cfg16)) ==
+      rows(TrainPrep.seqPack(spark, d, shards = 4)))
+  }
+}
