@@ -78,6 +78,44 @@ object EvolveProbe {
         s""""in_gate_build_sec_per_round":${f(builds.map(_.seconds).sum / math.max(1, rounds))}}"""
     }.mkString("[", ",", "]")
 
+    // 1b. Stage budget for ONE evolve batch (delta/3-sized, the gate's
+    // K=3 shape) — itemizes the per-batch floor the K-curve exposes:
+    // the two index probes, the composed ledger (probes + quality +
+    // verdict join, eagerly checkpointed as the gate does), and the
+    // two appends, each fully materialized in isolation on fresh
+    // branches. Probes run twice across lines (alone, then inside the
+    // ledger) — this is a diagnostic decomposition, not a sum.
+    val budgetJson = {
+      val mhB = Dedup.incrIndex(spark, sfDir).branch()
+      val dgB = Dedup.digestIndex(spark, sfDir).branch()
+      try {
+        graft.util.CheckpointHygiene.scoped(spark, blocking = true) {
+          val batch = deltaAll
+            .filter(pmod(col("doc_id"), lit(30)) === 0)
+            .localCheckpoint()
+          val nDocs = batch.count()
+          val (_, dgSec) = timeOnce { mat(dgB.probe(batch)) }
+          val (_, mhSec) = timeOnce { mat(mhB.probeRows(batch)) }
+          val (ledger, ledgerSec) = timeOnce {
+            CorpusClean.incrLedger(spark, batch, dgB, mhB).localCheckpoint()
+          }
+          val accepted = batch
+            .join(ledger.filter(col("keep")).select(col("doc_id")), "doc_id")
+            .select(col("doc_id"), col("text")).localCheckpoint()
+          val nKept = accepted.count()
+          val (_, mhAppSec) = timeOnce { mhB.append(accepted) }
+          val (_, dgAppSec) = timeOnce { dgB.append(accepted) }
+          System.err.println(s"[evolve-probe] budget docs=$nDocs kept=$nKept " +
+            s"dg_probe=${f(dgSec)} mh_probe=${f(mhSec)} ledger=${f(ledgerSec)} " +
+            s"mh_append=${f(mhAppSec)} dg_append=${f(dgAppSec)}")
+          s"""{"batch_docs":$nDocs,"accepted_docs":$nKept,""" +
+            s""""digest_probe_sec":${f(dgSec)},"minhash_probe_sec":${f(mhSec)},""" +
+            s""""ledger_sec":${f(ledgerSec)},""" +
+            s""""minhash_append_sec":${f(mhAppSec)},"digest_append_sec":${f(dgAppSec)}}"""
+        }
+      } finally { mhB.drop(); dgB.drop() }
+    }
+
     // 2. Write half: snapshot cost, per-batch append cost across
     // NumAppendBatches sequential batches, then compaction.
     val nBatches = 8
@@ -114,7 +152,8 @@ object EvolveProbe {
 
     println(s"""{"metric":"incr_evolve_scaling","sf":"$sfDir","delta_docs":$deltaDocs,""" +
       s""""shared_index_build_sec":${f(buildSec)},"rounds":$rounds,""" +
-      s""""k_curve":$kRows,"write_path":$appendRows,""" +
+      s""""k_curve":$kRows,"batch_stage_budget":$budgetJson,""" +
+      s""""write_path":$appendRows,""" +
       s""""protocol":"p50 of $rounds fully-materialized rounds per K, per-round orphan unpersist, local[$cpus]; evolve = CorpusClean.incrEvolve (zero-copy branches of the shared indexes, appends between batches); write path = 1 snapshot + $nBatches sequential appends + compact on caller-owned clones"}""")
     spark.stop()
   }
