@@ -44,6 +44,8 @@ object SparkEntry {
       graft.queries.Dedup.incrIndex(spark, sfDir)
     if (names("pipe_incr_clean") || names("pipe_incr_evolve"))
       graft.queries.Dedup.digestIndex(spark, sfDir)
+    if (names("d_embed_incr_indexed") || names("pipe_incr_clean_embed"))
+      graft.queries.Dedup.embedIndex(spark, sfDir)
     ()
   }
 

@@ -203,7 +203,7 @@ object Dedup {
       e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           expr("graft_dot(a.v, b.v)").as("cosine"))
-        .filter(col("cosine") >= 0.45)
+        .filter(col("cosine") >= EmbedCosineThreshold)
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
@@ -286,6 +286,23 @@ object Dedup {
         .select(col("doc_id"), col("text")), MaxBandSize)
     }),
 
+    // Incremental EMBEDDING near-dup against the persisted sign-band
+    // index ([[EmbedIndex]], r10 VERDICT #1): the embedding twin of
+    // d_incr_indexed — the corpus side (multiprobe band table +
+    // normalized vectors, both bucketed) is built once per session and
+    // probed per delta batch, so incremental embedding dedup pays
+    // delta-sized work only where embedLshPairsMulti re-pays the
+    // corpus every call. Same 10%-delta convention; best corpus match
+    // (max cosine ≥ 0.45, ties to smallest vec_id) + is_new per delta
+    // vector. Both engines compute the identical rotated bands, so the
+    // gate is exact despite LSH's partial recall.
+    "d_embed_incr_indexed" -> ((s, d) => {
+      val idx = embedIndex(s, d)
+      idx.probe(Tables.embeddings(s, d)
+        .filter(pmod(col("vec_id"), lit(10)) === 0)
+        .select(col("vec_id"), col("embedding")), MaxBandSize)
+    }),
+
 
     // Semantic near-dup clusters: the same connected-components kernel
     // over the embedding LSH pair graph (cosine ≥ 0.45 verified) —
@@ -324,12 +341,26 @@ object Dedup {
       .filter(pmod(col("doc_id"), lit(10)) =!= 0)
       .select(col("doc_id"), col("text")))
 
-  /** Size+mtime fingerprint of documents.parquet, so a testdata
+  /** The standing-corpus EMBEDDING sign-band index (build-or-reuse) —
+    * the `d_embed_incr_indexed` corpus: the 90% vector cohort at the
+    * gate geometry (8-bit bands × 4 rotations), fingerprint-keyed on
+    * embeddings.parquet. Public so the bench's untimed setup can force
+    * the build. */
+  def embedIndex(s: SparkSession, d: String): EmbedIndex.Index =
+    EmbedIndex.of(s,
+      s"incr|$d|${corpusFingerprint(d, "embeddings.parquet")}",
+      Tables.embeddings(s, d)
+        .filter(pmod(col("vec_id"), lit(10)) =!= 0)
+        .select(col("vec_id"), col("embedding")),
+      EmbedBandBits, rotations = 4)
+
+  /** Size+mtime fingerprint of a testdata parquet, so a testdata
     * re-strike at the same path within a live session rebuilds instead
     * of silently probing a stale persisted index (r7 ADVICE). */
-  private def corpusFingerprint(d: String): String = {
+  private def corpusFingerprint(d: String,
+      file: String = "documents.parquet"): String = {
     import java.nio.file.{Files, Paths}
-    val p = Paths.get(d, "documents.parquet")
+    val p = Paths.get(d, file)
     if (!Files.exists(p)) "absent"
     else {
       val size = if (Files.isDirectory(p)) Files.list(p).count() else Files.size(p)
@@ -496,6 +527,12 @@ object Dedup {
     * ([[graft.config.ScaleConfig]]). */
   val EmbedBandBits = 8
 
+  /** Cosine floor for every embedding near-dup surface (all-pairs
+    * verifier, banded/multiprobe pair discovery, the persisted
+    * [[EmbedIndex]] probe) — one constant so the family can never
+    * drift apart from itself or the DuckDB oracles' 0.45 literal. */
+  private[graft] val EmbedCosineThreshold = 0.45
+
   /** Banded embedding pair discovery (see the map entry's doc); `cap`
     * exposed so BandCapSpec can pin capped == uncapped headroom at
     * test scale — the oracle has no cap, so the gate is honest only
@@ -552,7 +589,7 @@ object Dedup {
       .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
       .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
       .select(col("vec_a"), col("vec_b"), expr("graft_dot(va, vb)").as("cosine"))
-      .filter(col("cosine") >= 0.45)
+      .filter(col("cosine") >= EmbedCosineThreshold)
 
   /** Candidate-pair count for one embedding band setting — the
     * measurement body behind [[graft.EmbedBandKnee]] (the
@@ -961,6 +998,38 @@ object Dedup {
     "d_incr_neardup" -> incrNearDupSql,
     // The indexed variant has IDENTICAL semantics - one oracle.
     "d_incr_indexed" -> incrNearDupSql,
+    // Embedding twin: replay the 4-rotation multiprobe bands over ALL
+    // vectors, keep mixed-parity collisions oriented delta→corpus,
+    // verify exact cosine, best match per delta vector (cosine desc,
+    // ties to smallest corpus vec_id) — the incrNearDupSql shape on
+    // the embedding family. Candidates come from band collisions on
+    // BOTH engines, so LSH's partial recall cancels out exactly.
+    "d_embed_incr_indexed" ->
+      s"""WITH $embNormCte,
+         |u AS (${(for {
+             r <- 0 until 4
+             g <- 0 until 8
+           } yield {
+             val (a, b) = EmbedRotations(r)
+             val bits = (0 until 8)
+               .map(bb => s"(CASE WHEN v[${(a * (g * 8 + bb) + b) % 64 + 1}] > 0 THEN ${1 << bb} ELSE 0 END)")
+               .mkString(" + ")
+             s"SELECT vec_id, $r AS rot, $g AS band, $bits AS key FROM e"
+           }).mkString("\n      UNION ALL\n      ")}),
+         |c AS (SELECT DISTINCT x.vec_id AS vec_id, y.vec_id AS dup_of
+         |      FROM u x JOIN u y
+         |        ON x.rot = y.rot AND x.band = y.band AND x.key = y.key
+         |       AND x.vec_id % 10 = 0 AND y.vec_id % 10 <> 0),
+         |p AS (SELECT c.vec_id, c.dup_of, ${embDotSql("a.v", "b.v")} AS cosine
+         |      FROM c JOIN e a ON c.vec_id = a.vec_id JOIN e b ON c.dup_of = b.vec_id),
+         |best AS (SELECT vec_id, dup_of, cosine,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                              ORDER BY cosine DESC, dup_of) AS rn
+         |         FROM p WHERE cosine >= $EmbedCosineThreshold)
+         |SELECT d.vec_id, b.dup_of, b.cosine, b.dup_of IS NULL AS is_new
+         |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 10 = 0) d
+         |LEFT JOIN best b ON d.vec_id = b.vec_id AND b.rn = 1
+         |ORDER BY d.vec_id""".stripMargin,
     // Transitive closure over the ground-truth pair set: reach(v, r)
     // floods every component member's id through the symmetric edge
     // list (UNION = distinct → terminates); MIN(r) per node is the

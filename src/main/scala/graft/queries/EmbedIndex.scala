@@ -1,0 +1,379 @@
+package graft.queries
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+import graft.util.Scratch
+
+/** Persisted embedding sign-band index — the FIFTH persisted index,
+  * closing the one asymmetry the round-10 audit left: the embedding
+  * family had no ∝-delta probe path ([[Dedup.embedLshPairs]] and
+  * [[Dedup.embedLshPairsMulti]] recompute bands from the vector table
+  * on every call, so incremental embedding dedup re-paid the corpus).
+  * This is [[MinhashIndex]] mirrored onto sign-LSH: the corpus side of
+  * incremental embedding near-dup is BUILT ONCE and probed by every
+  * ingest batch, so probe cost scales with the delta, never the
+  * corpus.
+  *
+  * Two bucketed tables per corpus, both derived in one pass over the
+  * normalized vectors (zero shuffle except the bucket-write
+  * repartitions):
+  *
+  *   - `<name>`     : (vec_id, pk) — `rotations × 64/bandBits` packed
+  *                    sign-band keys per vector (pk injectively packs
+  *                    (rotation, band, key) into one long), bucketed
+  *                    by pk so the probe's collision join reads
+  *                    matching buckets without shuffling the corpus
+  *                    band table;
+  *   - `<name>_vec` : (vec_id, v) — the L2-normalized vector, bucketed
+  *                    by vec_id, so the verifier's corpus-side vector
+  *                    attach join skips its exchange.
+  *
+  * Band structure is IDENTICAL to [[Dedup.embedLshPairsMulti]] (same
+  * [[Dedup.EmbedRotations]] affine re-tilings, same sign-bit packing),
+  * so probe(delta) finds exactly the delta×corpus pairs the
+  * self-contained multiprobe run finds — EmbedIndexSpec pins the
+  * equivalence, and the `d_embed_incr_indexed` gate replays the bands
+  * in DuckDB. Probe plan (per delta batch): delta bands + normalized
+  * vectors computed scan-locally; the delta's distinct packed keys
+  * BROADCAST against the corpus band table (count-gated, shuffle_hash
+  * fallback — the corpus never reshuffles); hot-band cap on the
+  * COMBINED per-key count; exact `graft_dot` cosine verify; best match
+  * + is_new per delta vector.
+  */
+object EmbedIndex {
+
+  /** Bucket count for both tables — bounds probe parallelism, not
+    * correctness (the [[MinhashIndex.NumBuckets]] sizing note). */
+  val NumBuckets = 32
+
+  /** Delta key sets above this stop broadcasting into the corpus-band
+    * collision join and fall back to a shuffle_hash equi-join (keys
+    * move to the corpus's buckets; the corpus still never re-shuffles)
+    * — the [[MinhashIndex.ProbeBroadcastMaxKeys]] envelope. */
+  val ProbeBroadcastMaxKeys: Long = 4L * 1000 * 1000
+
+  final class Index private[EmbedIndex] (spark: SparkSession,
+      baseName: String, private[EmbedIndex] val generation: Int, cacheKey: String,
+      val bandBits: Int, val rotations: Int,
+      parent: Option[Index] = None) {
+
+    def tableName: String =
+      if (generation == 0) baseName else s"${baseName}_g$generation"
+    def vecsTable: String = tableName + "_vec"
+
+    /** Stale-handle fail-fast after [[compact]] (the
+      * [[MinhashIndex]] discipline); a branch also checks its base. */
+    private def assertCurrent(): Unit = {
+      val c = EmbedIndex.cache.get(cacheKey)
+      if (c != null && (c ne this) && c.generation != generation)
+        throw new IllegalStateException(
+          s"stale EmbedIndex handle: generation $generation was compacted away " +
+            s"(current generation ${c.generation}) — use the instance returned by " +
+            "compact(), or re-resolve via EmbedIndex.of()")
+      parent.foreach(_.assertCurrent())
+    }
+
+    /** A branch's own delta tables materialize lazily on first append
+      * (mode("append") creates them); until then the views below are
+      * the parent's alone. */
+    private def ownExists(t: String): Boolean = spark.catalog.tableExists(t)
+    private def withParent(own: String, view: Index => DataFrame): DataFrame =
+      (parent.map(view) ++
+        (if (parent.isEmpty || ownExists(own)) Seq(spark.table(own)) else Nil))
+        .reduce(_ union _)
+
+    /** (vec_id, pk), bucketed by pk; for a [[branch]], the base's
+      * table UNIONed with the branch's delta rows. */
+    def bands: DataFrame = withParent(tableName, _.bands)
+    /** (vec_id, v L2-normalized array<double>), bucketed by vec_id;
+      * branch as with [[bands]]. */
+    def vectors: DataFrame = withParent(vecsTable, _.vectors)
+
+    /** Flag each delta vector (vec_id, embedding) that is a near-dup
+      * (cosine ≥ [[Dedup.EmbedCosineThreshold]] on a shared sign band)
+      * of an INDEXED vector: best match (max cosine, ties to smallest
+      * corpus vec_id) + `is_new` verdict per delta vector — the
+      * [[MinhashIndex.Index.probe]] contract for the embedding family. */
+    def probe(delta: DataFrame, cap: Int = Dedup.MaxBandSize,
+        broadcastMaxKeys: Long = EmbedIndex.ProbeBroadcastMaxKeys): DataFrame =
+      probeRows(delta, cap, broadcastMaxKeys).orderBy(col("vec_id"))
+
+    /** [[probe]] without the final global vec_id sort — for COMPOSING
+      * callers (the incremental ledger's embed stage) where the
+      * verdicts feed a join and the orderBy's range exchange is pure
+      * waste. */
+    private[graft] def probeRows(delta: DataFrame, cap: Int = Dedup.MaxBandSize,
+        broadcastMaxKeys: Long = EmbedIndex.ProbeBroadcastMaxKeys): DataFrame = {
+      assertCurrent()
+      graft.functions.DotProduct.register(spark)
+      val normed = EmbedIndex.normalized(delta).localCheckpoint(false)
+      val deltaBands = normed
+        .select(col("vec_id"),
+          explode(array(EmbedIndex.packedKeyCols(bandBits, rotations): _*)).as("pk"))
+        .localCheckpoint(false)
+
+      // Corpus rows of colliding keys only — count-gated broadcast of
+      // the delta's key set (the corpus band table scans in place,
+      // bucketed, no exchange); bulk re-probes past the gate equi-join
+      // with the shuffle_hash hint pinned (see MinhashIndex.probeRows).
+      val collidingKeys = deltaBands.select(col("pk")).distinct()
+        .localCheckpoint(false)
+      val smallDelta = collidingKeys.count() <= broadcastMaxKeys
+      def keyProbe(keys: DataFrame): DataFrame =
+        if (smallDelta) broadcast(keys) else keys.hint("shuffle_hash")
+      val corpusHits = bands.join(keyProbe(collidingKeys), "pk")
+        .localCheckpoint(false)
+
+      // Combined hot-band cap: corpus hits + delta rows per key ==
+      // capHotBands' count over the union (keys on one side only
+      // produce no candidates, so uncounted rows don't matter).
+      val corpusN = corpusHits.groupBy("pk").agg(count(lit(1)).as("cn"))
+      val deltaN = deltaBands.groupBy("pk").agg(count(lit(1)).as("dn"))
+      val keptKeys = corpusN
+        .join(if (smallDelta) deltaN else deltaN.hint("shuffle_hash"), "pk")
+        .filter(col("cn") + col("dn") <= cap)
+        .select(col("pk"))
+
+      val candPairs = deltaBands.join(keyProbe(keptKeys), "pk").as("x")
+        .join(corpusHits.as("y"), Seq("pk"))
+        .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("dup_of"))
+        .distinct()
+
+      // Exact cosine verify: delta vectors ride the checkpointed
+      // normalized frame; corpus vectors attach from the bucketed
+      // table (no exchange on that side).
+      val verified = candPairs
+        .join(normed.select(col("vec_id"), col("v").as("va")), "vec_id")
+        .join(vectors.select(col("vec_id").as("dup_of"), col("v").as("vb")), "dup_of")
+        .select(col("vec_id"), col("dup_of"), expr("graft_dot(va, vb)").as("cosine"))
+        .filter(col("cosine") >= Dedup.EmbedCosineThreshold)
+
+      val best = verified
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+            .orderBy(col("cosine").desc, col("dup_of"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("dup_of"), col("cosine"))
+      delta.select(col("vec_id"))
+        .join(best, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("dup_of"), col("cosine"),
+          col("dup_of").isNull.as("is_new"))
+    }
+
+    /** Incrementally index `newVecs` ((vec_id, embedding) rows with
+      * NEW vec_ids — ENFORCED by the both-table disjointness guard).
+      * Bands and vectors derive scan-locally from the delta; nothing
+      * corpus-sized recomputes. The vectors table commits FIRST (the
+      * [[MinhashIndex.Index.append]] commit-order argument: candidates
+      * come from the bands table, which commits last, so a failure
+      * between the two commits can only leave vectors that are not yet
+      * discoverable — never a candidate whose verify-side vector is
+      * missing). */
+    def append(newVecs: DataFrame): Index = {
+      assertCurrent()
+      val deltaIds = newVecs.select(col("vec_id")).localCheckpoint()
+      val clashes = vectors.select(col("vec_id"))
+        .union(bands.select(col("vec_id")))
+        .join(broadcast(deltaIds), "vec_id").limit(1).count()
+      require(clashes == 0,
+        s"append violates the disjointness contract: delta contains vec_ids already in " +
+          s"$tableName or $vecsTable (an id in only one table means a previous append " +
+          "failed between its two commits — rebuild or compact to reconcile)")
+      val normed = EmbedIndex.normalized(newVecs).localCheckpoint()
+      normed.select(col("vec_id"), col("v"))
+        .repartition(EmbedIndex.NumBuckets, col("vec_id"))
+        .write.mode("append")
+        .bucketBy(EmbedIndex.NumBuckets, "vec_id").sortBy("vec_id")
+        .option("path", Scratch.dir(vecsTable))
+        .saveAsTable(vecsTable)
+      normed
+        .select(col("vec_id"),
+          explode(array(EmbedIndex.packedKeyCols(bandBits, rotations): _*)).as("pk"))
+        .repartition(EmbedIndex.NumBuckets, col("pk"))
+        .write.mode("append")
+        .bucketBy(EmbedIndex.NumBuckets, "pk").sortBy("pk")
+        .option("path", Scratch.dir(tableName))
+        .saveAsTable(tableName)
+      this
+    }
+
+    /** Drop both tables and their scratch dirs NOW — the lifecycle end
+      * of a [[EmbedIndex.fresh]] index or a [[branch]] overlay. */
+    def drop(): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $tableName")
+      spark.sql(s"DROP TABLE IF EXISTS $vecsTable")
+      Scratch.delete(tableName)
+      Scratch.delete(vecsTable)
+    }
+
+    /** Caller-owned ZERO-COPY branch ([[MinhashIndex.Index.branch]]
+      * exactly): an empty overlay whose [[bands]]/[[vectors]] views
+      * union the base tables (scanned in place, never copied) with the
+      * branch's own delta tables. Appends land on the overlay only;
+      * [[drop]] deletes the overlay and leaves the base intact — the
+      * generation-pinned route for index-MUTATING pipelines over a
+      * standing corpus. EmbedIndexSpec pins branch-probe ≡ an appended
+      * full index and append isolation. */
+    def branch(): Index = {
+      assertCurrent()
+      graft.util.BuildLog.timed(s"embed-branch:$baseName") {
+        val k = s"branch|$baseName#${EmbedIndex.freshSeq.incrementAndGet()}"
+        new Index(spark, Scratch.tableName(spark, "graft_em", k), 0,
+          Scratch.sessionId(spark) + "|" + k, bandBits, rotations,
+          parent = Some(this))
+      }
+    }
+
+    /** Caller-owned copy-on-write SNAPSHOT: both bucketed tables are
+      * rewritten byte-for-byte into fresh caller-owned names with NO
+      * band recompute (the clone moves index bytes, never re-derives
+      * signatures) — [[MinhashIndex.Index.snapshot]] exactly. */
+    def snapshot(): Index = {
+      assertCurrent()
+      require(parent.isEmpty,
+        "snapshot() on a branch is unsupported: the branch's paths hold only its " +
+          "delta — snapshot the base index, or rebuild via fresh()")
+      graft.util.BuildLog.timed(s"embed-snap:$baseName") {
+        val k = s"snap|$baseName#${EmbedIndex.freshSeq.incrementAndGet()}"
+        val snap = Scratch.tableName(spark, "graft_em", k)
+        val snapVec = snap + "_vec"
+        spark.sql(s"DROP TABLE IF EXISTS $snap")
+        spark.sql(s"DROP TABLE IF EXISTS $snapVec")
+        spark.read.parquet(Scratch.dir(tableName))
+          .repartition(EmbedIndex.NumBuckets, col("pk"))
+          .write.mode("overwrite")
+          .bucketBy(EmbedIndex.NumBuckets, "pk").sortBy("pk")
+          .option("path", Scratch.dir(snap))
+          .saveAsTable(snap)
+        spark.read.parquet(Scratch.dir(vecsTable))
+          .repartition(EmbedIndex.NumBuckets, col("vec_id"))
+          .write.mode("overwrite")
+          .bucketBy(EmbedIndex.NumBuckets, "vec_id").sortBy("vec_id")
+          .option("path", Scratch.dir(snapVec))
+          .saveAsTable(snapVec)
+        new Index(spark, snap, 0, Scratch.sessionId(spark) + "|" + k,
+          bandBits, rotations)
+      }
+    }
+
+    /** Rewrite both tables into a fresh generation with ONE file per
+      * bucket (each append leaves a file per bucket behind). Content
+      * untouched → probe results identical pre/post; path reads, not
+      * table reads — see [[IvfIndex.Index.compact]] for why. */
+    def compact(): Index = {
+      assertCurrent()
+      require(parent.isEmpty,
+        "compact() on a branch is unsupported: the branch's paths hold only its " +
+          "delta — compact the base index")
+      val next = s"${baseName}_g${generation + 1}"
+      val nextVec = next + "_vec"
+      spark.sql(s"DROP TABLE IF EXISTS $next")
+      spark.sql(s"DROP TABLE IF EXISTS $nextVec")
+      spark.read.parquet(Scratch.dir(tableName))
+        .repartition(EmbedIndex.NumBuckets, col("pk"))
+        .write.mode("overwrite")
+        .bucketBy(EmbedIndex.NumBuckets, "pk").sortBy("pk")
+        .option("path", Scratch.dir(next))
+        .saveAsTable(next)
+      spark.read.parquet(Scratch.dir(vecsTable))
+        .repartition(EmbedIndex.NumBuckets, col("vec_id"))
+        .write.mode("overwrite")
+        .bucketBy(EmbedIndex.NumBuckets, "vec_id").sortBy("vec_id")
+        .option("path", Scratch.dir(nextVec))
+        .saveAsTable(nextVec)
+      spark.sql(s"DROP TABLE IF EXISTS $tableName")
+      spark.sql(s"DROP TABLE IF EXISTS $vecsTable")
+      Scratch.delete(tableName)
+      Scratch.delete(vecsTable)
+      val compacted = new Index(spark, baseName, generation + 1, cacheKey,
+        bandBits, rotations)
+      cache.put(cacheKey, compacted)
+      compacted
+    }
+  }
+
+  /** L2 normalization of raw (vec_id, embedding) rows — identical fp
+    * order to [[Dedup]]'s normalization (cast → norm2 → transform
+    * divide), so index vectors and the oracle's `e` CTE agree
+    * bit-for-bit. */
+  private[queries] def normalized(raw: DataFrame): DataFrame =
+    raw.select(col("vec_id"), col("embedding").cast("array<double>").as("v0"))
+      .withColumn("nrm", sqrt(VectorOps.norm2(col("v0"))))
+      .select(col("vec_id"), transform(col("v0"), x => x / col("nrm")).as("v"))
+
+  /** The `rotations × 64/bandBits` PACKED sign-band keys of normalized
+    * vector column `v`: pk = (rotation·groups + band) << bandBits | key,
+    * where key is [[Dedup.embedLshPairsMulti]]'s affine-rotated sign
+    * packing exactly — the packing is injective in (rotation, band,
+    * key), so pk collisions ⟺ multiprobe band collisions. */
+  private[queries] def packedKeyCols(bandBits: Int, rotations: Int): Seq[Column] = {
+    require(bandBits >= 1 && bandBits <= 48 && 64 % bandBits == 0,
+      s"bandBits must divide 64 and leave header room in a long key (got $bandBits)")
+    require(rotations >= 1 && rotations <= Dedup.EmbedRotations.size,
+      s"rotations in [1, ${Dedup.EmbedRotations.size}] (got $rotations)")
+    val groups = 64 / bandBits
+    for { r <- 0 until rotations; g <- 0 until groups } yield {
+      val (a, b) = Dedup.EmbedRotations(r)
+      val key = (0 until bandBits).map { bb =>
+        val src = (a * (g * bandBits + bb) + b) % 64
+        when(element_at(col("v"), src + 1) > 0, lit(1L << bb)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      (lit((r.toLong * groups + g) << bandBits) + key).as(s"pk_${r}_$g")
+    }
+  }
+
+  private val cache = new ConcurrentHashMap[String, Index]()
+
+  /** Build-or-reuse the index for `corpusKey` at the given band
+    * geometry; `corpus` is by-name — on a cache hit it never
+    * evaluates. Distinct geometries index into distinct tables. */
+  def of(spark: SparkSession, corpusKey: String, corpus: => DataFrame,
+      bandBits: Int = Dedup.EmbedBandBits, rotations: Int = 4): Index = {
+    val key = Scratch.sessionId(spark) + s"|$corpusKey|b$bandBits|r$rotations"
+    cache.computeIfAbsent(key, _ => graft.util.BuildLog.timed(s"embed:$corpusKey") {
+      build(spark, s"$corpusKey|b$bandBits|r$rotations", corpus, key,
+        bandBits, rotations)
+    })
+  }
+
+  private val freshSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Build an UNcached, caller-owned index (the [[MinhashIndex.fresh]]
+    * contract: per-invocation mutation must never leak into the shared
+    * of() instances; call [[Index.drop]] when done). */
+  def fresh(spark: SparkSession, corpusKey: String, corpus: DataFrame,
+      bandBits: Int = Dedup.EmbedBandBits, rotations: Int = 4): Index =
+    graft.util.BuildLog.timed(s"embed-fresh:$corpusKey") {
+      val k = s"$corpusKey#${freshSeq.incrementAndGet()}"
+      build(spark, k, corpus, Scratch.sessionId(spark) + "|" + k,
+        bandBits, rotations)
+    }
+
+  private def build(spark: SparkSession, corpusKey: String, corpus: DataFrame,
+      cacheKey: String, bandBits: Int, rotations: Int): Index = {
+    graft.functions.DotProduct.register(spark)
+    val tableName = Scratch.tableName(spark, "graft_em", corpusKey)
+    val vecsTable = tableName + "_vec"
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    spark.sql(s"DROP TABLE IF EXISTS $vecsTable")
+    val normed = normalized(corpus).localCheckpoint()
+    normed
+      .select(col("vec_id"), explode(array(packedKeyCols(bandBits, rotations): _*)).as("pk"))
+      .repartition(NumBuckets, col("pk"))
+      .write.mode("overwrite")
+      .bucketBy(NumBuckets, "pk").sortBy("pk")
+      .option("path", Scratch.dir(tableName))
+      .saveAsTable(tableName)
+    normed.select(col("vec_id"), col("v"))
+      .repartition(NumBuckets, col("vec_id"))
+      .write.mode("overwrite")
+      .bucketBy(NumBuckets, "vec_id").sortBy("vec_id")
+      .option("path", Scratch.dir(vecsTable))
+      .saveAsTable(vecsTable)
+    new Index(spark, tableName, 0, cacheKey, bandBits, rotations)
+  }
+}
