@@ -129,6 +129,27 @@ object CorpusClean {
         .orderBy(col("doc_id"))
     }),
 
+    // The ledger above with the EMBEDDING stage composed in (r10
+    // VERDICT #3): documents whose id has a vector (vec_id ≡ doc_id in
+    // the testdata star) additionally probe the persisted sign-band
+    // index ([[EmbedIndex]]) — verdict `embed_dup` with the best
+    // corpus match's id and cosine — between the text near-dup and
+    // quality stages, so precedence is digest → minhash → embed →
+    // quality → language. Docs without a vector skip the stage (their
+    // emb columns stay null). Every stage remains delta-sized: the
+    // embed probe broadcasts the delta's band keys against the
+    // bucketed corpus band table exactly like the MinHash stage.
+    "pipe_incr_clean_embed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val delta = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val deltaVecs = Tables.embeddings(s, d)
+        .filter(pmod(col("vec_id"), lit(10)) === 0)
+        .select(col("vec_id"), col("embedding"))
+      incrLedger(s, delta, Dedup.digestIndex(s, d), Dedup.incrIndex(s, d),
+        Some((Dedup.embedIndex(s, d), deltaVecs)))
+        .orderBy(col("doc_id"))
+    }),
+
     // The EVOLVING-corpus closure of the ledger above (r8 VERDICT #2):
     // the delta arrives as K ORDERED batches, and each batch's
     // ACCEPTED (keep = true) documents are APPENDED to both persisted
@@ -156,7 +177,8 @@ object CorpusClean {
     * order; every stage is delta-sized (the digest membership and
     * MinHash band probes scan the bucketed corpus tables in place). */
   private[graft] def incrLedger(s: SparkSession, delta: DataFrame,
-      dg: DigestIndex.Index, mh: MinhashIndex.Index): DataFrame = {
+      dg: DigestIndex.Index, mh: MinhashIndex.Index,
+      em: Option[(EmbedIndex.Index, DataFrame)] = None): DataFrame = {
     // 1. exact dedup: digest-index membership probe + within-batch
     // first-id-keeps (delta-sized min-agg + join — the d_exact_dedup
     // skew discipline; DigestIndexSpec pins probe ≡ recompute). The
@@ -181,18 +203,43 @@ object CorpusClean {
     // 3+4. quality + language on the delta only
     val (quality, enCount) = qualityCols
 
-    delta.select(col("doc_id"), quality.as("quality_score"), enCount.as("c_en"))
+    val base = delta
+      .select(col("doc_id"), quality.as("quality_score"), enCount.as("c_en"))
       .join(exact, "doc_id")
       .join(probed, Seq("doc_id"), "left")
-      .withColumn("reason",
-        when(col("is_exact_dup"), "exact_dup")
-          .when(col("dup_of").isNotNull, "near_dup")
-          .when(col("quality_score") < 0.5, "low_quality")
-          .when(col("c_en") === 0, "non_english")
-          .otherwise("kept"))
-      .select(col("doc_id"), round(col("quality_score"), 9).as("quality_score"),
-        col("dup_of"), col("jaccard"),
-        col("reason"), (col("reason") === "kept").as("keep"))
+
+    em match {
+      case None =>
+        base
+          .withColumn("reason",
+            when(col("is_exact_dup"), "exact_dup")
+              .when(col("dup_of").isNotNull, "near_dup")
+              .when(col("quality_score") < 0.5, "low_quality")
+              .when(col("c_en") === 0, "non_english")
+              .otherwise("kept"))
+          .select(col("doc_id"), round(col("quality_score"), 9).as("quality_score"),
+            col("dup_of"), col("jaccard"),
+            col("reason"), (col("reason") === "kept").as("keep"))
+      case Some((ei, deltaVecs)) =>
+        // 2b. embedding near-dup probe against the persisted sign-band
+        // index — same unsorted composing shape as the MinHash stage;
+        // docs without a vector simply never match the left join.
+        val emb = ei.probeRows(deltaVecs)
+          .select(col("vec_id").as("doc_id"), col("dup_of").as("emb_dup_of"),
+            col("cosine").as("emb_cosine"))
+        base
+          .join(emb, Seq("doc_id"), "left")
+          .withColumn("reason",
+            when(col("is_exact_dup"), "exact_dup")
+              .when(col("dup_of").isNotNull, "near_dup")
+              .when(col("emb_dup_of").isNotNull, "embed_dup")
+              .when(col("quality_score") < 0.5, "low_quality")
+              .when(col("c_en") === 0, "non_english")
+              .otherwise("kept"))
+          .select(col("doc_id"), round(col("quality_score"), 9).as("quality_score"),
+            col("dup_of"), col("jaccard"), col("emb_dup_of"), col("emb_cosine"),
+            col("reason"), (col("reason") === "kept").as("keep"))
+    }
   }
 
   /** K-batch evolving-corpus replay (see the `pipe_incr_evolve` entry).
@@ -347,6 +394,55 @@ object CorpusClean {
         |JOIN ex e USING (doc_id)
         |JOIN q USING (doc_id)
         |LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+        |JOIN lg USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // The embed-stage ledger: the pipe_incr_clean oracle composed with
+    // the embedding best-match CTE chain (Dedup.embedIncrBestCtes —
+    // the exact band replay the d_embed_incr_indexed gate uses),
+    // joined on vec_id ≡ doc_id, with the embed_dup verdict slotted
+    // between near_dup and low_quality.
+    "pipe_incr_clean_embed" ->
+      s"""WITH ${Dedup.incrBestCtes},
+        |${Dedup.embedIncrBestCtes},
+        |cd AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash
+        |       FROM documents WHERE doc_id % 10 <> 0),
+        |dd AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash
+        |       FROM documents WHERE doc_id % 10 = 0),
+        |ex AS (SELECT doc_id,
+        |         (content_hash IN (SELECT content_hash FROM cd))
+        |         OR (ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) > 1) AS is_exact_dup
+        |       FROM dd),
+        |q AS (SELECT doc_id,
+        |        least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0) * 0.4
+        |        + (1.0 - CAST(len(list_filter(string_split(text,' '),
+        |            t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
+        |            / CAST(len(string_split(text,' ')) AS DOUBLE)) * 0.3
+        |        + (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+        |            / CAST(length(text) AS DOUBLE)) * 0.3 AS quality_score
+        |      FROM documents WHERE doc_id % 10 = 0),
+        |lg AS (SELECT doc_id, len(list_filter(string_split(text,' '),
+        |         t -> t IN ('the','a','of','and','is'))) AS c_en
+        |       FROM documents WHERE doc_id % 10 = 0)
+        |SELECT d.doc_id, round(q.quality_score, 9) AS quality_score,
+        |  b.dup_of, b.jaccard, eb.dup_of AS emb_dup_of, eb.cosine AS emb_cosine,
+        |  CASE WHEN exx.is_exact_dup THEN 'exact_dup'
+        |       WHEN b.dup_of IS NOT NULL THEN 'near_dup'
+        |       WHEN eb.dup_of IS NOT NULL THEN 'embed_dup'
+        |       WHEN q.quality_score < 0.5 THEN 'low_quality'
+        |       WHEN lg.c_en = 0 THEN 'non_english'
+        |       ELSE 'kept' END AS reason,
+        |  CASE WHEN exx.is_exact_dup THEN FALSE
+        |       WHEN b.dup_of IS NOT NULL THEN FALSE
+        |       WHEN eb.dup_of IS NOT NULL THEN FALSE
+        |       WHEN q.quality_score < 0.5 THEN FALSE
+        |       WHEN lg.c_en = 0 THEN FALSE
+        |       ELSE TRUE END AS keep
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+        |JOIN ex exx USING (doc_id)
+        |JOIN q USING (doc_id)
+        |LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+        |LEFT JOIN ebest eb ON eb.vec_id = d.doc_id AND eb.rn = 1
         |JOIN lg USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 

@@ -1005,30 +1005,10 @@ object Dedup {
     // the embedding family. Candidates come from band collisions on
     // BOTH engines, so LSH's partial recall cancels out exactly.
     "d_embed_incr_indexed" ->
-      s"""WITH $embNormCte,
-         |u AS (${(for {
-             r <- 0 until 4
-             g <- 0 until 8
-           } yield {
-             val (a, b) = EmbedRotations(r)
-             val bits = (0 until 8)
-               .map(bb => s"(CASE WHEN v[${(a * (g * 8 + bb) + b) % 64 + 1}] > 0 THEN ${1 << bb} ELSE 0 END)")
-               .mkString(" + ")
-             s"SELECT vec_id, $r AS rot, $g AS band, $bits AS key FROM e"
-           }).mkString("\n      UNION ALL\n      ")}),
-         |c AS (SELECT DISTINCT x.vec_id AS vec_id, y.vec_id AS dup_of
-         |      FROM u x JOIN u y
-         |        ON x.rot = y.rot AND x.band = y.band AND x.key = y.key
-         |       AND x.vec_id % 10 = 0 AND y.vec_id % 10 <> 0),
-         |p AS (SELECT c.vec_id, c.dup_of, ${embDotSql("a.v", "b.v")} AS cosine
-         |      FROM c JOIN e a ON c.vec_id = a.vec_id JOIN e b ON c.dup_of = b.vec_id),
-         |best AS (SELECT vec_id, dup_of, cosine,
-         |           ROW_NUMBER() OVER (PARTITION BY vec_id
-         |                              ORDER BY cosine DESC, dup_of) AS rn
-         |         FROM p WHERE cosine >= $EmbedCosineThreshold)
+      s"""WITH $embedIncrBestCtes
          |SELECT d.vec_id, b.dup_of, b.cosine, b.dup_of IS NULL AS is_new
          |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 10 = 0) d
-         |LEFT JOIN best b ON d.vec_id = b.vec_id AND b.rn = 1
+         |LEFT JOIN ebest b ON d.vec_id = b.vec_id AND b.rn = 1
          |ORDER BY d.vec_id""".stripMargin,
     // Transitive closure over the ground-truth pair set: reach(v, r)
     // floods every component member's id through the symmetric edge
@@ -1108,6 +1088,36 @@ object Dedup {
          |SELECT v AS vec_id, MIN(r) AS cluster_id, MIN(r) = v AS is_canonical
          |FROM reach GROUP BY v ORDER BY vec_id""".stripMargin
   )
+
+  /** Delta-vs-corpus EMBEDDING best-match CTE chain (ends with
+    * `ebest`: vec_id → dup_of/cosine/rn, rn=1 is the best corpus match
+    * among 4-rotation multiprobe band collisions at cosine ≥ 0.45) —
+    * the [[incrBestCtes]] shape on the embedding family, shared by the
+    * `d_embed_incr_indexed` gate and [[CorpusClean]]'s embed-stage
+    * ledger oracle. Candidates come from band collisions on BOTH
+    * engines, so LSH's partial recall cancels out exactly. */
+  private[queries] lazy val embedIncrBestCtes: String =
+    s"""$embNormCte,
+       |eu AS (${(for {
+           r <- 0 until 4
+           g <- 0 until 8
+         } yield {
+           val (a, b) = EmbedRotations(r)
+           val bits = (0 until 8)
+             .map(bb => s"(CASE WHEN v[${(a * (g * 8 + bb) + b) % 64 + 1}] > 0 THEN ${1 << bb} ELSE 0 END)")
+             .mkString(" + ")
+           s"SELECT vec_id, $r AS rot, $g AS band, $bits AS key FROM e"
+         }).mkString("\n      UNION ALL\n      ")}),
+       |ec AS (SELECT DISTINCT x.vec_id AS vec_id, y.vec_id AS dup_of
+       |      FROM eu x JOIN eu y
+       |        ON x.rot = y.rot AND x.band = y.band AND x.key = y.key
+       |       AND x.vec_id % 10 = 0 AND y.vec_id % 10 <> 0),
+       |ep AS (SELECT ec.vec_id, ec.dup_of, ${embDotSql("a.v", "b.v")} AS cosine
+       |      FROM ec JOIN e a ON ec.vec_id = a.vec_id JOIN e b ON ec.dup_of = b.vec_id),
+       |ebest AS (SELECT vec_id, dup_of, cosine,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                              ORDER BY cosine DESC, dup_of) AS rn
+       |         FROM ep WHERE cosine >= $EmbedCosineThreshold)""".stripMargin
 
   /** Banded-LSH pair CTE chain (ends with CTE `p` carrying
     * vec_a/vec_b/cosine), shared by the pair oracle and the embedding

@@ -48,6 +48,12 @@ object DocStreams {
     StructField("dup_of", LongType), StructField("jaccard", DoubleType),
     StructField("reason", StringType), StructField("keep", BooleanType)))
 
+  private val ledgerEmbedSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("quality_score", DoubleType),
+    StructField("dup_of", LongType), StructField("jaccard", DoubleType),
+    StructField("emb_dup_of", LongType), StructField("emb_cosine", DoubleType),
+    StructField("reason", StringType), StructField("keep", BooleanType)))
+
   /** Shared sink scaffolding for the streaming pipelines: a FRESH
     * per-invocation sink + checkpoint pair (batches APPEND within a
     * run; a reused path across runs would double the verdicts), the
@@ -141,16 +147,32 @@ object DocStreams {
     * (single-batch run ≡ the one-shot ledger; forced per-file batches
     * flag the cross-batch near-dup) and branch cleanup.
     *
+    * With `withEmbed` the EMBEDDING stage rides along (r10 VERDICT #3):
+    * each micro-batch's vectors (vec_id ≡ doc_id; looked up from the
+    * corpus's embeddings table here — a production ingest ships the
+    * vectors WITH the batch, so the lookup join is harness shape, not
+    * pipeline shape) probe a zero-copy branch of the persisted
+    * [[graft.queries.EmbedIndex]] between the MinHash and quality
+    * stages, and accepted docs' vectors append to the branch before
+    * the next batch probes — the full digest → minhash → embed →
+    * quality precedence, evolving continuously. The ledger then
+    * carries (emb_dup_of, emb_cosine) and the `embed_dup` verdict.
+    *
     * Returns the accumulated ledgers over all batches
-    * (doc_id, quality_score, dup_of, jaccard, reason, keep),
-    * doc_id-ordered.
+    * (doc_id, quality_score, dup_of, jaccard, [emb_dup_of,
+    * emb_cosine,] reason, keep), doc_id-ordered.
     */
   def incrEvolveStream(spark: SparkSession, dir: String,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None,
+      withEmbed: Boolean = false): DataFrame = {
     val mh = graft.queries.Dedup.incrIndex(spark, dir).branch()
     val dg = graft.queries.Dedup.digestIndex(spark, dir).branch()
+    val emOpt =
+      if (withEmbed) Some(graft.queries.Dedup.embedIndex(spark, dir).branch())
+      else None
     try {
-      withSink(spark, "st_evolve_sink", dir, ledgerSchema) { (sinkPath, ckpt) =>
+      withSink(spark, "st_evolve_sink", dir,
+          if (withEmbed) ledgerEmbedSchema else ledgerSchema) { (sinkPath, ckpt) =>
         val q = deltaStream(spark, dir, maxFilesPerTrigger).writeStream
           .foreachBatch { (batch: Dataset[Row], _: Long) =>
             // The r9-ADVICE checkpoint discipline per micro-batch: once
@@ -158,14 +180,26 @@ object DocStreams {
             // checkpointed (probe intermediates, the ledger itself) is
             // dead — sweep before the next batch arrives.
             graft.util.CheckpointHygiene.scoped(spark) {
+              val batchVecs = emOpt.map { _ =>
+                graft.Tables.embeddings(spark, dir)
+                  .join(broadcast(batch.toDF().select(col("doc_id").as("vec_id"))),
+                    Seq("vec_id"), "left_semi")
+                  .select(col("vec_id"), col("embedding"))
+                  .localCheckpoint(false)
+              }
               val ledger = graft.queries.CorpusClean
-                .incrLedger(spark, batch.toDF(), dg, mh)
+                .incrLedger(spark, batch.toDF(), dg, mh, emOpt.zip(batchVecs))
                 .localCheckpoint() // materialize BEFORE the appends below
+              val acceptedIds = ledger.filter(col("keep")).select(col("doc_id"))
               val accepted = batch.toDF()
-                .join(ledger.filter(col("keep")).select(col("doc_id")), "doc_id")
+                .join(acceptedIds, "doc_id")
                 .select(col("doc_id"), col("text"))
               mh.append(accepted)
               dg.append(accepted)
+              emOpt.zip(batchVecs).foreach { case (em, vecs) =>
+                em.append(vecs.join(acceptedIds.select(col("doc_id").as("vec_id")),
+                  Seq("vec_id"), "left_semi"))
+              }
               ledger.write.mode("append").parquet(sinkPath)
             }
           }
@@ -174,6 +208,6 @@ object DocStreams {
           .start()
         q.awaitTermination()
       }
-    } finally { mh.drop(); dg.drop() }
+    } finally { mh.drop(); dg.drop(); emOpt.foreach(_.drop()) }
   }
 }

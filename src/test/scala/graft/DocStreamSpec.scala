@@ -80,6 +80,25 @@ class DocStreamSpec extends SparkSuite {
     assert(out.exists(_._6) && out.exists(!_._6), "both verdicts exercised")
   }
 
+  test("evolve stream with the embed stage == the one-shot embed ledger (single batch)") {
+    val d = "/root/testdata/sf0.001"
+    def embRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("quality_score"), col("dup_of"), col("jaccard"),
+          col("emb_dup_of"), col("emb_cosine"), col("reason"), col("keep"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1),
+          if (r.isNullAt(2)) null else r.getLong(2),
+          if (r.isNullAt(3)) null else r.getDouble(3),
+          if (r.isNullAt(4)) null else r.getLong(4),
+          if (r.isNullAt(5)) null else r.getDouble(5),
+          r.getString(6), r.getBoolean(7))).toSeq
+    val out = embRows(DocStreams.incrEvolveStream(spark, d, withEmbed = true))
+    val oneShot = embRows(SparkEntry.queries("pipe_incr_clean_embed")(spark, d))
+    assert(out == oneShot,
+      "all delta files in one micro-batch must degenerate to pipe_incr_clean_embed")
+    assert(out.exists(_._7 == "embed_dup"),
+      "the embed stage must actually flag a vector near-dup at sf0.001")
+  }
+
   test("evolve stream: a later micro-batch dedups against an earlier batch's ACCEPTED docs") {
     import spark.implicits._
     // corpus docs 1,2 (doc_id % 10 != 0) + delta doc 30 in the FIRST
