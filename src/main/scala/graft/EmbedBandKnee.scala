@@ -60,19 +60,35 @@ object EmbedBandKnee {
           s""""cand_sec":${f(candSec)},"verified_pairs":$pairs,""" +
           s""""pipeline_sec":${f(pairSec)}}"""
       }.mkString("{", ",", "}")
-      // Multi-probe recall curve: rotations recover the loose-cosine
-      // pairs single-probe misses (8-bit), and compensate a width
-      // that saturates nothing (16-bit at 100k+ vectors).
-      val multi = Seq((8, 2), (8, 4), (16, 4)).map { case (bits, r) =>
+      // Multi-probe recall FRONTIER (r10 VERDICT #4): rotations recover
+      // the loose-cosine pairs single-probe misses (8-bit), and
+      // compensate a width that saturates nothing (16-bit at 100k+
+      // vectors). TRUE recall against the brute-force ground truth —
+      // the O(n²) denominator is computable at every dir this main is
+      // pointed at (≤ ×10 ≈ 2×10⁸ ordered pairs).
+      val (truePairs, truthSec) = swept(Dedup.embedTruePairCount(spark, d))
+      System.err.println(
+        s"[embed-knee] $d TRUE pairs=$truePairs (${f(truthSec)}s, brute force)")
+      val multi = (for {
+        bits <- Seq(8, 16)
+        r <- Seq(1, 2, 4, 8, 16)
+      } yield {
+        val (cands, candSec) = swept(
+          Dedup.embedLshCandCountMulti(spark, d, cap, bits, r))
         val (pairs, sec) = swept(
           Dedup.embedLshPairsMulti(spark, d, cap, bits, r)
             .queryExecution.toRdd.count())
+        val recall = if (truePairs == 0) 1.0 else pairs.toDouble / truePairs
         System.err.println(
-          s"[embed-knee] $d bits=$bits R=$r pairs=$pairs (${f(sec)}s)")
+          s"[embed-knee] $d bits=$bits R=$r cands=$cands (${f(candSec)}s) " +
+            s"pairs=$pairs recall=${f(recall)} (${f(sec)}s)")
         s""""${bits}x$r":{"band_bits":$bits,"rotations":$r,""" +
-          s""""verified_pairs":$pairs,"pipeline_sec":${f(sec)}}"""
-      }.mkString("{", ",", "}")
-      s""""$d":{"vectors":$nVecs,"band_bits":$settings,"multiprobe":$multi}"""
+          s""""candidates":$cands,"cand_sec":${f(candSec)},""" +
+          s""""verified_pairs":$pairs,"recall":${f(recall)},""" +
+          s""""pipeline_sec":${f(sec)}}"""
+      }).mkString("{", ",", "}")
+      s""""$d":{"vectors":$nVecs,"true_pairs":$truePairs,""" +
+        s""""truth_sec":${f(truthSec)},"band_bits":$settings,"multiprobe":$multi}"""
     }.mkString("{", ",", "}")
     val json = s"""{"cap":$cap,"cosine_threshold":0.45,"dirs":$dirJsons}"""
     try Files.writeString(Paths.get(outPath), json + "\n")

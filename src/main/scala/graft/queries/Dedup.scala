@@ -599,6 +599,24 @@ object Dedup {
       cap: Int, bandBits: Int): Long =
     embedLshCands(normalizedVecs(s, d), cap, bandBits).count()
 
+  /** GROUND-TRUTH pair count: brute-force all-pairs cosine ≥ threshold
+    * (the d_embed_neardup shape, count only) — the recall denominator
+    * for [[graft.EmbedBandKnee]]'s multiprobe frontier. O(n²) by
+    * definition; computable up to the ×10 corpus (20k vectors ≈ 2×10⁸
+    * ordered pairs) where the banded runs are measured. */
+  private[graft] def embedTruePairCount(s: SparkSession, d: String): Long = {
+    val e = normalizedVecs(s, d)
+    e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
+      .filter(expr("graft_dot(a.v, b.v)") >= EmbedCosineThreshold)
+      .count()
+  }
+
+  /** Multiprobe candidate count (pre-verify volume) — the cost driver
+    * the frontier weighs recall against. */
+  private[graft] def embedLshCandCountMulti(s: SparkSession, d: String,
+      cap: Int, bandBits: Int, rotations: Int): Long =
+    embedLshCandsMulti(normalizedVecs(s, d), cap, bandBits, rotations).count()
+
   /** Multi-probe coordinate rotations: dim i of rotation r reads
     * source dim (a_r·i + b_r) mod 64 — a_r ODD makes the map a
     * bijection mod 64, so each rotation re-tiles the SAME 64 sign
@@ -606,8 +624,19 @@ object Dedup {
     * ((1,0)), pinning multiprobe(R=1) ≡ the single-probe pipeline.
     * (Sign flips would add nothing: flipping a dim on both sides of
     * a pair leaves bit-agreement unchanged — only the grouping
-    * matters for sign-LSH.) */
-  private[graft] val EmbedRotations = Vector((1, 0), (5, 17), (9, 33), (13, 49))
+    * matters for sign-LSH.)
+    * The rotation set is PREFIX-STABLE: the first 4 entries are frozen
+    * (the `d_embed_lsh_multiprobe` / `d_embed_incr_indexed` oracles
+    * replay exactly that prefix), and entries 5–16 extend the recall
+    * frontier for production widths — a 16-bit band that saturates
+    * nothing can be compensated with more rotations instead of
+    * narrower keys (frontier measured in `BENCH_embed_bands.json`,
+    * reachable via `graft.toml [scale] embed_rotations`). */
+  private[graft] val EmbedRotations = Vector(
+    (1, 0), (5, 17), (9, 33), (13, 49),
+    (3, 7), (7, 11), (11, 23), (15, 29),
+    (19, 37), (21, 41), (23, 43), (25, 47),
+    (27, 53), (29, 59), (31, 61), (35, 5))
 
   /** MULTI-PROBE banded embedding pair discovery — the recall knob
     * sign-LSH needs at a loose cosine threshold (§9.10): one probe of

@@ -24,12 +24,14 @@ object ScaleOps {
       cap: Int = Dedup.MaxBandSize): DataFrame =
     Dedup.embedLshPairs(s, d, cap, cfg.scale.embedBandBits)
 
-  /** Multi-probe variant at the configured width — the recall knob on
-    * top of the width knob (wide bands + rotations is the 100k+ corpus
-    * recipe, SURVEY §9.12). */
+  /** Multi-probe variant at the configured width AND rotation count —
+    * the recall knob on top of the width knob (wide bands + rotations
+    * is the 100k+ corpus recipe; frontier in `BENCH_embed_bands.json`,
+    * SURVEY §9.12). `[scale] embed_rotations`. */
   def embedLshPairsMulti(s: SparkSession, d: String, cfg: EngineConfig,
-      cap: Int = Dedup.MaxBandSize, rotations: Int = 4): DataFrame =
-    Dedup.embedLshPairsMulti(s, d, cap, cfg.scale.embedBandBits, rotations)
+      cap: Int = Dedup.MaxBandSize): DataFrame =
+    Dedup.embedLshPairsMulti(s, d, cap, cfg.scale.embedBandBits,
+      cfg.scale.embedRotations)
 
   /** Deterministic global training-order shuffle at the configured
     * shard width (`[scale] shard_bits`). */

@@ -76,7 +76,7 @@ class BandCapSpec extends SparkSuite {
       Dedup.embedLshPairs(spark, d, Dedup.MaxBandSize, bandBits = 12).collect()
     }
     intercept[IllegalArgumentException] {
-      Dedup.embedLshPairsMulti(spark, d, Dedup.MaxBandSize, rotations = 5).collect()
+      Dedup.embedLshPairsMulti(spark, d, Dedup.MaxBandSize, rotations = 17).collect()
     }
   }
 
@@ -86,13 +86,15 @@ class BandCapSpec extends SparkSuite {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     for (dir <- Seq(d, "/root/testdata/sf0.01")) {
       val single = pairs(Dedup.embedLshPairs(spark, dir, Dedup.MaxBandSize))
-      val byR = Seq(1, 2, 4).map { r =>
+      val byR = Seq(1, 2, 4, 8, 16).map { r =>
         r -> pairs(Dedup.embedLshPairsMulti(spark, dir, Dedup.MaxBandSize, rotations = r))
       }.toMap
       // rotation 0 is the identity tiling — one probe IS the single pipeline
       assert(byR(1) === single, s"$dir: R=1 must equal the single-probe pair set")
-      // the rotation set is a prefix, so candidates (and verified pairs) nest upward
-      assert(byR(1).subsetOf(byR(2)) && byR(2).subsetOf(byR(4)),
+      // the rotation set is a prefix, so candidates (and verified pairs)
+      // nest upward — including the r11 frontier extension to R=16
+      assert(byR(1).subsetOf(byR(2)) && byR(2).subsetOf(byR(4)) &&
+        byR(4).subsetOf(byR(8)) && byR(8).subsetOf(byR(16)),
         s"$dir: multiprobe pair sets must grow monotonically with R")
       // the production cap has headroom at test scale (the gate's oracle is uncapped)
       assert(byR(4) === pairs(

@@ -33,6 +33,7 @@ class ConfigSpec extends SparkSuite {
       |[scale]
       |shard_bits = 16
       |embed_band_bits = 16
+      |embed_rotations = 8
       |""".stripMargin
 
   test("toml subset parses sections, ints, bools, arrays, comments") {
@@ -64,6 +65,7 @@ class ConfigSpec extends SparkSuite {
     // load, unlisted fields keep their gate-pinned defaults.
     assert(cfg.scale.shardBits == 16)
     assert(cfg.scale.embedBandBits == 16)
+    assert(cfg.scale.embedRotations == 8)
     assert(cfg.scale.seqPackShards == 8, "unset knob keeps its default")
   }
 
@@ -72,7 +74,8 @@ class ConfigSpec extends SparkSuite {
     assert(cfg.capsule == CapsuleConfig())
     assert(cfg.scale == graft.config.ScaleConfig())
     assert(cfg.scale.shardBits == 10 && cfg.scale.seqPackShards == 8 &&
-      cfg.scale.embedBandBits == graft.queries.Dedup.EmbedBandBits)
+      cfg.scale.embedBandBits == graft.queries.Dedup.EmbedBandBits &&
+      cfg.scale.embedRotations == 4)
   }
 
   test("capsule honors TOML-loaded depths and budget") {

@@ -17,6 +17,7 @@ class ScaleOpsSpec extends SparkSuite {
     Files.writeString(root.resolve(Config.ConfigFilename),
       """[scale]
         |embed_band_bits = 16
+        |embed_rotations = 8
         |shard_bits = 12
         |seq_pack_shards = 4
         |""".stripMargin)
@@ -37,7 +38,8 @@ class ScaleOpsSpec extends SparkSuite {
     assert(viaCfg != pairs(Dedup.embedLshPairs(spark, d, Dedup.MaxBandSize, 8)),
       "the configured width must actually change the computation")
     assert(pairs(ScaleOps.embedLshPairsMulti(spark, d, cfg16)) ==
-      pairs(Dedup.embedLshPairsMulti(spark, d, Dedup.MaxBandSize, 16, 4)))
+      pairs(Dedup.embedLshPairsMulti(spark, d, Dedup.MaxBandSize, 16, 8)),
+      "configured rotations (8) must reach the multiprobe pipeline")
   }
 
   test("shard_bits and seq_pack_shards reach the training-prep operators") {
