@@ -31,7 +31,8 @@ object IvfIndex {
 
   final class Index private[IvfIndex] (spark: SparkSession, baseName: String,
       private[IvfIndex] val generation: Int, val centroids: DataFrame,
-      numCentroids: Int, cacheKey: String) {
+      numCentroids: Int, cacheKey: String,
+      parent: Option[Index] = None) {
 
     /** Catalog name of this generation's assigned table: compaction
       * rewrites into a fresh `_gN` table (drop-after-write swap). */
@@ -40,7 +41,8 @@ object IvfIndex {
 
     /** Fail fast on a handle whose generation was compacted away (the
       * MinhashIndex.assertCurrent discipline — a stale handle would
-      * otherwise surface as a bare missing-table error). */
+      * otherwise surface as a bare missing-table error). A branch also
+      * checks its base. */
     private def assertCurrent(): Unit = {
       val c = IvfIndex.cache.get(cacheKey)
       if (c != null && (c ne this) && c.generation != generation)
@@ -48,10 +50,20 @@ object IvfIndex {
           s"stale IvfIndex handle: generation $generation was compacted away " +
             s"(current generation ${c.generation}) — use the instance returned by " +
             "compact(), or re-resolve via IvfIndex.of()")
+      parent.foreach(_.assertCurrent())
     }
 
-    /** (vec_id, v, cid), bucketed by cid. */
-    def assigned: DataFrame = { assertCurrent(); spark.table(tableName) }
+    /** (vec_id, v, cid), bucketed by cid; for a [[branch]], the base's
+      * table UNIONed with the branch's delta rows (the branch's own
+      * table materializes lazily on first append — both sides stay
+      * bucketed, so a cid probe bucket-prunes each side). */
+    def assigned: DataFrame = {
+      assertCurrent()
+      (parent.map(_.assigned) ++
+        (if (parent.isEmpty || spark.catalog.tableExists(tableName))
+          Seq(spark.table(tableName)) else Nil))
+        .reduce(_ union _)
+    }
 
     /** Incrementally index `e2` (normalized (vec_id, v) rows with NEW
       * vec_ids — ENFORCED: the guard semi-joins the delta's ids
@@ -83,6 +95,61 @@ object IvfIndex {
       this
     }
 
+    /** Caller-owned ZERO-COPY branch ([[MinhashIndex.Index.branch]]'s
+      * contract, r10 VERDICT #5): an empty overlay whose [[assigned]]
+      * view unions the base table (scanned in place, never copied)
+      * with the branch's own delta table. CENTROIDS ARE SHARED and
+      * frozen — the generation's drift bound: a branch assigns its
+      * appends to the base's centroids exactly as [[append]] does, so
+      * branch semantics ≡ an appended full index under the same
+      * centroids (retraining remains an offline rebuild decision).
+      * Appends land on the overlay only; [[drop]] deletes the overlay
+      * and leaves the base intact — a standing pipeline keeps serving
+      * ANN from the shared of() index while an evolving run appends to
+      * its branch. IvfAppendSpec pins probe equality and isolation. */
+    def branch(): Index = {
+      assertCurrent()
+      graft.util.BuildLog.timed(s"ivf-branch:$baseName") {
+        val k = s"branch|$baseName#${IvfIndex.freshSeq.incrementAndGet()}"
+        new Index(spark, Scratch.tableName(spark, "graft_ivf", k), 0,
+          centroids, numCentroids, Scratch.sessionId(spark) + "|" + k,
+          parent = Some(this))
+      }
+    }
+
+    /** Caller-owned copy-on-write SNAPSHOT: the assigned table is
+      * rewritten byte-for-byte into a fresh caller-owned name with NO
+      * re-assignment (the clone moves index bytes, never re-runs the
+      * centroid argmax); the centroid frame is shared (immutable per
+      * generation). */
+    def snapshot(): Index = {
+      assertCurrent()
+      require(parent.isEmpty,
+        "snapshot() on a branch is unsupported: the branch's paths hold only its " +
+          "delta — snapshot the base index")
+      graft.util.BuildLog.timed(s"ivf-snap:$baseName") {
+        val k = s"snap|$baseName#${IvfIndex.freshSeq.incrementAndGet()}"
+        val snap = Scratch.tableName(spark, "graft_ivf", k)
+        spark.sql(s"DROP TABLE IF EXISTS $snap")
+        spark.read.parquet(Scratch.dir(tableName))
+          .repartition(numCentroids, col("cid"))
+          .write.mode("overwrite")
+          .bucketBy(numCentroids, "cid").sortBy("cid")
+          .option("path", Scratch.dir(snap))
+          .saveAsTable(snap)
+        new Index(spark, snap, 0, centroids, numCentroids,
+          Scratch.sessionId(spark) + "|" + k)
+      }
+    }
+
+    /** Drop this handle's own table and scratch dir NOW — the
+      * lifecycle end of a [[branch]] overlay or [[snapshot]] clone
+      * (cached of() indexes never need this). */
+    def drop(): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $tableName")
+      Scratch.delete(tableName)
+    }
+
     /** Rewrite the assigned table into a fresh generation with ONE
       * file per bucket (each append leaves a file per bucket behind;
       * probes pay a file-open per file per probed bucket). Content is
@@ -91,6 +158,9 @@ object IvfIndex {
       * rewrite commits and the of() cache is refreshed. */
     def compact(): Index = {
       assertCurrent()
+      require(parent.isEmpty,
+        "compact() on a branch is unsupported: the branch's paths hold only its " +
+          "delta — compact the base index")
       val next = s"${baseName}_g${generation + 1}"
       spark.sql(s"DROP TABLE IF EXISTS $next")
       // Read the files by PATH, not through the table: a bucketed-table
@@ -132,6 +202,8 @@ object IvfIndex {
   // Keyed on sessionUUID (guaranteed unique, unlike identityHashCode
   // which can collide or be reused after GC).
   private val cache = new ConcurrentHashMap[String, Index]()
+
+  private val freshSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Build-or-reuse the IVF index for corpus `corpusKey`. `e` (the
     * normalized (vec_id, v) frame with `graft_dot` registered) is

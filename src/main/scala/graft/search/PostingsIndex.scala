@@ -39,7 +39,8 @@ final class PostingsIndex private (
     termDf: DataFrame,
     val nDocs: Long,
     val totalDoclen: Long,
-    cacheKey: String) {
+    cacheKey: String,
+    parent: Option[PostingsIndex] = None) {
 
   /** Catalog name of this generation's postings table: compaction
     * rewrites into a fresh `_gN` table (a reader of the old generation
@@ -54,7 +55,8 @@ final class PostingsIndex private (
     * MinhashIndex.assertCurrent discipline — a stale handle would
     * otherwise surface as a bare missing-table error). Stale-STATS
     * handles after append are already covered by the cache refresh
-    * (ADVICE r5); this covers stale-TABLE handles after compact. */
+    * (ADVICE r5); this covers stale-TABLE handles after compact. A
+    * branch also checks its base. */
   private def assertCurrent(): Unit = {
     val c = PostingsIndex.cache.get(cacheKey)
     if (c != null && (c ne this) && c.generation != generation)
@@ -62,16 +64,34 @@ final class PostingsIndex private (
         s"stale PostingsIndex handle: generation $generation was compacted away " +
           s"(current generation ${c.generation}) — use the instance returned by " +
           "compact(), or re-resolve via PostingsIndex.of()")
+    parent.foreach(_.assertCurrent())
   }
 
   /** Average doc length, derived from exact integer totals: doclen is
     * integral, so `totalDoclen` is exact no matter the aggregation
     * order and the division reproduces a full rebuild's avg(doclen)
-    * bit-for-bit — the invariant the append path relies on. */
+    * bit-for-bit — the invariant the append path relies on. For a
+    * [[branch]], nDocs/totalDoclen already carry the overlay's appends
+    * (append returns a stats-merged handle), so scores keep the
+    * bit-identical-to-rebuild contract. */
   val avgdl: Double = totalDoclen.toDouble / nDocs
 
-  /** The bucketed postings table: (term, doc, doclen, tf). */
-  def postings: DataFrame = { assertCurrent(); spark.table(tableName) }
+  /** A branch's own delta tables materialize lazily on first append
+    * (mode("append") creates them); until then the views below are the
+    * parent's alone. */
+  private def withParent(own: String, view: PostingsIndex => DataFrame): DataFrame =
+    (parent.map(view) ++
+      (if (parent.isEmpty || spark.catalog.tableExists(own)) Seq(spark.table(own)) else Nil))
+      .reduce(_ union _)
+
+  /** The bucketed postings table: (term, doc, doclen, tf); for a
+    * [[branch]], the base's table UNIONed with the branch's delta
+    * rows (the base scans in place, never copied). */
+  def postings: DataFrame = { assertCurrent(); withParent(tableName, _.postings) }
+
+  /** The (doc, doclen) inventory — the append guard's membership set;
+    * branch view as with [[postings]]. */
+  private def docsInventory: DataFrame = withParent(docsTable, _.docsInventory)
 
   /** Incrementally index `newDocs` (disjoint NEW doc ids — ENFORCED:
     * a delta carrying an already-indexed doc id would silently
@@ -93,7 +113,7 @@ final class PostingsIndex private (
     val delta = Bm25.postings(newDocs, idCol, textCol).localCheckpoint()
     val deltaDocs = delta.select(col("doc"), col("doclen")).distinct()
       .localCheckpoint()
-    val clashes = spark.table(docsTable)
+    val clashes = docsInventory
       .join(broadcast(deltaDocs.select(col("doc"))), "doc")
       .limit(1).count()
     require(clashes == 0,
@@ -116,9 +136,75 @@ final class PostingsIndex private (
       .groupBy("term").agg(sum(col("df")).as("df"))
       .localCheckpoint()
     val merged = new PostingsIndex(spark, baseName, generation, mergedDf,
-      nDocs + stats.getLong(0), totalDoclen + stats.getLong(1), cacheKey)
-    PostingsIndex.refresh(cacheKey, merged)
+      nDocs + stats.getLong(0), totalDoclen + stats.getLong(1), cacheKey, parent)
+    // Branch handles never touch the shared cache — their appends are
+    // caller-owned overlay state, invisible to of() callers.
+    if (parent.isEmpty) PostingsIndex.refresh(cacheKey, merged)
     merged
+  }
+
+  /** Caller-owned ZERO-COPY branch ([[graft.queries.MinhashIndex]]'s
+    * contract, r10 VERDICT #5): an empty overlay whose [[postings]] /
+    * doc-inventory views union the base tables (scanned in place,
+    * never copied) with the branch's own delta tables, and whose
+    * collection stats start at the base's and merge per append — so a
+    * standing pipeline can keep SERVING BM25 from the shared of()
+    * index while an evolving run appends to its branch. Appends land
+    * on the overlay only; [[drop]] deletes the overlay and leaves the
+    * base intact. Scores from a branch are bit-identical to a full
+    * rebuild over base ∪ overlay (PostingsAppendSpec pins it). */
+  def branch(): PostingsIndex = {
+    assertCurrent()
+    graft.util.BuildLog.timed(s"postings-branch:$baseName") {
+      val k = s"branch|$baseName#${PostingsIndex.freshSeq.incrementAndGet()}"
+      new PostingsIndex(spark, graft.util.Scratch.tableName(spark, "graft_po", k),
+        0, termDf, nDocs, totalDoclen,
+        graft.util.Scratch.sessionId(spark) + "|" + k, parent = Some(this))
+    }
+  }
+
+  /** Caller-owned copy-on-write SNAPSHOT: both bucketed tables are
+    * rewritten byte-for-byte into fresh caller-owned names with NO
+    * re-tokenization (the clone moves index bytes, never the corpus
+    * text); stats carry over unchanged. Build the shared of() index
+    * once per session, snapshot() per index-MUTATING run, append
+    * freely, [[drop]] when done. */
+  def snapshot(): PostingsIndex = {
+    assertCurrent()
+    require(parent.isEmpty,
+      "snapshot() on a branch is unsupported: the branch's paths hold only its " +
+        "delta — snapshot the base index, or rebuild via of()")
+    graft.util.BuildLog.timed(s"postings-snap:$baseName") {
+      val k = s"snap|$baseName#${PostingsIndex.freshSeq.incrementAndGet()}"
+      val snap = graft.util.Scratch.tableName(spark, "graft_po", k)
+      val snapDocs = snap + "_docs"
+      spark.sql(s"DROP TABLE IF EXISTS $snap")
+      spark.sql(s"DROP TABLE IF EXISTS $snapDocs")
+      spark.read.parquet(graft.util.Scratch.dir(tableName))
+        .repartition(PostingsIndex.NumBuckets, col("term"))
+        .write.mode("overwrite")
+        .bucketBy(PostingsIndex.NumBuckets, "term").sortBy("term")
+        .option("path", graft.util.Scratch.dir(snap))
+        .saveAsTable(snap)
+      spark.read.parquet(graft.util.Scratch.dir(docsTable))
+        .repartition(PostingsIndex.NumBuckets, col("doc"))
+        .write.mode("overwrite")
+        .bucketBy(PostingsIndex.NumBuckets, "doc").sortBy("doc")
+        .option("path", graft.util.Scratch.dir(snapDocs))
+        .saveAsTable(snapDocs)
+      new PostingsIndex(spark, snap, 0, termDf, nDocs, totalDoclen,
+        graft.util.Scratch.sessionId(spark) + "|" + k)
+    }
+  }
+
+  /** Drop this handle's own tables and scratch dirs NOW — the
+    * lifecycle end of a [[branch]] overlay or [[snapshot]] clone
+    * (cached of() indexes live for the session and never need this). */
+  def drop(): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    spark.sql(s"DROP TABLE IF EXISTS $docsTable")
+    graft.util.Scratch.delete(tableName)
+    graft.util.Scratch.delete(docsTable)
   }
 
   /** Rewrite the postings into a fresh generation with ONE file per
@@ -131,6 +217,9 @@ final class PostingsIndex private (
     * commits; the cache is refreshed with the compacted instance. */
   def compact(): PostingsIndex = {
     assertCurrent()
+    require(parent.isEmpty,
+      "compact() on a branch is unsupported: the branch's paths hold only its " +
+        "delta — compact the base index")
     val next = s"${baseName}_g${generation + 1}"
     val nextDocs = next + "_docs"
     spark.sql(s"DROP TABLE IF EXISTS $next")
@@ -198,6 +287,8 @@ object PostingsIndex {
   // append()/compact() replace the entry so a later of() never
   // re-issues a stale-stats handle (ADVICE r5).
   private val cache = new ConcurrentHashMap[String, PostingsIndex]()
+
+  private val freshSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private[search] def refresh(key: String, idx: PostingsIndex): Unit =
     cache.put(key, idx)

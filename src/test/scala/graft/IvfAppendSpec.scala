@@ -59,4 +59,64 @@ class IvfAppendSpec extends SparkSuite {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(probed.contains(bId))
   }
+
+  private def assignments(idx: IvfIndex.Index) =
+    idx.assigned.select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("branch under the shared frozen centroids == appended full index; isolation; drop") {
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val e = normalized("/root/testdata/sf0.001").localCheckpoint()
+    val ids = e.select("vec_id").orderBy("vec_id").collect().map(_.getLong(0))
+    val cut = ids(ids.length * 3 / 4)
+    val eA = e.filter(col("vec_id") < cut)
+    val eB = e.filter(col("vec_id") >= cut)
+
+    val base = IvfIndex.of(spark, s"ivf_br_$run", eA,
+      numCentroids = 4, iters = 1, quantScale = 1000000.0)
+    val baseAssign = assignments(base)
+    val br = base.branch()
+    try {
+      // pre-append: the branch IS the base
+      assert(assignments(br) == baseAssign)
+      // centroids are SHARED (frozen per generation — the drift bound)
+      assert(br.centroids eq base.centroids)
+      // append to the branch: view == base appended in place (the
+      // existing append≡union-assign pin transfers)
+      br.append(eB)
+      val fullAssign = {
+        val idx2 = IvfIndex.of(spark, s"ivf_br_full_$run", eA,
+          numCentroids = 4, iters = 1, quantScale = 1000000.0)
+        idx2.append(eB); assignments(idx2)
+      }
+      assert(assignments(br) == fullAssign, "branch + append ≡ appended full index")
+      assert(assignments(base) == baseAssign,
+        "the shared base must never see the branch's appends")
+      // guard sees through; corpus-sized ops refused on the overlay
+      assert(intercept[IllegalArgumentException](br.append(eA.limit(1)))
+        .getMessage.contains("disjointness"))
+      assert(intercept[IllegalArgumentException](br.snapshot())
+        .getMessage.contains("branch"))
+      assert(intercept[IllegalArgumentException](br.compact())
+        .getMessage.contains("branch"))
+    } finally br.drop()
+    assert(assignments(base) == baseAssign)
+  }
+
+  test("snapshot probes like the source and isolates appends") {
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val e = normalized("/root/testdata/sf0.001").localCheckpoint()
+    val ids = e.select("vec_id").orderBy("vec_id").collect().map(_.getLong(0))
+    val cut = ids(ids.length * 3 / 4)
+    val base = IvfIndex.of(spark, s"ivf_snap_$run", e.filter(col("vec_id") < cut),
+      numCentroids = 4, iters = 1, quantScale = 1000000.0)
+    val baseAssign = assignments(base)
+    val snap = base.snapshot()
+    try {
+      assert(assignments(snap) == baseAssign)
+      snap.append(e.filter(col("vec_id") >= cut))
+      assert(assignments(base) == baseAssign,
+        "the source must never see the snapshot's appends")
+    } finally snap.drop()
+  }
 }
