@@ -198,6 +198,10 @@ object Engine {
     * the capsule section. */
   def fromConfig(spark: SparkSession, searchRoot: java.nio.file.Path): Engine = {
     val cfg = graft.config.Config.load(searchRoot)
+    // Runtime knobs that live OUTSIDE the engine instance: the
+    // persisted indexes' auto-compaction cadence ([scale]
+    // compact_every_appends) applies process-wide.
+    graft.queries.IndexMaintenance.configure(cfg)
     fromManifest(spark, cfg.manifestPath.toString, config = cfg)
   }
 }

@@ -110,7 +110,8 @@ final case class ScaleConfig(
     shardBits: Int = 10,
     seqPackShards: Int = 8,
     embedBandBits: Int = 8,
-    embedRotations: Int = 4)
+    embedRotations: Int = 4,
+    compactEveryAppends: Int = 0)
 
 /** Engine configuration (config.py:60-86). `manifestPath` derives from
   * the project root + target dir exactly as the reference's property. */
@@ -193,7 +194,8 @@ object Config {
         shardBits = int(scaleSec, "shard_bits", 10),
         seqPackShards = int(scaleSec, "seq_pack_shards", 8),
         embedBandBits = int(scaleSec, "embed_band_bits", 8),
-        embedRotations = int(scaleSec, "embed_rotations", 4)))
+        embedRotations = int(scaleSec, "embed_rotations", 4),
+        compactEveryAppends = int(scaleSec, "compact_every_appends", 0)))
   }
 
   private def findUpward(start: Path): Option[Path] = {

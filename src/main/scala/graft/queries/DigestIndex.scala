@@ -119,7 +119,9 @@ object DigestIndex {
         .bucketBy(DigestIndex.NumBuckets, "content_hash").sortBy("content_hash")
         .option("path", Scratch.dir(tableName))
         .saveAsTable(tableName)
-      this
+      // [scale] compact_every_appends cadence — base tables only
+      if (parent.isEmpty && IndexMaintenance.appendTick(tableName)) compact()
+      else this
     }
 
     /** Drop the table and its scratch dir NOW — the lifecycle end of a

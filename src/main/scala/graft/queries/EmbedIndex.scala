@@ -198,7 +198,9 @@ object EmbedIndex {
         .bucketBy(EmbedIndex.NumBuckets, "pk").sortBy("pk")
         .option("path", Scratch.dir(tableName))
         .saveAsTable(tableName)
-      this
+      // [scale] compact_every_appends cadence — base tables only
+      if (parent.isEmpty && IndexMaintenance.appendTick(tableName)) compact()
+      else this
     }
 
     /** Drop both tables and their scratch dirs NOW — the lifecycle end

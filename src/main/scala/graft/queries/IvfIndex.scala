@@ -92,7 +92,9 @@ object IvfIndex {
         .bucketBy(numCentroids, "cid").sortBy("cid")
         .option("path", Scratch.dir(tableName))
         .saveAsTable(tableName)
-      this
+      // [scale] compact_every_appends cadence — base tables only
+      if (parent.isEmpty && IndexMaintenance.appendTick(tableName)) compact()
+      else this
     }
 
     /** Caller-owned ZERO-COPY branch ([[MinhashIndex.Index.branch]]'s

@@ -232,7 +232,10 @@ object MinhashIndex {
         .bucketBy(MinhashIndex.NumBuckets, "band_key").sortBy("band_key")
         .option("path", Scratch.dir(tableName))
         .saveAsTable(tableName)
-      this
+      // [scale] compact_every_appends cadence — base tables only
+      // (a branch's appends never touch its base), probe-invariant
+      if (parent.isEmpty && IndexMaintenance.appendTick(tableName)) compact()
+      else this
     }
 
     /** Drop both tables and their scratch dirs NOW — the lifecycle end

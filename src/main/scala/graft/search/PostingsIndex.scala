@@ -140,7 +140,10 @@ final class PostingsIndex private (
     // Branch handles never touch the shared cache — their appends are
     // caller-owned overlay state, invisible to of() callers.
     if (parent.isEmpty) PostingsIndex.refresh(cacheKey, merged)
-    merged
+    // [scale] compact_every_appends cadence — base tables only
+    if (parent.isEmpty && graft.queries.IndexMaintenance.appendTick(tableName))
+      merged.compact()
+    else merged
   }
 
   /** Caller-owned ZERO-COPY branch ([[graft.queries.MinhashIndex]]'s
