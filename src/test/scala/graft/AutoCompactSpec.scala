@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{DigestIndex, IndexMaintenance}
+
+/** The auto-compaction cadence (`[scale] compact_every_appends`): off
+  * by default (gates and the other index specs run with appends
+  * accumulating files, as before), and when set, append() compacts the
+  * base table after every N appends WITHOUT changing any probe result
+  * — the caller's "use the returned instance" contract carries the
+  * fresh generation back. Branch overlays are exempt (their appends
+  * never touch the base). */
+class AutoCompactSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+
+  private def probeRows(idx: DigestIndex.Index, delta: org.apache.spark.sql.DataFrame) =
+    idx.probe(delta).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSeq
+
+  private val corpus = docs(1L -> "alpha beta gamma", 2L -> "delta epsilon zeta")
+  private val delta = docs(10L -> "alpha beta gamma", 20L -> "nothing like it")
+
+  test("off by default: appends never change the generation") {
+    assert(IndexMaintenance.compactEveryAppends == 0)
+    val idx = DigestIndex.fresh(spark, "ac_off", corpus)
+    try {
+      val after = idx.append(docs(3L -> "eta theta iota"))
+      assert(after eq idx, "with the knob off, append must return the same handle")
+    } finally idx.drop()
+  }
+
+  test("appends auto-compact at the cadence; probes invariant across the boundary") {
+    IndexMaintenance.compactEveryAppends = 2
+    try {
+      val base = DigestIndex.fresh(spark, "ac_on", corpus)
+      val i1 = base.append(docs(3L -> "eta theta iota"))
+      assert(i1 eq base, "first append (tick 1 of 2) must not compact")
+      val before = probeRows(i1, delta)
+      val i2 = i1.append(docs(4L -> "kappa lambda mu"))
+      assert(i2 ne i1, "second append (tick 2 of 2) must hand back the compacted generation")
+      assert(i2.tableName != base.tableName, "a fresh generation table")
+      // probe invariance across the auto-compact boundary: same
+      // verdicts, and the content appended in BOTH ticks is present
+      assert(probeRows(i2, delta) == before)
+      assert(probeRows(i2, docs(40L -> "kappa lambda mu")).head._3,
+        "content appended in the compacting tick must be discoverable")
+      // the pre-compaction handle fails fast, per the stale contract
+      val e = intercept[IllegalStateException] { i1.probe(delta).collect() }
+      assert(e.getMessage.contains("stale DigestIndex handle"))
+      i2.drop()
+    } finally IndexMaintenance.compactEveryAppends = 0
+  }
+
+  test("branch overlays never auto-compact") {
+    IndexMaintenance.compactEveryAppends = 1
+    try {
+      val base = DigestIndex.fresh(spark, "ac_branch", corpus)
+      val br = base.branch()
+      try {
+        val after = br.append(docs(5L -> "nu xi omicron"))
+        assert(after eq br, "a branch append must never trigger base compaction")
+        assert(probeRows(base, delta).nonEmpty, "base handle still current")
+      } finally br.drop()
+      base.drop()
+    } finally IndexMaintenance.compactEveryAppends = 0
+  }
+
+  test("the [scale] compact_every_appends knob reaches the runtime") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ac_cfg")
+    java.nio.file.Files.writeString(
+      root.resolve(graft.config.Config.ConfigFilename),
+      "[scale]\ncompact_every_appends = 7\n")
+    val cfg = graft.config.Config.load(root)
+    assert(cfg.scale.compactEveryAppends == 7)
+    try {
+      IndexMaintenance.configure(cfg)
+      assert(IndexMaintenance.compactEveryAppends == 7)
+    } finally IndexMaintenance.compactEveryAppends = 0
+  }
+}
