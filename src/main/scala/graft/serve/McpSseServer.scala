@@ -94,14 +94,42 @@ object McpSseServer {
 
   private val serverState = new ConcurrentHashMap[HttpServer, ServerState]()
 
+  // Every [[start]] must be paired with [[stop]] — the state entry and
+  // keepalive scheduler live until then (a live HttpServer is pinned
+  // by its own dispatcher thread, so weak-keying could never reclaim
+  // an abandoned-but-running server). The JVM-exit hook below is the
+  // backstop (r10 ADVICE): servers a caller abandoned are stopped
+  // deterministically at shutdown instead of leaking their map entry
+  // and pinging until process death.
+  private lazy val shutdownHook: Unit = Runtime.getRuntime.addShutdownHook(
+    new Thread(() => {
+      val it = serverState.keySet().iterator()
+      while (it.hasNext) { try stop(it.next()) catch { case _: Exception => () } }
+    }, "graft-mcp-sse-shutdown"))
+
   /** Loopback origins a browser could legitimately present. Absent
     * Origin (curl, SDK clients) is allowed; anything else is a
     * cross-site caller and is refused. */
+  /** The bare host of `h` ("host", "host:port", or a bracketed IPv6
+    * literal with optional port) — or null when malformed. Exact
+    * bracket handling (r10 ADVICE): "[::1]x" or "[::1].evil" must NOT
+    * pass as loopback, so after stripping a bracketed literal the
+    * remainder must be empty or a ":port" suffix. */
+  private def bareHost(h: String): String =
+    if (h.startsWith("[")) {
+      val close = h.indexOf(']')
+      if (close < 0) null
+      else {
+        val rest = h.substring(close + 1)
+        if (rest.isEmpty || rest.startsWith(":")) h.substring(0, close + 1) else null
+      }
+    } else h.takeWhile(_ != ':')
+
   private[graft] def originAllowed(origin: Option[String]): Boolean =
     origin.forall { o =>
       val host = o.stripPrefix("http://").stripPrefix("https://")
         .takeWhile(_ != '/').toLowerCase
-      val bare = if (host.startsWith("[::1]")) "[::1]" else host.takeWhile(_ != ':')
+      val bare = bareHost(host)
       bare == "localhost" || bare == "127.0.0.1" || bare == "[::1]"
     }
 
@@ -112,8 +140,7 @@ object McpSseServer {
     * (HTTP/1.0 tools) is allowed. */
   private[graft] def hostAllowed(host: Option[String]): Boolean =
     host.forall { h =>
-      val l = h.toLowerCase
-      val bare = if (l.startsWith("[::1]")) "[::1]" else l.takeWhile(_ != ':')
+      val bare = bareHost(h.toLowerCase)
       bare == "localhost" || bare == "127.0.0.1" || bare == "[::1]"
     }
 
@@ -128,9 +155,15 @@ object McpSseServer {
   /** Start serving `engine` on loopback `port` (0 = ephemeral; read
     * the bound port off the returned server). Caller stops via
     * [[stop]]. `keepAliveMillis` paces the SSE comment-frame heartbeat
-    * that evicts silently-disconnected sessions. */
+    * that evicts silently-disconnected sessions.
+    *
+    * EVERY start() must be paired with a [[stop]] — the per-server
+    * state (session map + keepalive scheduler) is only released there;
+    * a server abandoned without stop() keeps serving and pinging until
+    * the JVM-exit hook reaps it. */
   def start(engine: Engine, port: Int,
       keepAliveMillis: Long = 15000L): HttpServer = {
+    shutdownHook // register the exit backstop once, on first start
     val sessions = new ConcurrentHashMap[String, SseStream]()
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     val keepAlive = Executors.newSingleThreadScheduledExecutor(r => {

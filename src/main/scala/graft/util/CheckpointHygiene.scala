@@ -33,19 +33,69 @@ import org.apache.spark.sql.SparkSession
   * built inside the scope on purpose (a first `Dedup.incrIndex` call
   * caching the session index) are persisted TABLES, not RDD blocks,
   * and are unaffected.
+  *
+  * CONCURRENT scopes on one session MERGE rather than race (r10
+  * ADVICE): a scope that opens while another is in flight joins it —
+  * the sweep runs only when the LAST overlapping scope exits, against
+  * the OUTERMOST baseline, so a serve request racing a stream (or a
+  * nested scope on the same thread) can never have its in-flight local
+  * checkpoints unpersisted mid-computation (local checkpoints cannot
+  * be recomputed — a mid-flight sweep is unrecoverable, whereas the
+  * deferred sweep merely delays reclamation until the overlap ends).
+  * A blocking lock would be the alternative, but a stream holding the
+  * session lock through `awaitTermination` while its own foreachBatch
+  * thread needs a scope would deadlock — merging is the shape that
+  * composes with Structured Streaming.
   */
 object CheckpointHygiene {
 
+  /** Per-session overlap state: open-scope depth + the outermost
+    * scope's baseline. Weakly keyed so dead sessions drop their
+    * entry. */
+  private final class State {
+    var depth: Int = 0
+    var baseline: Set[Int] = null
+    var blocking: Boolean = false
+  }
+
+  private val states = new java.util.WeakHashMap[SparkSession, State]()
+
+  private def stateFor(spark: SparkSession): State = states.synchronized {
+    var s = states.get(spark)
+    if (s == null) { s = new State; states.put(spark, s) }
+    s
+  }
+
   /** Run `body`, then unpersist every RDD persisted during it (see the
-    * object doc for the caller contract). `blocking` = wait for block
-    * removal before returning — pass true when the next statement is
-    * latency-sensitive (the Bench lesson: async removal races the next
-    * round's execution and spikes its tail). */
+    * object doc for the caller contract and the overlapping-scope
+    * merge). `blocking` = wait for block removal before returning —
+    * pass true when the next statement is latency-sensitive (the Bench
+    * lesson: async removal races the next round's execution and spikes
+    * its tail); when scopes merge, any member requesting blocking
+    * makes the final sweep blocking. */
   def scoped[A](spark: SparkSession, blocking: Boolean = false)(body: => A): A = {
-    val baseline = spark.sparkContext.getPersistentRDDs.keySet
+    val st = stateFor(spark)
+    st.synchronized {
+      if (st.depth == 0) {
+        st.baseline = spark.sparkContext.getPersistentRDDs.keySet.toSet
+        st.blocking = false
+      }
+      st.depth += 1
+      if (blocking) st.blocking = true
+    }
     try body
-    finally spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (!baseline.contains(id)) rdd.unpersist(blocking)
+    finally {
+      val sweep = st.synchronized {
+        st.depth -= 1
+        if (st.depth == 0) {
+          val b = st.baseline; st.baseline = null; Some((b, st.blocking))
+        } else None
+      }
+      sweep.foreach { case (baseline, block) =>
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!baseline.contains(id)) rdd.unpersist(block)
+        }
+      }
     }
   }
 }

@@ -47,4 +47,44 @@ class CheckpointHygieneSpec extends SparkSuite {
     assert(kept.count() == 10)
     spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))
   }
+
+  test("overlapping scopes merge: an exiting scope never sweeps another's in-flight blocks") {
+    // r10 ADVICE: before the merge, a scope exiting while another was
+    // in flight unpersisted every block the OTHER scope had created
+    // since the exiter's baseline — unrecoverable for local
+    // checkpoints. Interleaving forced with latches: main enters its
+    // scope FIRST (so the worker's block is not in main's baseline),
+    // the worker checkpoints, main exits, and the worker must still be
+    // able to compute from its block.
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
+    val mainEntered = new CountDownLatch(1)
+    val blockMade = new CountDownLatch(1)
+    val mainExited = new CountDownLatch(1)
+    @volatile var workerOk = false
+    @volatile var workerErr: Throwable = null
+    val worker = new Thread(() => {
+      try {
+        mainEntered.await(30, TimeUnit.SECONDS)
+        CheckpointHygiene.scoped(spark) {
+          val f = spark.range(100).toDF("x").localCheckpoint()
+          blockMade.countDown()
+          mainExited.await(30, TimeUnit.SECONDS)
+          workerOk = f.count() == 100 // throws if the block was swept
+        }
+      } catch { case t: Throwable => workerErr = t; blockMade.countDown() }
+    })
+    worker.start()
+    CheckpointHygiene.scoped(spark) {
+      mainEntered.countDown()
+      assert(blockMade.await(30, TimeUnit.SECONDS))
+    }
+    mainExited.countDown()
+    worker.join(30000)
+    assert(workerErr == null, s"worker failed: $workerErr")
+    assert(workerOk, "the worker's in-flight checkpoint must survive main's scope exit")
+    // and once ALL scopes exited, the merged sweep reclaimed everything
+    val leftover = spark.sparkContext.getPersistentRDDs.keySet -- baseline
+    assert(leftover.isEmpty, s"merged sweep must reclaim all scope blocks: $leftover")
+  }
 }

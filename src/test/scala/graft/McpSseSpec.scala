@@ -162,6 +162,12 @@ class McpSseSpec extends SparkSuite {
       import graft.serve.McpSseServer.hostAllowed
       assert(hostAllowed(None) && hostAllowed(Some("localhost:8000")) &&
         hostAllowed(Some("127.0.0.1")) && !hostAllowed(Some("localhost.evil.example")))
+      // r10 ADVICE: the IPv6 literal must match EXACTLY "[::1]" or
+      // "[::1]:<port>" — a host merely starting with the bracket
+      // sequence is not loopback
+      assert(hostAllowed(Some("[::1]")) && hostAllowed(Some("[::1]:8080")))
+      assert(!hostAllowed(Some("[::1]x")) && !hostAllowed(Some("[::1].evil")) &&
+        !hostAllowed(Some("[::2]")) && !hostAllowed(Some("[")))
       // a legitimate local browser client keeps working
       assert(withOrigin(endpoint, "POST", "http://localhost:3000") == 202)
       assert(withOrigin(endpoint, "POST", "http://127.0.0.1") == 202)
