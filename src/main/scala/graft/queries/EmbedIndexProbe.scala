@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Probe-vs-self-contained cost comparison for the persisted embedding
+  * index — the `d_incr_indexed` precedent (3.9× cheaper at ×64) struck
+  * for the embedding family:
+  *
+  *   SPARK_GRAFT_SF_DIR=<dir> sbt "runMain graft.queries.EmbedIndexProbe"
+  *
+  * Untimed setup builds the session's [[Dedup.embedIndex]] (the 90%
+  * cohort at the gate geometry). Timed: p50 of [[Rounds]] rounds of
+  * (a) the INDEXED probe — delta bands computed scan-locally,
+  * corpus band/vector tables scanned in place — and (b) the
+  * SELF-CONTAINED twin that recomputes corpus bands per call
+  * (`embedLshPairsMulti` over the full table + mixed-parity best
+  * match), each fully materialized via toRdd.count with the packaged
+  * orphan sweep between rounds. Prints ONE JSON line; the round
+  * artifact `EMBED_INDEX_SCALING.json` collects the sf0.1 and ×64
+  * strikes.
+  */
+object EmbedIndexProbe {
+
+  val Rounds = 5
+
+  /** The self-contained `d_embed_incr_indexed` twin: identical verdict
+    * frame, corpus bands recomputed per call — the shape the persisted
+    * index exists to retire. */
+  private def selfContained(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.embedLshPairsMulti(s, d, Dedup.MaxBandSize, 8, 4)
+    val m = pairs.select(
+        when(pmod(col("vec_a"), lit(10)) === 0, col("vec_a")).otherwise(col("vec_b")).as("vec_id"),
+        when(pmod(col("vec_a"), lit(10)) === 0, col("vec_b")).otherwise(col("vec_a")).as("dup_of"),
+        col("cosine"))
+      .filter(pmod(col("vec_id"), lit(10)) === 0 && pmod(col("dup_of"), lit(10)) =!= 0)
+    val best = m.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+          .orderBy(col("cosine").desc, col("dup_of"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("dup_of"), col("cosine"))
+    Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select(col("vec_id"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("dup_of"), col("cosine"),
+        col("dup_of").isNull.as("is_new"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Tables.configure(SparkSession.builder())
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val nVecs = Tables.embeddings(spark, sfDir).count()
+    val delta = Tables.embeddings(spark, sfDir)
+      .filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select(col("vec_id"), col("embedding"))
+
+    // Untimed: the one-per-corpus index build (BuildLog-registered).
+    val t0 = System.nanoTime()
+    val idx = Dedup.embedIndex(spark, sfDir)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+
+    def p50(body: => Long): (Long, Double) = {
+      var n = 0L
+      val times = (1 to Rounds).map { _ =>
+        graft.util.CheckpointHygiene.scoped(spark, blocking = true) {
+          val s = System.nanoTime()
+          n = body
+          (System.nanoTime() - s) / 1e9
+        }
+      }.sorted
+      (n, times(times.length / 2))
+    }
+
+    val (nIdx, idxSec) = p50(idx.probe(delta).queryExecution.toRdd.count())
+    val (nSelf, selfSec) = p50(selfContained(spark, sfDir).queryExecution.toRdd.count())
+    require(nIdx == nSelf, s"probe and self-contained row counts diverged: $nIdx vs $nSelf")
+
+    def f(v: Double) = f"$v%.3f"
+    println(s"""{"sf":"$sfDir","vectors":$nVecs,"rows":$nIdx,""" +
+      s""""build_sec":${f(buildSec)},"indexed_p50":${f(idxSec)},""" +
+      s""""self_contained_p50":${f(selfSec)},"ratio":${f(selfSec / idxSec)},""" +
+      s""""rounds":$Rounds}""")
+    spark.stop()
+  }
+}
