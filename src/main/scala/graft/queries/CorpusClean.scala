@@ -163,7 +163,20 @@ object CorpusClean {
     // after the ledgers are checkpointed; the oracle replays the
     // sequential closure as chained CTEs over the ground-truth pair
     // set. CorpusCleanSpec pins K=1 ≡ pipe_incr_clean.
-    "pipe_incr_evolve" -> ((s, d) => incrEvolve(s, d, EvolveBatches))
+    "pipe_incr_evolve" -> ((s, d) => incrEvolve(s, d, EvolveBatches)),
+
+    // The evolving closure WITH the embedding stage (the round-11
+    // open item): each batch's ledger composes the EmbedIndex probe
+    // (digest → minhash → embed → quality precedence, exactly
+    // pipe_incr_clean_embed's stage order), and each batch's ACCEPTED
+    // docs append their text to the MinHash/digest branches AND their
+    // vectors to an EmbedIndex branch before the next batch probes —
+    // so a batch-N+1 vector duplicating a batch-N SURVIVOR's vector is
+    // flagged embed_dup, and one duplicating a batch-N REJECT is not.
+    // The oracle chains the embed best-match CTEs through the same
+    // idx{b} closure as the text stages.
+    "pipe_incr_evolve_embed" -> ((s, d) =>
+      incrEvolve(s, d, EvolveBatches, withEmbed = true))
   )
 
   /** Gate batch count for `pipe_incr_evolve` (the oracle's CTE chain
@@ -263,27 +276,44 @@ object CorpusClean {
     * ledger checkpoints the returned union reads survive (the r9
     * ADVICE checkpoint-hygiene contract; long-lived sessions otherwise
     * accumulate dead blocks per run). */
-  private[graft] def incrEvolve(s: SparkSession, d: String, k: Int): DataFrame = {
+  private[graft] def incrEvolve(s: SparkSession, d: String, k: Int,
+      withEmbed: Boolean = false): DataFrame = {
     require(k >= 1, s"need at least one batch (got $k)")
     val docs = Tables.documents(s, d)
     val isDelta = pmod(col("doc_id"), lit(10)) === 0
     val checkpointBaseline = s.sparkContext.getPersistentRDDs.keySet
     val mh = Dedup.incrIndex(s, d).branch()
     val dg = Dedup.digestIndex(s, d).branch()
+    // With the embed stage, a third branch evolves alongside: accepted
+    // docs' VECTORS append to it between batches (vec_id ≡ doc_id in
+    // the testdata star), so the embed verdict sees earlier batches'
+    // survivors exactly like the text stages do.
+    val em = if (withEmbed) Some(Dedup.embedIndex(s, d).branch()) else None
     try {
       val parts = (0 until k).map { b =>
-        val batch = docs
-          .filter(isDelta && pmod(col("doc_id"), lit(10L * k)) === lit(10L * b))
-        val ledger = incrLedger(s, batch, dg, mh)
+        val inBatch = isDelta && pmod(col("doc_id"), lit(10L * k)) === lit(10L * b)
+        val batch = docs.filter(inBatch)
+        val batchVecs = em.map { _ =>
+          Tables.embeddings(s, d)
+            .filter(pmod(col("vec_id"), lit(10)) === 0 &&
+              pmod(col("vec_id"), lit(10L * k)) === lit(10L * b))
+            .select(col("vec_id"), col("embedding"))
+        }
+        val ledger = incrLedger(s, batch, dg, mh, em.zip(batchVecs))
           .withColumn("batch", lit(b.toLong))
           .localCheckpoint() // eager: materialize BEFORE the appends
+        val acceptedIds = ledger.filter(col("keep")).select(col("doc_id"))
         val accepted = batch
-          .join(ledger.filter(col("keep")).select(col("doc_id")), "doc_id")
+          .join(acceptedIds, "doc_id")
           .select(col("doc_id"), col("text"))
         // Append EVERY batch (the standing pipeline keeps the index
         // current for the next day's delta too, not just intra-run).
         mh.append(accepted)
         dg.append(accepted)
+        em.zip(batchVecs).foreach { case (ei, vecs) =>
+          ei.append(vecs.join(acceptedIds.select(col("doc_id").as("vec_id")),
+            Seq("vec_id"), "left_semi"))
+        }
         ledger
       }
       // Every checkpoint block created during the loop is dead now
@@ -297,11 +327,18 @@ object CorpusClean {
         if (!checkpointBaseline.contains(id) && !keep.contains(id))
           rdd.unpersist(blocking = false)
       }
+      val cols =
+        if (withEmbed)
+          Seq(col("doc_id"), col("batch"), col("quality_score"),
+            col("dup_of"), col("jaccard"), col("emb_dup_of"), col("emb_cosine"),
+            col("reason"), col("keep"))
+        else
+          Seq(col("doc_id"), col("batch"), col("quality_score"),
+            col("dup_of"), col("jaccard"), col("reason"), col("keep"))
       parts.reduce(_ union _)
-        .select(col("doc_id"), col("batch"), col("quality_score"),
-          col("dup_of"), col("jaccard"), col("reason"), col("keep"))
+        .select(cols: _*)
         .orderBy(col("doc_id"))
-    } finally { mh.drop(); dg.drop() }
+    } finally { mh.drop(); dg.drop(); em.foreach(_.drop()) }
   }
 
   def oracles: Map[String, String] = Map(
@@ -446,7 +483,8 @@ object CorpusClean {
         |JOIN lg USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
-    "pipe_incr_evolve" -> evolveOracle(EvolveBatches)
+    "pipe_incr_evolve" -> evolveOracle(EvolveBatches),
+    "pipe_incr_evolve_embed" -> evolveOracle(EvolveBatches, withEmbed = true)
   )
 
   /** Sequential replay of the K-batch evolving closure as chained
@@ -454,8 +492,13 @@ object CorpusClean {
     * verdicts are computed against idx{b} (digest membership +
     * ground-truth best pair at J ≥ threshold) and idx{b+1} = idx{b} ∪
     * the batch's kept docs — exactly the append-between-batches
-    * contract the Spark side runs through its per-invocation indexes. */
-  private def evolveOracle(k: Int): String = {
+    * contract the Spark side runs through its per-invocation indexes.
+    * With `withEmbed` the embed verdict chains through the SAME idx{b}
+    * closure: batch b's best embed match ranges over the band-replay
+    * pair set ([[Dedup.embedEvolvePairCtes]]) restricted to candidates
+    * in idx{b} — so a kept earlier-batch doc's vector is matchable and
+    * a rejected one's is not, mirroring the accepted-only appends. */
+  private def evolveOracle(k: Int, withEmbed: Boolean = false): String = {
     val qualityCte =
       """q AS (SELECT doc_id,
         |        least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0) * 0.4
@@ -469,6 +512,20 @@ object CorpusClean {
         |         t -> t IN ('the','a','of','and','is'))) AS c_en
         |       FROM documents WHERE doc_id % 10 = 0)""".stripMargin
     val blocks = (0 until k).map { b =>
+      val embCtes = if (!withEmbed) "" else
+        s"""|ebest$b AS (SELECT vec_id, dup_of, cosine,
+            |    ROW_NUMBER() OVER (PARTITION BY vec_id
+            |                       ORDER BY cosine DESC, dup_of) AS rn
+            |  FROM ejpairs
+            |  JOIN delta ON ejpairs.vec_id = delta.doc_id AND delta.batch = $b
+            |  JOIN idx$b ix ON ejpairs.dup_of = ix.doc_id),
+            |""".stripMargin
+      val embLedCols = if (!withEmbed) ""
+        else s"eb.dup_of AS emb_dup_of, eb.cosine AS emb_cosine,\n         |    "
+      val embVerdict = if (!withEmbed) ""
+        else s"WHEN eb.dup_of IS NOT NULL THEN 'embed_dup'\n         |         "
+      val embJoin = if (!withEmbed) ""
+        else s"LEFT JOIN (SELECT * FROM ebest$b WHERE rn = 1) eb ON eb.vec_id = d.doc_id\n         |  "
       s"""ex$b AS (SELECT dd.doc_id,
          |    dd.content_hash IN (SELECT content_hash FROM dig JOIN idx$b USING (doc_id))
          |    OR (ROW_NUMBER() OVER (PARTITION BY dd.content_hash ORDER BY dd.doc_id) > 1)
@@ -481,26 +538,28 @@ object CorpusClean {
          |    JOIN delta ON jp.x = delta.doc_id AND delta.batch = $b
          |    JOIN idx$b ix ON jp.y = ix.doc_id
          |    WHERE jp.jaccard >= ${Dedup.JaccardThreshold}) WHERE rn = 1),
-         |led$b AS (SELECT d.doc_id, CAST($b AS BIGINT) AS batch, q.quality_score,
-         |    bb.dup_of, bb.jaccard,
+         |${embCtes}led$b AS (SELECT d.doc_id, CAST($b AS BIGINT) AS batch, q.quality_score,
+         |    bb.dup_of, bb.jaccard, ${embLedCols}
          |    CASE WHEN e.is_exact_dup THEN 'exact_dup'
          |         WHEN bb.dup_of IS NOT NULL THEN 'near_dup'
-         |         WHEN q.quality_score < 0.5 THEN 'low_quality'
+         |         ${embVerdict}WHEN q.quality_score < 0.5 THEN 'low_quality'
          |         WHEN lg.c_en = 0 THEN 'non_english'
          |         ELSE 'kept' END AS reason
          |  FROM (SELECT doc_id FROM delta WHERE batch = $b) d
          |  JOIN ex$b e USING (doc_id)
          |  JOIN q USING (doc_id)
          |  LEFT JOIN best$b bb USING (doc_id)
-         |  JOIN lg USING (doc_id)),
+         |  ${embJoin}JOIN lg USING (doc_id)),
          |idx${b + 1} AS (SELECT doc_id FROM idx$b UNION ALL
          |  SELECT doc_id FROM led$b WHERE reason = 'kept')""".stripMargin
     }
     val unioned = (0 until k).map(b => s"SELECT * FROM led$b").mkString("\n  UNION ALL ")
+    val embPairCtes = if (!withEmbed) "" else s"${Dedup.embedEvolvePairCtes},\n"
+    val embOutCols = if (!withEmbed) "" else "emb_dup_of, emb_cosine, "
     s"""WITH ${Dedup.jaccardCtes},
        |jp AS (SELECT doc_a AS x, doc_b AS y, jaccard FROM j
        |       UNION ALL SELECT doc_b, doc_a, jaccard FROM j),
-       |dig AS (SELECT doc_id,
+       |${embPairCtes}dig AS (SELECT doc_id,
        |          md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash
        |        FROM documents),
        |delta AS (SELECT doc_id, (doc_id % ${10 * k}) // 10 AS batch
@@ -509,7 +568,7 @@ object CorpusClean {
        |idx0 AS (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0),
        |${blocks.mkString(",\n")}
        |SELECT doc_id, batch, round(quality_score, 9) AS quality_score,
-       |  dup_of, jaccard, reason, reason = 'kept' AS keep
+       |  dup_of, jaccard, ${embOutCols}reason, reason = 'kept' AS keep
        |FROM ($unioned)
        |ORDER BY doc_id""".stripMargin
   }

@@ -1127,16 +1127,7 @@ object Dedup {
     * engines, so LSH's partial recall cancels out exactly. */
   private[queries] lazy val embedIncrBestCtes: String =
     s"""$embNormCte,
-       |eu AS (${(for {
-           r <- 0 until 4
-           g <- 0 until 8
-         } yield {
-           val (a, b) = EmbedRotations(r)
-           val bits = (0 until 8)
-             .map(bb => s"(CASE WHEN v[${(a * (g * 8 + bb) + b) % 64 + 1}] > 0 THEN ${1 << bb} ELSE 0 END)")
-             .mkString(" + ")
-           s"SELECT vec_id, $r AS rot, $g AS band, $bits AS key FROM e"
-         }).mkString("\n      UNION ALL\n      ")}),
+       |eu AS ($embMultiprobeUnionSql),
        |ec AS (SELECT DISTINCT x.vec_id AS vec_id, y.vec_id AS dup_of
        |      FROM eu x JOIN eu y
        |        ON x.rot = y.rot AND x.band = y.band AND x.key = y.key
@@ -1147,6 +1138,41 @@ object Dedup {
        |           ROW_NUMBER() OVER (PARTITION BY vec_id
        |                              ORDER BY cosine DESC, dup_of) AS rn
        |         FROM ep WHERE cosine >= $EmbedCosineThreshold)""".stripMargin
+
+  /** The gate-geometry (8-bit × 4-rotation) multiprobe key union over
+    * the normalized-vector CTE `e` — the shared SELECT body of the
+    * `eu` CTE in [[embedIncrBestCtes]] and [[embedEvolvePairCtes]]. */
+  private lazy val embMultiprobeUnionSql: String = (for {
+    r <- 0 until 4
+    g <- 0 until 8
+  } yield {
+    val (a, b) = EmbedRotations(r)
+    val bits = (0 until 8)
+      .map(bb => s"(CASE WHEN v[${(a * (g * 8 + bb) + b) % 64 + 1}] > 0 THEN ${1 << bb} ELSE 0 END)")
+      .mkString(" + ")
+    s"SELECT vec_id, $r AS rot, $g AS band, $bits AS key FROM e"
+  }).mkString("\n      UNION ALL\n      ")
+
+  /** Delta-vs-ANY symmetric embedding pair CTE chain (ends with
+    * `ejpairs`: vec_id → dup_of/cosine, every 4-rotation multiprobe
+    * band collision at cosine ≥ 0.45 whose left side is a delta vector
+    * — the candidate side is UNRESTRICTED, unlike
+    * [[embedIncrBestCtes]]'s corpus-only `ec`). [[CorpusClean]]'s
+    * K-batch evolving oracle restricts the candidate side per batch to
+    * its idx{b} closure in its own chained CTEs (a kept earlier-batch
+    * delta doc is a legitimate match there, so the corpus-parity
+    * restriction cannot be baked in here). */
+  private[queries] lazy val embedEvolvePairCtes: String =
+    s"""$embNormCte,
+       |eu AS ($embMultiprobeUnionSql),
+       |ejc AS (SELECT DISTINCT x.vec_id AS vec_id, y.vec_id AS dup_of
+       |      FROM eu x JOIN eu y
+       |        ON x.rot = y.rot AND x.band = y.band AND x.key = y.key
+       |       AND x.vec_id % 10 = 0 AND x.vec_id <> y.vec_id),
+       |ejp0 AS (SELECT ejc.vec_id, ejc.dup_of, ${embDotSql("a.v", "b.v")} AS cosine
+       |      FROM ejc JOIN e a ON ejc.vec_id = a.vec_id JOIN e b ON ejc.dup_of = b.vec_id),
+       |ejpairs AS (SELECT vec_id, dup_of, cosine FROM ejp0
+       |           WHERE cosine >= $EmbedCosineThreshold)""".stripMargin
 
   /** Banded-LSH pair CTE chain (ends with CTE `p` carrying
     * vec_a/vec_b/cosine), shared by the pair oracle and the embedding

@@ -95,6 +95,75 @@ class CorpusCleanSpec extends SparkSuite {
     }
   }
 
+  test("pipe_incr_evolve_embed at K=1 degenerates to pipe_incr_clean_embed") {
+    val evolved = graft.queries.CorpusClean
+      .incrEvolve(spark, d, 1, withEmbed = true).collect()
+      .map(r => (r.getLong(0), r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getLong(3),
+        if (r.isNullAt(4)) null else r.getDouble(4),
+        if (r.isNullAt(5)) null else r.getLong(5),
+        if (r.isNullAt(6)) null else r.getDouble(6),
+        r.getString(7), r.getBoolean(8))).toSeq
+    val clean = SparkEntry.queries("pipe_incr_clean_embed")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3),
+        if (r.isNullAt(4)) null else r.getLong(4),
+        if (r.isNullAt(5)) null else r.getDouble(5),
+        r.getString(6), r.getBoolean(7))).toSeq
+    assert(evolved == clean,
+      "K=1 embed evolve (batch column dropped) must equal the one-shot embed ledger")
+  }
+
+  test("evolve embed stage: accepted docs' vectors index; rejected docs' never do") {
+    import spark.implicits._
+    // K=3 batch assignment: batch = (doc_id % 30) / 10. vec_id ≡ doc_id.
+    //   corpus:  1, 2 (kept shape, orthogonal one-hot vectors)
+    //   batch 0: 30 kept long text A, vector w
+    //            60 low_quality (digits), vector x       -> REJECTED
+    //   batch 1: 40 fresh OK text, vector w (≡ 30's)     -> embed_dup of 30
+    //            70 fresh OK text, vector x (≡ 60's)     -> kept (60's
+    //               vector was never appended)
+    //   batch 2: 50 fresh OK text, vector w              -> embed_dup of 30
+    //            (NOT of 40 — 40 was embed_dup-rejected, so ITS vector
+    //            was never appended either)
+    val longA = "the " + (1 to 60).map(i => s"word$i").mkString(" ")
+    val digits = ("1234567890 " * 30).trim
+    def oneHot(i: Int): Array[Float] =
+      Array.tabulate(64)(j => if (j == i) 1.0f else 0.0f)
+    val docRows = Seq(
+      (1L, "some corpus of the day with a calm and ordinary tone here"),
+      (2L, "another corpus doc is around for the membership side"),
+      (30L, longA),
+      (60L, digits),
+      (40L, "another fresh doc of the day with a calm and steady tone"),
+      (70L, "a different closing doc of the day with a warm and easy tone"),
+      (50L, "the last probe doc of the run with a plain and quiet tone"))
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val vecRows = Seq(
+      (1L, oneHot(0)), (2L, oneHot(5)),
+      (30L, oneHot(17)), (60L, oneHot(33)),
+      (40L, oneHot(17)), (70L, oneHot(33)), (50L, oneHot(17)))
+      .toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_evolve_emb").toString
+    docRows.write.mode("overwrite")
+      .parquet(java.nio.file.Paths.get(tmp, "documents.parquet").toString)
+    vecRows.write.mode("overwrite")
+      .parquet(java.nio.file.Paths.get(tmp, "embeddings.parquet").toString)
+    val out = SparkEntry.queries("pipe_incr_evolve_embed")(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(7),
+        if (r.isNullAt(5)) -1L else r.getLong(5)))).toMap
+    assert(out(30L) == ((0L, "kept", -1L)), s"batch-0 doc 30 is accepted: $out")
+    assert(out(60L) == ((0L, "low_quality", -1L)), s"batch-0 doc 60 is rejected: $out")
+    assert(out(40L) == ((1L, "embed_dup", 30L)),
+      s"doc 40's vector duplicates ACCEPTED doc 30's across batches: $out")
+    assert(out(70L) == ((1L, "kept", -1L)),
+      s"doc 70's vector duplicates REJECTED doc 60's — never indexed: $out")
+    assert(out(50L) == ((2L, "embed_dup", 30L)),
+      s"doc 50 matches 30 (kept), not 40 (embed_dup-rejected, never appended): $out")
+  }
+
   test("evolve: batch N+1 dedups against batch N's ACCEPTED docs only") {
     import spark.implicits._
     // K=3 batch assignment over delta ids: batch = (doc_id % 30) / 10.
