@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -171,40 +171,74 @@ object Ann {
       // normalization pass over the corpus.
       DotProduct.register(s)
       val idx = IvfIndex.of(s, d, vecs(s, d), NumCentroids, KMeansIters, QuantScale)
-      val q = idx.assigned.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      ivfTopK(idx, col("vec_id") < NumQueries)
+    }),
 
-      val wProbe = Window.partitionBy(col("query_id"))
-        .orderBy(col("qcos").desc, col("cid"))
-      // Materialized once (queries × nprobe rows, tiny): reused by the
-      // bucket-prune filter below and the probe join.
-      val probes = q.crossJoin(broadcast(idx.centroids))
-        .select(col("query_id"), col("qv"), col("cid"), expr("graft_dot(qv, cv)").as("qcos"))
-        .withColumn("rn", row_number().over(wProbe))
-        .filter(col("rn") <= NProbe)
-        .select(col("query_id"), col("qv"), col("cid"))
-        .localCheckpoint()
-      // Driver-side collect of the probed centroid ids — ≤ numCentroids
-      // ints, the 1-row-scalar pattern, NOT corpus-sized. A broadcast
-      // join alone never bucket-prunes; a literal IN list over the
-      // bucket column does (SelectedBucketsCount in the scan), so the
-      // probe reads ONLY the probed buckets off disk. That is the whole
-      // point of the IVF layout at 100 TB: per-probe IO is
-      // buckets_probed/buckets of the corpus, not a full scan.
-      val probedCids = probes.select(col("cid").cast("long")).distinct()
-        .collect().map(_.getLong(0)).sorted
-
-      val wTop = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("vec_id"))
-      idx.assigned.filter(col("cid").isin(probedCids.toIndexedSeq: _*))
-        .join(broadcast(probes), Seq("cid"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"), expr("graft_dot(qv, v)").as("cosine"))
-        .withColumn("rank", row_number().over(wTop))
-        .filter(col("rank") <= K)
-        .orderBy(col("query_id"), col("rank"))
+    // IVF generation rotation — the operation a standing ANN pipeline
+    // runs when fitStats says the frozen centroids have drifted: fresh
+    // index on the 90% cohort (vec_id % 10 ≠ 0), the delta appended
+    // under FROZEN centroids (the free path), then retrain() re-runs
+    // the deterministic Lloyd loop over the indexed vectors and
+    // reassigns. Because retrain's seed rule over base∪delta is a
+    // fresh build's over the full corpus, the retrained state ≡ a
+    // fresh full-corpus index — so the oracle replays the SAME
+    // full-corpus k-means as ann_ivf, on a query cohort disjoint from
+    // ann_ivf's (5 ≤ vec_id < 10) so the two gates don't share values.
+    // The per-invocation indexes are caller-owned (fresh) and dropped
+    // after the result materializes (localCheckpoint, the incrEvolve
+    // discipline); the fresh/retrain builds are itemized by BuildLog.
+    "ann_ivf_retrain" -> ((s, d) => {
+      DotProduct.register(s)
+      val all = vecs(s, d)
+      var idx = IvfIndex.fresh(s, s"retrain|$d",
+        all.filter(pmod(col("vec_id"), lit(10)) =!= 0),
+        NumCentroids, KMeansIters, QuantScale)
+      try {
+        idx = idx.append(all.filter(pmod(col("vec_id"), lit(10)) === 0))
+        idx = idx.retrain(KMeansIters, QuantScale)
+        ivfTopK(idx, col("vec_id") >= NumQueries && col("vec_id") < 2 * NumQueries)
+          .localCheckpoint() // eager: materialize before the drop below
+      } finally idx.drop()
     })
   )
+
+  /** The shared IVF probe: select the top-NProbe centroids per query
+    * (queries = index rows passing `queryPred`), bucket-prune the
+    * assigned table to the probed cids, exact top-K within. */
+  private def ivfTopK(idx: IvfIndex.Index, queryPred: Column): DataFrame = {
+    val q = idx.assigned.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("cid"))
+    // Materialized once (queries × nprobe rows, tiny): reused by the
+    // bucket-prune filter below and the probe join.
+    val probes = q.crossJoin(broadcast(idx.centroids))
+      .select(col("query_id"), col("qv"), col("cid"), expr("graft_dot(qv, cv)").as("qcos"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= NProbe)
+      .select(col("query_id"), col("qv"), col("cid"))
+      .localCheckpoint()
+    // Driver-side collect of the probed centroid ids — ≤ numCentroids
+    // ints, the 1-row-scalar pattern, NOT corpus-sized. A broadcast
+    // join alone never bucket-prunes; a literal IN list over the
+    // bucket column does (SelectedBucketsCount in the scan), so the
+    // probe reads ONLY the probed buckets off disk. That is the whole
+    // point of the IVF layout at 100 TB: per-probe IO is
+    // buckets_probed/buckets of the corpus, not a full scan.
+    val probedCids = probes.select(col("cid").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    idx.assigned.filter(col("cid").isin(probedCids.toIndexedSeq: _*))
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), expr("graft_dot(qv, v)").as("cosine"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= K)
+      .orderBy(col("query_id"), col("rank"))
+  }
 
   /** DuckDB fold over two already-normalized vectors. */
   private def dotSql(a: String, b: String): String =
@@ -287,12 +321,22 @@ object Ann {
          |           FROM scored)
          |SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= $K
          |ORDER BY query_id, rank""".stripMargin,
-    "ann_ivf" ->
+    "ann_ivf" -> ivfOracle(s"vec_id < $NumQueries"),
+    // Retrain-after-frozen-appends ≡ fresh full-corpus k-means (the
+    // seed rule over base∪delta is the fresh build's over the corpus),
+    // so the oracle is the ann_ivf chain on the retrain query cohort.
+    "ann_ivf_retrain" ->
+      ivfOracle(s"vec_id >= $NumQueries AND vec_id < ${2 * NumQueries}")
+  )
+
+  /** The full-corpus IVF oracle (train + assign + probe + top-K),
+    * parameterized on the query-cohort predicate over `e`. */
+  private def ivfOracle(queryPred: String): String =
       s"""WITH $normCte,
          |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $NumCentroids),
          |${(1 to KMeansIters).map(kmeansIterCte).mkString(",\n")},
          |c AS (SELECT cid, cv FROM c$KMeansIters),
-         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueries),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE $queryPred),
          |assigned AS (
          |  SELECT vec_id, v, cid FROM (
          |    SELECT e.vec_id, e.v, c.cid,
@@ -315,5 +359,4 @@ object Ann {
          |           FROM scored)
          |SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= $K
          |ORDER BY query_id, rank""".stripMargin
-  )
 }

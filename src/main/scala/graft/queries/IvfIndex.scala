@@ -80,6 +80,7 @@ object IvfIndex {
       * the appended buckets immediately, and stats (centroids) are
       * append-invariant so no cache refresh is needed. */
     def append(e2: DataFrame): Index = {
+      assertCurrent()
       val deltaIds = e2.select(col("vec_id")).localCheckpoint()
       val clashes = assigned.select(col("vec_id"))
         .join(broadcast(deltaIds), "vec_id").limit(1).count()
@@ -185,6 +186,71 @@ object IvfIndex {
       cache.put(cacheKey, compacted)
       compacted
     }
+
+    /** RETRAIN the generation — the operation [[append]]'s frozen-
+      * centroid contract defers to: re-run the deterministic Lloyd
+      * loop with the CURRENT indexed vectors (seed rule unchanged:
+      * vec_id < numCentroids among them), reassign every vector to the
+      * new centroids, and rotate the generation. Because the seed rule
+      * and iteration count are those of a fresh build, retrain after
+      * any sequence of frozen appends lands EXACTLY on the fresh-build
+      * state for the union corpus (IvfRetrainSpec pins table and
+      * centroid equality; the `ann_ivf_retrain` gate replays it in
+      * DuckDB as full-corpus k-means). Cost = a fresh build over the
+      * indexed vectors read back from the bucketed table (train passes
+      * scan it in place — nothing is collected or checkpointed), which
+      * is the point: retraining is the priced, explicit alternative to
+      * the free-but-drifting [[append]] path, and [[fitStats]] is the
+      * gauge that says when to pay it. Prior-generation handles (and
+      * branches of them) fail fast afterwards. */
+    def retrain(iters: Int, quantScale: Double): Index = {
+      assertCurrent()
+      require(parent.isEmpty,
+        "retrain() on a branch is unsupported: the branch's table holds only its " +
+          "delta and its centroids are the base's — retrain the base index")
+      graft.util.BuildLog.timed(s"ivf-retrain:$baseName") {
+        val e = assigned.select(col("vec_id"), col("v"))
+        val cent = IvfIndex.train(e, numCentroids, iters, quantScale)
+        val next = s"${baseName}_g${generation + 1}"
+        spark.sql(s"DROP TABLE IF EXISTS $next")
+        assign(e, cent)
+          .select(col("vec_id"), col("v"), col("cid"))
+          .repartition(numCentroids, col("cid"))
+          .write.mode("overwrite")
+          .bucketBy(numCentroids, "cid").sortBy("cid")
+          .option("path", Scratch.dir(next))
+          .saveAsTable(next)
+        spark.sql(s"DROP TABLE IF EXISTS $tableName")
+        Scratch.delete(tableName)
+        val retrained = new Index(spark, baseName, generation + 1,
+          cent, numCentroids, cacheKey)
+        cache.put(cacheKey, retrained)
+        retrained
+      }
+    }
+
+    /** One-row drift gauge for the retrain decision: how well this
+      * generation's centroids still fit the indexed vectors. Columns:
+      * `n` (indexed vectors), `mean_cos`/`min_cos` (assigned cosine —
+      * falls as frozen-centroid appends drift from the trained
+      * distribution), `max_bucket_frac` (largest bucket's share — a
+      * drifting corpus piles into few buckets, which is what erodes
+      * probe pruning). One pass over the assigned table with map-side
+      * partial aggregation; the shuffle carries ≤ numCentroids rows. */
+    def fitStats: DataFrame = {
+      assertCurrent()
+      graft.functions.DotProduct.register(spark)
+      val per = assigned.join(broadcast(centroids), "cid")
+        .select(col("cid"), expr("graft_dot(v, cv)").as("ccos"))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("cn"), sum(col("ccos")).as("sc"),
+          min(col("ccos")).as("mn"))
+      per.agg(sum(col("cn")).as("n"),
+        (sum(col("sc")) / sum(col("cn")).cast("double")).as("mean_cos"),
+        min(col("mn")).as("min_cos"),
+        (max(col("cn")).cast("double") / sum(col("cn")).cast("double"))
+          .as("max_bucket_frac"))
+    }
   }
 
   /** Per-vector argmax as max_by under groupBy (NOT a row_number
@@ -220,9 +286,13 @@ object IvfIndex {
     })
   }
 
-  private def build(spark: SparkSession, corpusKey: String, e: DataFrame,
-      numCentroids: Int, iters: Int, quantScale: Double,
-      cacheKey: String): Index = {
+  /** The deterministic spherical k-means loop shared by [[build]] and
+    * [[Index.retrain]]: seeds = vec_id < numCentroids among `e`'s
+    * rows, `iters` Lloyd iterations with integer-quantized component
+    * sums (order-independent — the oracle replays it), returns the
+    * checkpointed (cid, cv) centroid frame. */
+  private def train(e: DataFrame, numCentroids: Int, iters: Int,
+      quantScale: Double): DataFrame = {
     var cent = e.filter(col("vec_id") < numCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     for (_ <- 1 to iters) {
@@ -241,7 +311,25 @@ object IvfIndex {
         .withColumn("nrm", sqrt(VectorOps.norm2(col("cv0"))))
         .select(col("cid"), transform(col("cv0"), x => x / col("nrm")).as("cv"))
     }
-    cent = cent.localCheckpoint()
+    cent.localCheckpoint()
+  }
+
+  /** Build an UNcached, caller-owned index (the [[MinhashIndex]]
+    * `fresh` contract: per-invocation mutation — append, retrain —
+    * must never leak into the shared of() instances; call
+    * [[Index.drop]] when done). */
+  def fresh(spark: SparkSession, corpusKey: String, e: DataFrame,
+      numCentroids: Int, iters: Int, quantScale: Double): Index =
+    graft.util.BuildLog.timed(s"ivf-fresh:$corpusKey") {
+      val k = s"$corpusKey#${freshSeq.incrementAndGet()}"
+      build(spark, k, e, numCentroids, iters, quantScale,
+        Scratch.sessionId(spark) + "|" + k)
+    }
+
+  private def build(spark: SparkSession, corpusKey: String, e: DataFrame,
+      numCentroids: Int, iters: Int, quantScale: Double,
+      cacheKey: String): Index = {
+    val cent = train(e, numCentroids, iters, quantScale)
 
     // Session-scoped table name + scratch path (two sessions building
     // the same corpus never clobber each other — ADVICE r5).
