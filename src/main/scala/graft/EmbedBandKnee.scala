@@ -98,9 +98,12 @@ object EmbedBandKnee {
         s"[embed-knee] $d TRUE pairs=$truePairs hi70=$true70 hi90=$true90 " +
           s"(${f(truthSec)}s, brute force)"
       else s"[embed-knee] $d truth skipped ($nVecs vectors > cap $truthMax)")
+      // A zero denominator means the tier was NOT measured on this
+      // corpus (e.g. hi90 on the shipped synthetics, which hold no
+      // ≥0.9 pairs) — record null, never a vacuous 1.000 a reader
+      // could mistake for measured-perfect recall.
       def recallStr(n: Long, denom: Long): String =
-        if (!haveTruth) "null"
-        else if (denom == 0) "1.000"
+        if (!haveTruth || denom == 0) "null"
         else f(n.toDouble / denom)
       val multi = (for {
         bits <- Seq(8, 16)

@@ -36,8 +36,12 @@ object NearDupSeed {
 
     val src = Tables.embeddings(spark, srcDir)
       .select(col("vec_id"), col("embedding"))
+    // Offset clears the source id range even on large corpora (the
+    // ×64 corpus has 128k vectors, past a fixed 100k offset).
+    val offset = math.max(100000L,
+      src.agg(max(col("vec_id"))).collect().head.getLong(0) + 1L)
     val perturbed = src.select(
-      (col("vec_id") + lit(100000L)).as("vec_id"),
+      (col("vec_id") + lit(offset)).as("vec_id"),
       transform(col("embedding"), (x, i) =>
         when(pmod(col("vec_id") + i, lit(13)) === 0, x * lit(-0.15f))
           .otherwise(x)).as("embedding"))

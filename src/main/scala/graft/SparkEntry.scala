@@ -41,10 +41,10 @@ object SparkEntry {
       graft.queries.Ann.prebuildIndex(spark, sfDir)
     if (names("d_incr_indexed") || names("pipe_incr_clean") || names("st_incr_neardup") ||
         names("pipe_incr_evolve") || // evolve branches the shared indexes (r9 VERDICT #4)
-        names("pipe_incr_evolve_embed"))
+        names("pipe_incr_clean_embed") || names("pipe_incr_evolve_embed"))
       graft.queries.Dedup.incrIndex(spark, sfDir)
     if (names("pipe_incr_clean") || names("pipe_incr_evolve") ||
-        names("pipe_incr_evolve_embed"))
+        names("pipe_incr_clean_embed") || names("pipe_incr_evolve_embed"))
       graft.queries.Dedup.digestIndex(spark, sfDir)
     if (names("d_embed_incr_indexed") || names("pipe_incr_clean_embed") ||
         names("pipe_incr_evolve_embed"))

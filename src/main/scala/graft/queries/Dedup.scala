@@ -675,6 +675,34 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** The SELF-CONTAINED `d_embed_incr_indexed` twin at the gate
+    * geometry (8-bit × 4 rotations): multiprobe pair discovery over
+    * the FULL vector table — corpus bands recomputed per call, the
+    * shape [[embedIndex]]'s persisted probe exists to retire —
+    * oriented delta→corpus with the gate's best-match tie rules and
+    * an `is_new` verdict per delta vector. ONE definition shared by
+    * EmbedIndexSpec (pins probe ≡ this) and EmbedIndexProbe (prices
+    * probe vs this), so the pinned twin and the priced twin cannot
+    * drift apart. Unsorted — callers order or compare as needed. */
+  private[graft] def embedIncrSelfContained(s: SparkSession, d: String): DataFrame = {
+    val pairs = embedLshPairsMulti(s, d, MaxBandSize, 8, 4)
+    val m = pairs.select(
+        when(pmod(col("vec_a"), lit(10)) === 0, col("vec_a")).otherwise(col("vec_b")).as("vec_id"),
+        when(pmod(col("vec_a"), lit(10)) === 0, col("vec_b")).otherwise(col("vec_a")).as("dup_of"),
+        col("cosine"))
+      .filter(pmod(col("vec_id"), lit(10)) === 0 && pmod(col("dup_of"), lit(10)) =!= 0)
+    val best = m.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+          .orderBy(col("cosine").desc, col("dup_of"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("dup_of"), col("cosine"))
+    graft.Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select(col("vec_id"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("dup_of"), col("cosine"),
+        col("dup_of").isNull.as("is_new"))
+  }
+
   private def embedLshCandsMulti(e: DataFrame, cap: Int, bandBits: Int,
       rotations: Int): DataFrame = {
     require(bandBits >= 1 && bandBits <= 62 && 64 % bandBits == 0,

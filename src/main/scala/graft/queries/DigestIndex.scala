@@ -130,6 +130,10 @@ object DigestIndex {
     def drop(): Unit = {
       spark.sql(s"DROP TABLE IF EXISTS $tableName")
       Scratch.delete(tableName)
+      // Release this handle's cache entry if it holds one (compact()
+      // on a caller-owned fresh index cache.put()s its key — see
+      // IvfIndex.drop). No-op for branches.
+      DigestIndex.cache.remove(cacheKey, this)
     }
 
     /** Caller-owned ZERO-COPY branch ([[MinhashIndex.Index.branch]]

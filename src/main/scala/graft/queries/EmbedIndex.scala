@@ -210,6 +210,10 @@ object EmbedIndex {
       spark.sql(s"DROP TABLE IF EXISTS $vecsTable")
       Scratch.delete(tableName)
       Scratch.delete(vecsTable)
+      // Release this handle's cache entry if it holds one (compact()
+      // on a caller-owned fresh index cache.put()s its key — see
+      // IvfIndex.drop). No-op for branches.
+      EmbedIndex.cache.remove(cacheKey, this)
     }
 
     /** Caller-owned ZERO-COPY branch ([[MinhashIndex.Index.branch]]

@@ -28,25 +28,10 @@ object EmbedIndexProbe {
 
   /** The self-contained `d_embed_incr_indexed` twin: identical verdict
     * frame, corpus bands recomputed per call — the shape the persisted
-    * index exists to retire. */
-  private def selfContained(s: SparkSession, d: String): DataFrame = {
-    val pairs = Dedup.embedLshPairsMulti(s, d, Dedup.MaxBandSize, 8, 4)
-    val m = pairs.select(
-        when(pmod(col("vec_a"), lit(10)) === 0, col("vec_a")).otherwise(col("vec_b")).as("vec_id"),
-        when(pmod(col("vec_a"), lit(10)) === 0, col("vec_b")).otherwise(col("vec_a")).as("dup_of"),
-        col("cosine"))
-      .filter(pmod(col("vec_id"), lit(10)) === 0 && pmod(col("dup_of"), lit(10)) =!= 0)
-    val best = m.withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
-          .orderBy(col("cosine").desc, col("dup_of"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("dup_of"), col("cosine"))
-    Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(10)) === 0)
-      .select(col("vec_id"))
-      .join(best, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("dup_of"), col("cosine"),
-        col("dup_of").isNull.as("is_new"))
-  }
+    * index exists to retire. ONE definition shared with the spec that
+    * pins the equivalence ([[Dedup.embedIncrSelfContained]]). */
+  private def selfContained(s: SparkSession, d: String): DataFrame =
+    Dedup.embedIncrSelfContained(s, d)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -82,7 +67,20 @@ object EmbedIndexProbe {
 
     val (nIdx, idxSec) = p50(idx.probe(delta).queryExecution.toRdd.count())
     val (nSelf, selfSec) = p50(selfContained(spark, sfDir).queryExecution.toRdd.count())
-    require(nIdx == nSelf, s"probe and self-contained row counts diverged: $nIdx vs $nSelf")
+    // Untimed equivalence check on the actual VERDICTS, not row counts
+    // (both frames left-join off the same delta id set, so counts are
+    // equal by construction and prove nothing): the artifact only
+    // ships if every (vec_id, dup_of, cosine, is_new) matches.
+    def verdicts(df: DataFrame): Seq[(Long, Any, Any, Boolean)] =
+      df.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2),
+        r.getBoolean(3))).toSeq.sortBy(_._1)
+    val vIdx = verdicts(idx.probe(delta))
+    val vSelf = verdicts(selfContained(spark, sfDir))
+    require(vIdx == vSelf,
+      s"probe and self-contained verdicts diverged (${vIdx.size}/${vSelf.size} rows; " +
+        s"first diff: ${vIdx.zip(vSelf).find(p => p._1 != p._2)})")
 
     def f(v: Double) = f"$v%.3f"
     println(s"""{"sf":"$sfDir","vectors":$nVecs,"rows":$nIdx,""" +

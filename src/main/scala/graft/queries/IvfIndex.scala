@@ -151,6 +151,12 @@ object IvfIndex {
     def drop(): Unit = {
       spark.sql(s"DROP TABLE IF EXISTS $tableName")
       Scratch.delete(tableName)
+      // Release this handle's cache entry if it holds one (a compact()
+      // or retrain() on a caller-owned fresh index cache.put()s its
+      // key; without this, every dropped rotation leaks an entry
+      // pinning the dead Index forever). No-op for branches and for
+      // handles whose key maps elsewhere.
+      IvfIndex.cache.remove(cacheKey, this)
     }
 
     /** Rewrite the assigned table into a fresh generation with ONE

@@ -246,6 +246,10 @@ object MinhashIndex {
       spark.sql(s"DROP TABLE IF EXISTS $arraysTable")
       Scratch.delete(tableName)
       Scratch.delete(arraysTable)
+      // Release this handle's cache entry if it holds one (compact()
+      // on a caller-owned fresh index cache.put()s its key — see
+      // IvfIndex.drop). No-op for branches.
+      MinhashIndex.cache.remove(cacheKey, this)
     }
 
     /** Caller-owned copy-on-write BRANCH of this index: both bucketed

@@ -208,6 +208,10 @@ final class PostingsIndex private (
     spark.sql(s"DROP TABLE IF EXISTS $docsTable")
     graft.util.Scratch.delete(tableName)
     graft.util.Scratch.delete(docsTable)
+    // Release this handle's cache entry if it holds one (append()/
+    // compact() refresh the entry for caller-owned fresh indexes too —
+    // see IvfIndex.drop). No-op for branches.
+    PostingsIndex.cache.remove(cacheKey, this)
   }
 
   /** Rewrite the postings into a fresh generation with ONE file per

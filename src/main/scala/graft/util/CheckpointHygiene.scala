@@ -85,16 +85,24 @@ object CheckpointHygiene {
     }
     try body
     finally {
+      // The doomed set is SNAPSHOTTED inside the lock at the depth-0
+      // transition: a scope that opens after the lock releases takes a
+      // baseline that still CONTAINS these ids (they are unpersisted
+      // below, outside the lock), and its own new checkpoints get ids
+      // not in this snapshot — so a racing opener's in-flight blocks
+      // can never be swept, which enumerating getPersistentRDDs after
+      // releasing the lock would not guarantee.
       val sweep = st.synchronized {
         st.depth -= 1
         if (st.depth == 0) {
-          val b = st.baseline; st.baseline = null; Some((b, st.blocking))
+          val doomed = spark.sparkContext.getPersistentRDDs.toList
+            .filter { case (id, _) => !st.baseline.contains(id) }
+          st.baseline = null
+          Some((doomed, st.blocking))
         } else None
       }
-      sweep.foreach { case (baseline, block) =>
-        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-          if (!baseline.contains(id)) rdd.unpersist(block)
-        }
+      sweep.foreach { case (doomed, block) =>
+        doomed.foreach { case (_, rdd) => rdd.unpersist(block) }
       }
     }
   }

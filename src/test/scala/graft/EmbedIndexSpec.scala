@@ -29,24 +29,8 @@ class EmbedIndexSpec extends SparkSuite {
     * geometry, oriented delta→corpus, best match per delta vector —
     * what the index probe must reproduce without re-paying the
     * corpus-side band computation. */
-  private def standalone = {
-    val pairs = Dedup.embedLshPairsMulti(spark, d, Dedup.MaxBandSize, 8, 4)
-    val m = pairs.select(
-        when(pmod(col("vec_a"), lit(10)) === 0, col("vec_a")).otherwise(col("vec_b")).as("vec_id"),
-        when(pmod(col("vec_a"), lit(10)) === 0, col("vec_b")).otherwise(col("vec_a")).as("dup_of"),
-        col("cosine"))
-      .filter(pmod(col("vec_id"), lit(10)) === 0 && pmod(col("dup_of"), lit(10)) =!= 0)
-    val best = m.withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
-          .orderBy(col("cosine").desc, col("dup_of"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("dup_of"), col("cosine"))
-    deltaVecs.select(col("vec_id"))
-      .join(best, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("dup_of"), col("cosine"),
-        col("dup_of").isNull.as("is_new"))
-      .orderBy(col("vec_id"))
-  }
+  private def standalone =
+    Dedup.embedIncrSelfContained(spark, d).orderBy(col("vec_id"))
 
   test("index probe == the self-contained multiprobe best-match") {
     val idx = EmbedIndex.of(spark, s"spec|$d", corpusVecs)
