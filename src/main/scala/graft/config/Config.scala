@@ -69,7 +69,13 @@ object Toml {
         .filter(_.nonEmpty).map(x => parseValue(x))
     case s =>
       try s.replace("_", "").toLong
-      catch { case _: Throwable => s }
+      catch {
+        case _: Throwable =>
+          // TOML floats (ivf_retrain_below_cos = 0.8); non-numeric
+          // bare values stay strings.
+          try s.replace("_", "").toDouble
+          catch { case _: Throwable => s }
+      }
   }
 }
 
@@ -111,7 +117,9 @@ final case class ScaleConfig(
     seqPackShards: Int = 8,
     embedBandBits: Int = 8,
     embedRotations: Int = 4,
-    compactEveryAppends: Int = 0)
+    compactEveryAppends: Int = 0,
+    ivfFitCheckEvery: Int = 0,
+    ivfRetrainBelowCos: Double = 0.0)
 
 /** Engine configuration (config.py:60-86). `manifestPath` derives from
   * the project root + target dir exactly as the reference's property. */
@@ -150,6 +158,12 @@ object Config {
     }
     def bool(m: Map[String, Any], k: String, dflt: Boolean): Boolean = m.get(k) match {
       case Some(b: Boolean) => b
+      case _ => dflt
+    }
+    def dbl(m: Map[String, Any], k: String, dflt: Double): Double = m.get(k) match {
+      case Some(d: Double) => d
+      case Some(l: Long) => l.toDouble
+      case Some(i: Int) => i.toDouble
       case _ => dflt
     }
 
@@ -195,7 +209,9 @@ object Config {
         seqPackShards = int(scaleSec, "seq_pack_shards", 8),
         embedBandBits = int(scaleSec, "embed_band_bits", 8),
         embedRotations = int(scaleSec, "embed_rotations", 4),
-        compactEveryAppends = int(scaleSec, "compact_every_appends", 0)))
+        compactEveryAppends = int(scaleSec, "compact_every_appends", 0),
+        ivfFitCheckEvery = int(scaleSec, "ivf_fit_check_every", 0),
+        ivfRetrainBelowCos = dbl(scaleSec, "ivf_retrain_below_cos", 0.0)))
   }
 
   private def findUpward(start: Path): Option[Path] = {

@@ -28,20 +28,45 @@ object IndexMaintenance {
     * [[graft.api.Engine.open]], the runtime config entry). */
   @volatile var compactEveryAppends: Int = 0
 
-  def configure(cfg: graft.config.EngineConfig): Unit =
+  /** IVF drift-triggered retrain cadence (`[scale] ivf_fit_check_every`
+    * + `ivf_retrain_below_cos`, both default off): every N appends the
+    * IVF base index runs its `fitStats` gauge — a deliberate
+    * corpus-sized single-column read, which is WHY the check has its
+    * own explicit cadence instead of riding every delta-sized append —
+    * and rotates the generation via `retrain()` when the mean assigned
+    * cosine has drifted below the threshold. Both knobs must be set;
+    * branches never auto-retrain (their centroids are the base's by
+    * contract). AutoRetrainSpec pins fire/no-fire and
+    * auto ≡ manual retrain. */
+  @volatile var ivfFitCheckEvery: Int = 0
+  @volatile var ivfRetrainBelowCos: Double = 0.0
+
+  def configure(cfg: graft.config.EngineConfig): Unit = {
     compactEveryAppends = cfg.scale.compactEveryAppends
+    ivfFitCheckEvery = cfg.scale.ivfFitCheckEvery
+    ivfRetrainBelowCos = cfg.scale.ivfRetrainBelowCos
+  }
 
   private val counters = new ConcurrentHashMap[String, AtomicInteger]()
+  private val fitCounters = new ConcurrentHashMap[String, AtomicInteger]()
 
-  /** Record one append on `table`; true when the cadence fires (the
-    * caller compacts and the counter resets — the next generation's
-    * table name starts a fresh count). */
-  private[graft] def appendTick(table: String): Boolean = {
-    val every = compactEveryAppends
+  private def tick(map: ConcurrentHashMap[String, AtomicInteger],
+      table: String, every: Int): Boolean =
     if (every <= 0) false
     else {
-      val c = counters.computeIfAbsent(table, _ => new AtomicInteger(0))
+      val c = map.computeIfAbsent(table, _ => new AtomicInteger(0))
       if (c.incrementAndGet() >= every) { c.set(0); true } else false
     }
-  }
+
+  /** Record one append on `table`; true when the compaction cadence
+    * fires (the caller compacts and the counter resets — the next
+    * generation's table name starts a fresh count). */
+  private[graft] def appendTick(table: String): Boolean =
+    tick(counters, table, compactEveryAppends)
+
+  /** Record one append on `table` against the FIT-CHECK cadence; true
+    * when the gauge pass is due (the caller then compares mean cosine
+    * to [[ivfRetrainBelowCos]]). */
+  private[graft] def fitTick(table: String): Boolean =
+    tick(fitCounters, table, ivfFitCheckEvery)
 }

@@ -31,8 +31,8 @@ object IvfIndex {
 
   final class Index private[IvfIndex] (spark: SparkSession, baseName: String,
       private[IvfIndex] val generation: Int, val centroids: DataFrame,
-      numCentroids: Int, cacheKey: String,
-      parent: Option[Index] = None) {
+      numCentroids: Int, trainIters: Int, trainQuant: Double,
+      cacheKey: String, parent: Option[Index] = None) {
 
     /** Catalog name of this generation's assigned table: compaction
       * rewrites into a fresh `_gN` table (drop-after-write swap). */
@@ -93,9 +93,25 @@ object IvfIndex {
         .bucketBy(numCentroids, "cid").sortBy("cid")
         .option("path", Scratch.dir(tableName))
         .saveAsTable(tableName)
-      // [scale] compact_every_appends cadence — base tables only
-      if (parent.isEmpty && IndexMaintenance.appendTick(tableName)) compact()
-      else this
+      // [scale] compact_every_appends cadence — base tables only.
+      // [scale] ivf_fit_check_every + ivf_retrain_below_cos cadence:
+      // every N appends the base index pays the fitStats gauge (a
+      // corpus-sized single-column read — deliberately NOT on every
+      // delta-sized append, hence its own cadence) and rotates the
+      // generation via retrain() when the frozen centroids' mean
+      // assigned cosine has drifted below the threshold. The caller's
+      // "use the returned instance" contract carries the fresh
+      // generation back, exactly as auto-compact does. Branches never
+      // auto-compact or auto-retrain.
+      if (parent.nonEmpty) this
+      else {
+        val cur = if (IndexMaintenance.appendTick(tableName)) compact() else this
+        val below = IndexMaintenance.ivfRetrainBelowCos
+        if (below > 0.0 && IndexMaintenance.fitTick(cur.tableName) &&
+            cur.fitStats.collect().head.getDouble(1) < below)
+          cur.retrain()
+        else cur
+      }
     }
 
     /** Caller-owned ZERO-COPY branch ([[MinhashIndex.Index.branch]]'s
@@ -115,8 +131,8 @@ object IvfIndex {
       graft.util.BuildLog.timed(s"ivf-branch:$baseName") {
         val k = s"branch|$baseName#${IvfIndex.freshSeq.incrementAndGet()}"
         new Index(spark, Scratch.tableName(spark, "graft_ivf", k), 0,
-          centroids, numCentroids, Scratch.sessionId(spark) + "|" + k,
-          parent = Some(this))
+          centroids, numCentroids, trainIters, trainQuant,
+          Scratch.sessionId(spark) + "|" + k, parent = Some(this))
       }
     }
 
@@ -141,7 +157,7 @@ object IvfIndex {
           .option("path", Scratch.dir(snap))
           .saveAsTable(snap)
         new Index(spark, snap, 0, centroids, numCentroids,
-          Scratch.sessionId(spark) + "|" + k)
+          trainIters, trainQuant, Scratch.sessionId(spark) + "|" + k)
       }
     }
 
@@ -188,7 +204,7 @@ object IvfIndex {
       spark.sql(s"DROP TABLE IF EXISTS $tableName")
       Scratch.delete(tableName)
       val compacted = new Index(spark, baseName, generation + 1,
-        centroids, numCentroids, cacheKey)
+        centroids, numCentroids, trainIters, trainQuant, cacheKey)
       cache.put(cacheKey, compacted)
       compacted
     }
@@ -209,7 +225,7 @@ object IvfIndex {
       * the free-but-drifting [[append]] path, and [[fitStats]] is the
       * gauge that says when to pay it. Prior-generation handles (and
       * branches of them) fail fast afterwards. */
-    def retrain(iters: Int, quantScale: Double): Index = {
+    def retrain(iters: Int = trainIters, quantScale: Double = trainQuant): Index = {
       assertCurrent()
       require(parent.isEmpty,
         "retrain() on a branch is unsupported: the branch's table holds only its " +
@@ -229,7 +245,7 @@ object IvfIndex {
         spark.sql(s"DROP TABLE IF EXISTS $tableName")
         Scratch.delete(tableName)
         val retrained = new Index(spark, baseName, generation + 1,
-          cent, numCentroids, cacheKey)
+          cent, numCentroids, iters, quantScale, cacheKey)
         cache.put(cacheKey, retrained)
         retrained
       }
@@ -352,6 +368,6 @@ object IvfIndex {
       .bucketBy(numCentroids, "cid").sortBy("cid")
       .option("path", Scratch.dir(tableName))
       .saveAsTable(tableName)
-    new Index(spark, tableName, 0, cent, numCentroids, cacheKey)
+    new Index(spark, tableName, 0, cent, numCentroids, iters, quantScale, cacheKey)
   }
 }

@@ -34,6 +34,8 @@ class ConfigSpec extends SparkSuite {
       |shard_bits = 16
       |embed_band_bits = 16
       |embed_rotations = 8
+      |ivf_fit_check_every = 100
+      |ivf_retrain_below_cos = 0.8
       |""".stripMargin
 
   test("toml subset parses sections, ints, bools, arrays, comments") {
@@ -67,6 +69,11 @@ class ConfigSpec extends SparkSuite {
     assert(cfg.scale.embedBandBits == 16)
     assert(cfg.scale.embedRotations == 8)
     assert(cfg.scale.seqPackShards == 8, "unset knob keeps its default")
+    // [scale] drift-retrain cadence (round 11): double knob parses,
+    // int knob parses, defaults stay off.
+    assert(cfg.scale.ivfFitCheckEvery == 100)
+    assert(cfg.scale.ivfRetrainBelowCos == 0.8)
+    assert(cfg.scale.compactEveryAppends == 0, "unset cadence stays off")
   }
 
   test("missing config file yields pure defaults") {

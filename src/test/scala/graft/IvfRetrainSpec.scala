@@ -92,6 +92,50 @@ class IvfRetrainSpec extends SparkSuite {
     } finally idx.drop()
   }
 
+  test("drift cadence: append auto-retrains exactly when the gauge crosses") {
+    import spark.implicits._
+    import graft.queries.IndexMaintenance
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    def oneHot(i: Int): Seq[Double] = Seq.tabulate(64)(j => if (j == i) 1.0 else 0.0)
+    val base = (0L until 20L).map(i => (i, oneHot((i % 2).toInt))).toDF("vec_id", "v")
+    val goodDelta = (200L until 210L).map(i => (i, oneHot((i % 2).toInt))).toDF("vec_id", "v")
+    val badDelta = (100L until 110L).map(i => (i, oneHot(2))).toDF("vec_id", "v")
+    assert(IndexMaintenance.ivfFitCheckEvery == 0 &&
+      IndexMaintenance.ivfRetrainBelowCos == 0.0, "cadence defaults off")
+    IndexMaintenance.ivfFitCheckEvery = 1
+    IndexMaintenance.ivfRetrainBelowCos = 0.9
+    var auto = IvfIndex.fresh(spark, s"ivf_rt_auto_$run", base,
+      numCentroids = 2, iters = 2, quantScale = 1000000.0)
+    try {
+      val g0 = auto
+      auto = auto.append(goodDelta)
+      assert(auto eq g0, "a well-fitting append (mean cosine 1.0) must not rotate")
+      auto = auto.append(badDelta) // mean falls to 30/40 = 0.75 < 0.9
+      assert(auto ne g0, "drift past the threshold must rotate the generation")
+      assert(intercept[IllegalStateException](g0.assigned.count())
+        .getMessage.contains("stale"), "the pre-rotation handle is stale")
+
+      // The auto-rotation lands exactly on a manual retrain of the
+      // same state (knobs off on the twin).
+      IndexMaintenance.ivfFitCheckEvery = 0
+      IndexMaintenance.ivfRetrainBelowCos = 0.0
+      var manual = IvfIndex.fresh(spark, s"ivf_rt_man_$run", base,
+        numCentroids = 2, iters = 2, quantScale = 1000000.0)
+      try {
+        manual = manual.append(goodDelta).append(badDelta).retrain()
+        def assigned(i: IvfIndex.Index): Map[Long, Long] =
+          i.assigned.select("vec_id", "cid").collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(assigned(auto) == assigned(manual),
+          "auto-retrain == manual retrain on the same state")
+      } finally manual.drop()
+    } finally {
+      IndexMaintenance.ivfFitCheckEvery = 0
+      IndexMaintenance.ivfRetrainBelowCos = 0.0
+      auto.drop()
+    }
+  }
+
   test("retrain rotates the generation: stale handles and branches fail fast") {
     import spark.implicits._
     val run = java.util.UUID.randomUUID().toString.take(8)
