@@ -69,6 +69,83 @@ class AutoCompactSpec extends SparkSuite {
     } finally IndexMaintenance.compactEveryAppends = 0
   }
 
+  // Per-class cadence smokes (round 11): the appendTick hook is wired
+  // by hand in each of the five persisted indexes (the SURVEY §9.10
+  // base-trait item), so each wiring gets its own rotation check —
+  // cadence 1, one append, the returned handle must carry a fresh
+  // generation with the appended content discoverable.
+
+  test("MinhashIndex append auto-compacts at the cadence") {
+    import spark.implicits._
+    IndexMaintenance.compactEveryAppends = 1
+    try {
+      val base = graft.queries.MinhashIndex.fresh(spark, "ac_mh",
+        Seq(1L -> "alpha beta gamma delta epsilon zeta eta theta")
+          .toDF("doc_id", "text"))
+      val after = base.append(
+        Seq(2L -> "iota kappa lambda mu nu xi omicron pi").toDF("doc_id", "text"))
+      assert(after ne base, "the cadence must rotate the generation")
+      assert(after.tableName != base.tableName)
+      val hit = after.probe(
+        Seq(10L -> "iota kappa lambda mu nu xi omicron pi").toDF("doc_id", "text"))
+        .filter(col("dup_of") === 2L).count()
+      assert(hit == 1, "content appended in the compacting tick is discoverable")
+      after.drop()
+    } finally IndexMaintenance.compactEveryAppends = 0
+  }
+
+  test("EmbedIndex append auto-compacts at the cadence") {
+    import spark.implicits._
+    IndexMaintenance.compactEveryAppends = 1
+    def oneHot(i: Int): Array[Float] =
+      Array.tabulate(64)(j => if (j == i) 1.0f else 0.0f)
+    try {
+      val base = graft.queries.EmbedIndex.fresh(spark, "ac_em",
+        Seq((1L, oneHot(0))).toDF("vec_id", "embedding"))
+      val after = base.append(Seq((2L, oneHot(5))).toDF("vec_id", "embedding"))
+      assert(after ne base, "the cadence must rotate the generation")
+      assert(after.tableName != base.tableName)
+      val hit = after.probe(Seq((10L, oneHot(5))).toDF("vec_id", "embedding"))
+        .filter(col("dup_of") === 2L).count()
+      assert(hit == 1, "content appended in the compacting tick is discoverable")
+      after.drop()
+    } finally IndexMaintenance.compactEveryAppends = 0
+  }
+
+  test("IvfIndex append auto-compacts at the cadence") {
+    import spark.implicits._
+    IndexMaintenance.compactEveryAppends = 1
+    def oneHot(i: Int): Seq[Double] = Seq.tabulate(64)(j => if (j == i) 1.0 else 0.0)
+    try {
+      val base = graft.queries.IvfIndex.fresh(spark, "ac_ivf",
+        (0L until 4L).map(i => (i, oneHot((i % 2).toInt))).toDF("vec_id", "v"),
+        numCentroids = 2, iters = 1, quantScale = 1000000.0)
+      val after = base.append(Seq((10L, oneHot(0))).toDF("vec_id", "v"))
+      assert(after ne base, "the cadence must rotate the generation")
+      assert(after.tableName != base.tableName)
+      assert(after.assigned.count() == 5, "appended vector present post-compact")
+      after.drop()
+    } finally IndexMaintenance.compactEveryAppends = 0
+  }
+
+  test("PostingsIndex append auto-compacts at the cadence") {
+    import spark.implicits._
+    IndexMaintenance.compactEveryAppends = 1
+    try {
+      val base = graft.search.PostingsIndex.of(
+        Seq(1L -> "alpha beta gamma").toDF("doc_id", "text"),
+        "doc_id", "text", "ac_po")
+      val after = base.append(
+        Seq(2L -> "delta epsilon zeta").toDF("doc_id", "text"), "doc_id", "text")
+      assert(after ne base, "the cadence must rotate the generation")
+      assert(after.tableName != base.tableName)
+      assert(after.nDocs == 2 &&
+        after.postings.filter(col("term") === "delta").count() > 0,
+        "appended content present post-compact")
+      after.drop()
+    } finally IndexMaintenance.compactEveryAppends = 0
+  }
+
   test("the [scale] compact_every_appends knob reaches the runtime") {
     val root = java.nio.file.Files.createTempDirectory("graft_ac_cfg")
     java.nio.file.Files.writeString(
