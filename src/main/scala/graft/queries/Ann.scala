@@ -184,6 +184,20 @@ object Ann {
     // fresh full-corpus index — so the oracle replays the SAME
     // full-corpus k-means as ann_ivf, on a query cohort disjoint from
     // ann_ivf's (5 ≤ vec_id < 10) so the two gates don't share values.
+    // The drift GAUGE itself, oracle-gated: fitStats over the shared
+    // full-corpus index — n, mean/min assigned cosine, max bucket
+    // fraction. The mean is integer-quantized before summing (the
+    // k-means idiom, 1e9 scale), so the value is order-independent
+    // and DuckDB replays it bit-for-bit; min_cos is a MIN over dots
+    // both engines fold left-to-right identically, and the bucket
+    // fraction is a ratio of exact counts. This is the number the
+    // [scale] ivf_retrain_below_cos cadence thresholds.
+    "ann_ivf_fitstats" -> ((s, d) => {
+      DotProduct.register(s)
+      IvfIndex.of(s, d, vecs(s, d), NumCentroids, KMeansIters, QuantScale)
+        .fitStats
+    }),
+
     // The per-invocation indexes are caller-owned (fresh) and dropped
     // after the result materializes (localCheckpoint, the incrEvolve
     // discipline); the fresh/retrain builds are itemized by BuildLog.
@@ -326,7 +340,32 @@ object Ann {
     // seed rule over base∪delta is the fresh build's over the corpus),
     // so the oracle is the ann_ivf chain on the retrain query cohort.
     "ann_ivf_retrain" ->
-      ivfOracle(s"vec_id >= $NumQueries AND vec_id < ${2 * NumQueries}")
+      ivfOracle(s"vec_id >= $NumQueries AND vec_id < ${2 * NumQueries}"),
+    // The drift gauge replayed exactly: full-corpus k-means + argmax
+    // assignment, then per-centroid counts, integer-quantized cosine
+    // sums (order-independent — both engines sum exact BIGINTs), MIN
+    // cosine, and the largest bucket's share.
+    "ann_ivf_fitstats" ->
+      s"""WITH $normCte,
+         |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $NumCentroids),
+         |${(1 to KMeansIters).map(kmeansIterCte).mkString(",\n")},
+         |c AS (SELECT cid, cv FROM c$KMeansIters),
+         |assigned AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT e.vec_id, e.v, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |                         ORDER BY ${dotSql("e.v", "c.cv")} DESC, c.cid) AS rn
+         |    FROM e CROSS JOIN c) WHERE rn = 1),
+         |per AS (
+         |  SELECT x.cid, COUNT(*) AS cn,
+         |    SUM(CAST(floor(${dotSql("x.v", "c.cv")} * 1000000000.0 + 0.5) AS BIGINT)) AS sq,
+         |    MIN(${dotSql("x.v", "c.cv")}) AS mn
+         |  FROM assigned x JOIN c USING (cid) GROUP BY x.cid)
+         |SELECT CAST(SUM(cn) AS BIGINT) AS n,
+         |  CAST(SUM(sq) AS DOUBLE) / CAST(SUM(cn) AS DOUBLE) / 1000000000.0 AS mean_cos,
+         |  MIN(mn) AS min_cos,
+         |  CAST(MAX(cn) AS DOUBLE) / CAST(SUM(cn) AS DOUBLE) AS max_bucket_frac
+         |FROM per""".stripMargin
   )
 
   /** The full-corpus IVF oracle (train + assign + probe + top-K),

@@ -258,17 +258,24 @@ object IvfIndex {
       * distribution), `max_bucket_frac` (largest bucket's share — a
       * drifting corpus piles into few buckets, which is what erodes
       * probe pruning). One pass over the assigned table with map-side
-      * partial aggregation; the shuffle carries ≤ numCentroids rows. */
+      * partial aggregation; the shuffle carries ≤ numCentroids rows.
+      * The mean is integer-quantized before summing (the [[build]]
+      * k-means idiom, 1e9 scale): a gauge that returns bit-identical
+      * values regardless of aggregation order is both reproducible
+      * across runs AND DuckDB-replayable — the `ann_ivf_fitstats`
+      * gate pins it; min/max-fraction are exact without quantization. */
     def fitStats: DataFrame = {
       assertCurrent()
       graft.functions.DotProduct.register(spark)
       val per = assigned.join(broadcast(centroids), "cid")
         .select(col("cid"), expr("graft_dot(v, cv)").as("ccos"))
         .groupBy(col("cid"))
-        .agg(count(lit(1)).as("cn"), sum(col("ccos")).as("sc"),
+        .agg(count(lit(1)).as("cn"),
+          sum(floor(col("ccos") * lit(1e9) + 0.5).cast("long")).as("sq"),
           min(col("ccos")).as("mn"))
-      per.agg(sum(col("cn")).as("n"),
-        (sum(col("sc")) / sum(col("cn")).cast("double")).as("mean_cos"),
+      per.agg(sum(col("cn")).cast("long").as("n"),
+        (sum(col("sq")).cast("double") / sum(col("cn")).cast("double") / 1e9)
+          .as("mean_cos"),
         min(col("mn")).as("min_cos"),
         (max(col("cn")).cast("double") / sum(col("cn")).cast("double"))
           .as("max_bucket_frac"))
