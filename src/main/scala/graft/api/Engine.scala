@@ -38,6 +38,10 @@ class Engine private (spark: SparkSession, manifestPath: String,
   private var capsules = new CapsuleBuilder(catalog, hybrid, lineageOps, patternsOps,
     config.capsule)
 
+  /** The engine's session, for the serve tier's per-dispatch
+    * checkpoint scope (see [[graft.serve.JsonLineServer.dispatch]]). */
+  private[graft] def session: SparkSession = spark
+
   /** The engine's own telemetry sink (usage.py UsageLogger). */
   val usage = new UsageLog(spark, usagePath)
   private var lastCapsuleLogId: Option[Long] = None

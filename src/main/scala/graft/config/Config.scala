@@ -71,12 +71,17 @@ object Toml {
       try s.replace("_", "").toLong
       catch {
         case _: Throwable =>
-          // TOML floats (ivf_retrain_below_cos = 0.8); non-numeric
-          // bare values stay strings.
-          try s.replace("_", "").toDouble
-          catch { case _: Throwable => s }
+          // TOML floats (ivf_retrain_below_cos = 0.8): only the
+          // dotted-decimal form (optional exponent), NOT everything
+          // Scala's toDouble accepts — a blanket fallback silently
+          // turned bare strings like "NaN", "Infinity", and "1e3"
+          // into Doubles for every config consumer (r11 ADVICE).
+          if (FloatPattern.matches(s.replace("_", ""))) s.replace("_", "").toDouble
+          else s
       }
   }
+
+  private val FloatPattern = "[+-]?\\d+\\.\\d+([eE][+-]?\\d+)?".r
 }
 
 /** Capsule tuning knobs (config.py:24-41): token budget, pivot cap,

@@ -120,7 +120,7 @@ object DigestIndex {
         .option("path", Scratch.dir(tableName))
         .saveAsTable(tableName)
       // [scale] compact_every_appends cadence — base tables only
-      if (parent.isEmpty && IndexMaintenance.appendTick(tableName)) compact()
+      if (parent.isEmpty && IndexMaintenance.appendTick(baseName)) compact()
       else this
     }
 
@@ -201,6 +201,7 @@ object DigestIndex {
         .saveAsTable(next)
       spark.sql(s"DROP TABLE IF EXISTS $tableName")
       Scratch.delete(tableName)
+      IndexMaintenance.resetAppend(baseName)
       val compacted = new Index(spark, baseName, generation + 1, cacheKey)
       cache.put(cacheKey, compacted)
       compacted

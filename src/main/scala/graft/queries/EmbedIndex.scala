@@ -199,7 +199,7 @@ object EmbedIndex {
         .option("path", Scratch.dir(tableName))
         .saveAsTable(tableName)
       // [scale] compact_every_appends cadence — base tables only
-      if (parent.isEmpty && IndexMaintenance.appendTick(tableName)) compact()
+      if (parent.isEmpty && IndexMaintenance.appendTick(baseName)) compact()
       else this
     }
 
@@ -295,6 +295,7 @@ object EmbedIndex {
       spark.sql(s"DROP TABLE IF EXISTS $vecsTable")
       Scratch.delete(tableName)
       Scratch.delete(vecsTable)
+      IndexMaintenance.resetAppend(baseName)
       val compacted = new Index(spark, baseName, generation + 1, cacheKey,
         bandBits, rotations)
       cache.put(cacheKey, compacted)

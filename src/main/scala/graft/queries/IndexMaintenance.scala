@@ -50,23 +50,49 @@ object IndexMaintenance {
   private val counters = new ConcurrentHashMap[String, AtomicInteger]()
   private val fitCounters = new ConcurrentHashMap[String, AtomicInteger]()
 
+  // One atomic update per tick: exactly one caller per cadence window
+  // observes the wrap to 0 (check-then-set would let two concurrent
+  // appends both fire and race two generation rotations on the same
+  // _gN+1 name, and ticks landing between the check and the reset
+  // were lost — r11 ADVICE).
   private def tick(map: ConcurrentHashMap[String, AtomicInteger],
-      table: String, every: Int): Boolean =
+      key: String, every: Int): Boolean =
     if (every <= 0) false
     else {
-      val c = map.computeIfAbsent(table, _ => new AtomicInteger(0))
-      if (c.incrementAndGet() >= every) { c.set(0); true } else false
+      val c = map.computeIfAbsent(key, _ => new AtomicInteger(0))
+      c.updateAndGet(n => if (n + 1 >= every) 0 else n + 1) == 0
     }
 
-  /** Record one append on `table`; true when the compaction cadence
-    * fires (the caller compacts and the counter resets — the next
-    * generation's table name starts a fresh count). */
-  private[graft] def appendTick(table: String): Boolean =
-    tick(counters, table, compactEveryAppends)
+  /** Record one append on the index identified by the GENERATION-STABLE
+    * `key` (the index's baseName, never its `_gN` tableName — a
+    * tableName key starts a fresh counter on every rotation, which
+    * silently starves any cadence longer than another cadence that
+    * rotates first: with `compact_every_appends <=
+    * ivf_fit_check_every` the fit counter would never reach its
+    * threshold — r11 ADVICE). True when the compaction cadence fires. */
+  private[graft] def appendTick(key: String): Boolean =
+    tick(counters, key, compactEveryAppends)
 
-  /** Record one append on `table` against the FIT-CHECK cadence; true
-    * when the gauge pass is due (the caller then compares mean cosine
-    * to [[ivfRetrainBelowCos]]). */
-  private[graft] def fitTick(table: String): Boolean =
-    tick(fitCounters, table, ivfFitCheckEvery)
+  /** Record one append against the FIT-CHECK cadence (same
+    * generation-stable `key` rule as [[appendTick]]); true when the
+    * gauge pass is due (the caller then compares mean cosine to
+    * [[ivfRetrainBelowCos]]). */
+  private[graft] def fitTick(key: String): Boolean =
+    tick(fitCounters, key, ivfFitCheckEvery)
+
+  /** Restart the append-compaction count for `key` — called by every
+    * index's manual `compact()`/`retrain()` (the rewrite leaves one
+    * file per bucket, so the files-since-compaction count is genuinely
+    * zero again; without this a manual compaction mid-window would be
+    * followed by a premature auto-compaction). */
+  private[graft] def resetAppend(key: String): Unit = {
+    val c = counters.get(key); if (c != null) c.set(0)
+  }
+
+  /** Restart the fit-check count for `key` — called inside
+    * `IvfIndex.retrain()`, the one place a reset is actually wanted
+    * (fresh centroids restart the drift clock). */
+  private[graft] def resetFit(key: String): Unit = {
+    val c = fitCounters.get(key); if (c != null) c.set(0)
+  }
 }

@@ -103,11 +103,15 @@ object IvfIndex {
       // "use the returned instance" contract carries the fresh
       // generation back, exactly as auto-compact does. Branches never
       // auto-compact or auto-retrain.
+      // Both cadences keyed by the generation-stable baseName (r11
+      // ADVICE: a tableName key restarts on every rotation, so with
+      // compact_every_appends <= ivf_fit_check_every the fit counter
+      // would be wiped before it ever fired).
       if (parent.nonEmpty) this
       else {
-        val cur = if (IndexMaintenance.appendTick(tableName)) compact() else this
+        val cur = if (IndexMaintenance.appendTick(baseName)) compact() else this
         val below = IndexMaintenance.ivfRetrainBelowCos
-        if (below > 0.0 && IndexMaintenance.fitTick(cur.tableName) &&
+        if (below > 0.0 && IndexMaintenance.fitTick(baseName) &&
             cur.fitStats.collect().head.getDouble(1) < below)
           cur.retrain()
         else cur
@@ -203,6 +207,7 @@ object IvfIndex {
         .saveAsTable(next)
       spark.sql(s"DROP TABLE IF EXISTS $tableName")
       Scratch.delete(tableName)
+      IndexMaintenance.resetAppend(baseName)
       val compacted = new Index(spark, baseName, generation + 1,
         centroids, numCentroids, trainIters, trainQuant, cacheKey)
       cache.put(cacheKey, compacted)
@@ -244,6 +249,10 @@ object IvfIndex {
           .saveAsTable(next)
         spark.sql(s"DROP TABLE IF EXISTS $tableName")
         Scratch.delete(tableName)
+        // Fresh centroids restart the drift clock; the rewrite is also
+        // one file per bucket, so the compaction count restarts too.
+        IndexMaintenance.resetFit(baseName)
+        IndexMaintenance.resetAppend(baseName)
         val retrained = new Index(spark, baseName, generation + 1,
           cent, numCentroids, iters, quantScale, cacheKey)
         cache.put(cacheKey, retrained)

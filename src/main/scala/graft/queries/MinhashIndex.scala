@@ -234,7 +234,7 @@ object MinhashIndex {
         .saveAsTable(tableName)
       // [scale] compact_every_appends cadence — base tables only
       // (a branch's appends never touch its base), probe-invariant
-      if (parent.isEmpty && IndexMaintenance.appendTick(tableName)) compact()
+      if (parent.isEmpty && IndexMaintenance.appendTick(baseName)) compact()
       else this
     }
 
@@ -349,6 +349,7 @@ object MinhashIndex {
       spark.sql(s"DROP TABLE IF EXISTS $arraysTable")
       Scratch.delete(tableName)
       Scratch.delete(arraysTable)
+      IndexMaintenance.resetAppend(baseName)
       val compacted = new Index(spark, baseName, generation + 1, cacheKey)
       cache.put(cacheKey, compacted)
       compacted

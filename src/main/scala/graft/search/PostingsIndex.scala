@@ -141,7 +141,7 @@ final class PostingsIndex private (
     // caller-owned overlay state, invisible to of() callers.
     if (parent.isEmpty) PostingsIndex.refresh(cacheKey, merged)
     // [scale] compact_every_appends cadence — base tables only
-    if (parent.isEmpty && graft.queries.IndexMaintenance.appendTick(tableName))
+    if (parent.isEmpty && graft.queries.IndexMaintenance.appendTick(baseName))
       merged.compact()
     else merged
   }
@@ -254,6 +254,7 @@ final class PostingsIndex private (
     spark.sql(s"DROP TABLE IF EXISTS $docsTable")
     graft.util.Scratch.delete(tableName)
     graft.util.Scratch.delete(docsTable)
+    graft.queries.IndexMaintenance.resetAppend(baseName)
     val compacted = new PostingsIndex(spark, baseName, generation + 1,
       termDf, nDocs, totalDoclen, cacheKey)
     PostingsIndex.refresh(cacheKey, compacted)

@@ -47,8 +47,25 @@ object JsonLineServer {
     "find_models_by_column", "find_models_by_path", "refresh_index",
     "rate_capsule")
 
-  /** One tool call: request object in, renderable result out. */
-  def dispatch(engine: Engine, req: Any): Any = {
+  /** One tool call: request object in, renderable result out.
+    *
+    * The whole call runs inside a [[graft.util.CheckpointHygiene]]
+    * scope (r11 VERDICT): every result below is fully materialized
+    * driver-side before the scope exits (rows() collects under
+    * [[RowCap]], capsule/details return driver maps), so the scope's
+    * consume contract holds — and, more importantly, a dispatch that
+    * RACES another scoped invocation on the same session (a bench
+    * round, an evolving stream's micro-batch) now MERGES with it
+    * instead of being an unprotected bystander whose in-flight
+    * localCheckpoint blocks the other scope's exit sweep could
+    * unpersist mid-computation (unrecoverable — local checkpoints
+    * cannot be recomputed). */
+  def dispatch(engine: Engine, req: Any): Any =
+    graft.util.CheckpointHygiene.scoped(engine.session) {
+      dispatchImpl(engine, req)
+    }
+
+  private def dispatchImpl(engine: Engine, req: Any): Any = {
     val r = asMap(req, "request")
     val args = r.get("args").map(asMap(_, "args")).getOrElse(Map.empty[String, Any])
     def str(k: String): String = args.get(k) match {

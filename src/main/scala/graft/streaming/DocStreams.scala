@@ -136,6 +136,15 @@ object DocStreams {
     * (branch creation ≈ 0.3 ms; probes and appends are batch-sized).
     * This is the standing 100 TB ingest loop as ONE streaming query.
     *
+    * Scope discipline: each micro-batch opens its own
+    * [[graft.util.CheckpointHygiene.scoped]] scope and the sink write
+    * consumes the ledger inside it, so checkpoint blocks are reclaimed
+    * PER BATCH. Do NOT wrap a call to this method in an outer
+    * CheckpointHygiene scope for long runs: overlapping scopes merge
+    * and the sweep defers to the outermost exit, so an enclosing scope
+    * suspends per-batch reclamation and blocks accumulate for the
+    * stream's whole lifetime (r11 ADVICE).
+    *
     * No oracle gate by design: unlike [[incrNearDupStream]] (whose
     * batches probe a FIXED corpus independently, making the union
     * batch-invariant), the evolving verdicts legitimately depend on

@@ -46,6 +46,27 @@ import org.apache.spark.sql.SparkSession
   * session lock through `awaitTermination` while its own foreachBatch
   * thread needs a scope would deadlock — merging is the shape that
   * composes with Structured Streaming.
+  *
+  * Two corollaries of the merge (r11 VERDICT/ADVICE):
+  *
+  *  1. '''The sweep protects scope MEMBERS only.''' A concurrent
+  *     NON-scoped query on the same session is an unprotected
+  *     bystander: any localCheckpoint it takes while a scope is open
+  *     lands in that scope's doomed set and is unpersisted at scope
+  *     exit — mid-computation if the bystander is still running
+  *     (unrecoverable; local checkpoints cannot be recomputed). Every
+  *     session-sharing entry point must therefore either wrap in
+  *     [[scoped]] (the serve tier does: `JsonLineServer.dispatch` is a
+  *     scope per call, so serve requests merge with racing bench/stream
+  *     scopes — CheckpointHygieneSpec pins the race) or hold the
+  *     single-flight-per-session contract: don't run un-scoped
+  *     checkpoint-taking work concurrently with a scope.
+  *  2. '''Merging defers reclamation to the OUTERMOST exit.''' Per-unit
+  *     scopes inside a long-lived outer scope (e.g. the per-micro-batch
+  *     scopes in `DocStreams.incrEvolveStream`) stop reclaiming
+  *     per-unit and accumulate blocks until the outer scope ends — so
+  *     do not wrap a long-running stream in an outer scope; let its
+  *     per-batch scopes be outermost (documented on incrEvolveStream).
   */
 object CheckpointHygiene {
 
@@ -64,6 +85,13 @@ object CheckpointHygiene {
     var s = states.get(spark)
     if (s == null) { s = new State; states.put(spark, s) }
     s
+  }
+
+  /** Open-scope depth for `spark` — test seam (CheckpointHygieneSpec
+    * observes a serve dispatch entering its scope). */
+  private[graft] def activeDepth(spark: SparkSession): Int = {
+    val st = stateFor(spark)
+    st.synchronized(st.depth)
   }
 
   /** Run `body`, then unpersist every RDD persisted during it (see the

@@ -146,6 +146,48 @@ class AutoCompactSpec extends SparkSuite {
     } finally IndexMaintenance.compactEveryAppends = 0
   }
 
+  test("the cadence fires exactly once per window under concurrent ticks") {
+    // r11 ADVICE: check-then-set let two concurrent appends both
+    // observe the threshold and race two generation rotations on the
+    // same _gN+1 name, and ticks landing between the check and the
+    // reset were lost. The atomic wrap makes the count exact under any
+    // interleaving: 300 ticks at cadence 3 fire exactly 100 times.
+    IndexMaintenance.compactEveryAppends = 3
+    try {
+      val key = "ac_atomic_" + java.util.UUID.randomUUID().toString.take(8)
+      val fires = new java.util.concurrent.atomic.AtomicInteger(0)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        val tasks = (1 to 300).map { _ =>
+          pool.submit(new Runnable {
+            def run(): Unit =
+              if (IndexMaintenance.appendTick(key)) fires.incrementAndGet()
+          })
+        }
+        tasks.foreach(_.get(30, java.util.concurrent.TimeUnit.SECONDS))
+        assert(fires.get() == 100,
+          s"300 ticks at cadence 3 must fire exactly 100 times, got ${fires.get()}")
+      } finally pool.shutdown()
+    } finally IndexMaintenance.compactEveryAppends = 0
+  }
+
+  test("a manual compact restarts the auto-compaction window") {
+    // resetAppend: without it a manual compaction mid-window would be
+    // followed by a premature auto-compaction on the next append.
+    IndexMaintenance.compactEveryAppends = 2
+    try {
+      val base = DigestIndex.fresh(spark, "ac_reset", corpus)
+      val i1 = base.append(docs(3L -> "eta theta iota")) // tick 1 of 2
+      assert(i1 eq base)
+      val i2 = i1.compact() // manual: window restarts
+      val i3 = i2.append(docs(4L -> "kappa lambda mu")) // tick 1 of the NEW window
+      assert(i3 eq i2, "the append after a manual compact must not auto-compact")
+      val i4 = i3.append(docs(5L -> "nu xi omicron")) // tick 2: fires
+      assert(i4 ne i3, "the cadence still fires at the restarted window's end")
+      i4.drop()
+    } finally IndexMaintenance.compactEveryAppends = 0
+  }
+
   test("the [scale] compact_every_appends knob reaches the runtime") {
     val root = java.nio.file.Files.createTempDirectory("graft_ac_cfg")
     java.nio.file.Files.writeString(

@@ -87,4 +87,53 @@ class CheckpointHygieneSpec extends SparkSuite {
     val leftover = spark.sparkContext.getPersistentRDDs.keySet -- baseline
     assert(leftover.isEmpty, s"merged sweep must reclaim all scope blocks: $leftover")
   }
+
+  // r11 ADVICE/VERDICT: the serve tier is a session-sharing entry point,
+  // so a dispatch must be a scope member, not an unprotected bystander
+  // whose in-flight blocks a racing bench/stream scope's exit would
+  // sweep (unrecoverable — local checkpoints cannot be recomputed).
+
+  private lazy val engine =
+    graft.api.Engine.fromManifest(spark, fixturePath("manifest.json"))
+
+  test("a serve dispatch runs inside a checkpoint scope") {
+    // refresh_index re-ingests (several Spark jobs) — long enough for
+    // the main thread to observe the dispatch's scope being open.
+    assert(CheckpointHygiene.activeDepth(spark) == 0, "no scope open at entry")
+    @volatile var res: Any = null
+    val t = new Thread(() => {
+      res = graft.serve.JsonLineServer.dispatch(engine, Map("tool" -> "refresh_index"))
+    })
+    var seenOpen = false
+    t.start()
+    while (t.isAlive) {
+      if (CheckpointHygiene.activeDepth(spark) > 0) seenOpen = true
+      Thread.sleep(2)
+    }
+    t.join(30000)
+    assert(res == Map("status" -> "ok"))
+    assert(seenOpen, "dispatch must hold an open CheckpointHygiene scope while it runs")
+    assert(CheckpointHygiene.activeDepth(spark) == 0, "the dispatch's scope must close")
+  }
+
+  test("a dispatch racing an open scope merges: neither side sweeps the other") {
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
+    CheckpointHygiene.scoped(spark) {
+      val f = spark.range(50).toDF("x").localCheckpoint()
+      @volatile var err: Throwable = null
+      val t = new Thread(() => {
+        try graft.serve.JsonLineServer.dispatch(engine,
+          Map("tool" -> "search_models", "args" -> Map("query" -> "orders")))
+        catch { case e: Throwable => err = e }
+      })
+      t.start(); t.join(60000)
+      assert(err == null, s"racing dispatch failed: $err")
+      // pre-merge semantics would have let the dispatch's scope exit
+      // unpersist our in-flight block (created after its baseline)
+      assert(f.count() == 50,
+        "the dispatch's scope exit must not sweep a concurrent scope's in-flight block")
+    }
+    val leftover = spark.sparkContext.getPersistentRDDs.keySet -- baseline
+    assert(leftover.isEmpty, s"outermost exit reclaims everything: $leftover")
+  }
 }

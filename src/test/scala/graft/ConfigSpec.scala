@@ -51,6 +51,35 @@ class ConfigSpec extends SparkSuite {
     assert(gen("targets") == Seq("claude_code", "cursor"))
   }
 
+  test("only dotted-decimal bare values parse as floats; other bare values stay strings") {
+    // r11 ADVICE: a blanket toDouble fallback silently coerced bare
+    // strings Scala's parser happens to accept — "NaN", "Infinity",
+    // exponent-only forms — into Doubles for every config consumer.
+    // The fallback is now gated on the dotted-decimal TOML float shape.
+    val t = Toml.parse(
+      """[x]
+        |f = 0.8
+        |fneg = -2.5
+        |fexp = 6.02e2
+        |funder = 1_000.5
+        |nan = NaN
+        |inf = Infinity
+        |neginf = -Infinity
+        |exp_only = 1e3
+        |suffixed = 7d
+        |""".stripMargin)
+    val x = t("x").asInstanceOf[Map[String, Any]]
+    assert(x("f") == 0.8)
+    assert(x("fneg") == -2.5)
+    assert(x("fexp") == 602.0)
+    assert(x("funder") == 1000.5)
+    assert(x("nan") == "NaN")
+    assert(x("inf") == "Infinity")
+    assert(x("neginf") == "-Infinity")
+    assert(x("exp_only") == "1e3", "exponent without a dot is outside the supported subset")
+    assert(x("suffixed") == "7d")
+  }
+
   test("config discovery walks upward and merges depths over defaults") {
     val root = Files.createTempDirectory("graft_cfg")
     val nested = Files.createDirectories(root.resolve("models/staging"))

@@ -136,6 +136,50 @@ class IvfRetrainSpec extends SparkSuite {
     }
   }
 
+  test("both cadences on: compaction rotations must not starve the fit counter") {
+    // r11 ADVICE (medium): the fit cadence was keyed by `tableName`,
+    // which rotates to _gN+1 on every auto-compaction — with
+    // compact_every_appends <= ivf_fit_check_every each rotation
+    // started a fresh fit counter, so the gauge silently never ran.
+    // Keyed by the generation-stable baseName, the second append below
+    // must fire the gauge (mean cosine 20/40 = 0.5 < 0.9) and land
+    // exactly on the manual append+append+retrain twin.
+    import spark.implicits._
+    import graft.queries.IndexMaintenance
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    def oneHot(i: Int): Seq[Double] = Seq.tabulate(64)(j => if (j == i) 1.0 else 0.0)
+    val base = (0L until 20L).map(i => (i, oneHot((i % 2).toInt))).toDF("vec_id", "v")
+    val d1 = (100L until 110L).map(i => (i, oneHot(2))).toDF("vec_id", "v")
+    val d2 = (200L until 210L).map(i => (i, oneHot(3))).toDF("vec_id", "v")
+    IndexMaintenance.compactEveryAppends = 1 // every append rotates the generation
+    IndexMaintenance.ivfFitCheckEvery = 2    // the gauge is due on the SECOND append
+    IndexMaintenance.ivfRetrainBelowCos = 0.9
+    var auto = IvfIndex.fresh(spark, s"ivf_rt_both_$run", base,
+      numCentroids = 2, iters = 2, quantScale = 1000000.0)
+    try {
+      auto = auto.append(d1) // auto-compacts; fit counter 1 of 2
+      auto = auto.append(d2) // auto-compacts; gauge fires -> retrain
+      IndexMaintenance.compactEveryAppends = 0
+      IndexMaintenance.ivfFitCheckEvery = 0
+      IndexMaintenance.ivfRetrainBelowCos = 0.0
+      var manual = IvfIndex.fresh(spark, s"ivf_rt_bothm_$run", base,
+        numCentroids = 2, iters = 2, quantScale = 1000000.0)
+      try {
+        manual = manual.append(d1).append(d2).retrain()
+        def cents(i: IvfIndex.Index): Seq[(Long, Seq[Double])] =
+          i.centroids.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+            .sortBy(_._1).toSeq
+        assert(cents(auto) == cents(manual),
+          "the fit gauge must survive compaction rotations: auto != manual retrain")
+      } finally manual.drop()
+    } finally {
+      IndexMaintenance.compactEveryAppends = 0
+      IndexMaintenance.ivfFitCheckEvery = 0
+      IndexMaintenance.ivfRetrainBelowCos = 0.0
+      auto.drop()
+    }
+  }
+
   test("retrain rotates the generation: stale handles and branches fail fast") {
     import spark.implicits._
     val run = java.util.UUID.randomUUID().toString.take(8)
