@@ -136,9 +136,13 @@ object CorpusClean {
     // corpus match's id and cosine — between the text near-dup and
     // quality stages, so precedence is digest → minhash → embed →
     // quality → language. Docs without a vector skip the stage (their
-    // emb columns stay null). Every stage remains delta-sized: the
-    // embed probe broadcasts the delta's band keys against the
-    // bucketed corpus band table exactly like the MinHash stage.
+    // emb columns stay null). The stage ACTS at cosine ≥
+    // [[Dedup.EmbedActThreshold]] (0.9) — the tier sign-LSH measurably
+    // recalls; the probe's 0.45 discovery floor is a verifier bound,
+    // not an acting contract (r11 weak row; SURVEY §9.12). Every stage
+    // remains delta-sized: the embed probe broadcasts the delta's band
+    // keys against the bucketed corpus band table exactly like the
+    // MinHash stage.
     "pipe_incr_clean_embed" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val delta = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
@@ -237,7 +241,14 @@ object CorpusClean {
         // 2b. embedding near-dup probe against the persisted sign-band
         // index — same unsorted composing shape as the MinHash stage;
         // docs without a vector simply never match the left join.
+        // The ledger ACTS (and reports) only at the ≥0.9 tier
+        // ([[Dedup.EmbedActThreshold]]): the probe's best match is the
+        // max-cosine candidate, so filtering the best ≥ 0.9 ≡ taking
+        // the best among ≥0.9 matches — and the tier below it is one
+        // sign-LSH cannot recall at production width (the r11 weak
+        // row; see the constant's doc and SURVEY §9.12).
         val emb = ei.probeRows(deltaVecs)
+          .filter(col("cosine") >= Dedup.EmbedActThreshold)
           .select(col("vec_id").as("doc_id"), col("dup_of").as("emb_dup_of"),
             col("cosine").as("emb_cosine"))
         base
@@ -480,6 +491,7 @@ object CorpusClean {
         |JOIN q USING (doc_id)
         |LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
         |LEFT JOIN ebest eb ON eb.vec_id = d.doc_id AND eb.rn = 1
+        |  AND eb.cosine >= ${Dedup.EmbedActThreshold}
         |JOIN lg USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
@@ -525,7 +537,8 @@ object CorpusClean {
       val embVerdict = if (!withEmbed) ""
         else s"WHEN eb.dup_of IS NOT NULL THEN 'embed_dup'\n         |         "
       val embJoin = if (!withEmbed) ""
-        else s"LEFT JOIN (SELECT * FROM ebest$b WHERE rn = 1) eb ON eb.vec_id = d.doc_id\n         |  "
+        else s"LEFT JOIN (SELECT * FROM ebest$b WHERE rn = 1 " +
+          s"AND cosine >= ${Dedup.EmbedActThreshold}) eb ON eb.vec_id = d.doc_id\n         |  "
       s"""ex$b AS (SELECT dd.doc_id,
          |    dd.content_hash IN (SELECT content_hash FROM dig JOIN idx$b USING (doc_id))
          |    OR (ROW_NUMBER() OVER (PARTITION BY dd.content_hash ORDER BY dd.doc_id) > 1)

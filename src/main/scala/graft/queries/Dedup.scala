@@ -295,7 +295,11 @@ object Dedup {
     // corpus every call. Same 10%-delta convention; best corpus match
     // (max cosine ≥ 0.45, ties to smallest vec_id) + is_new per delta
     // vector. Both engines compute the identical rotated bands, so the
-    // gate is exact despite LSH's partial recall.
+    // gate is exact despite LSH's partial recall — this gate pins BAND
+    // FIDELITY (probe ≡ the self-contained multiprobe run), not
+    // retrieval recall; the tier pipelines ACT on is
+    // [[EmbedActThreshold]], and recall per tier is measured in
+    // BENCH_embed_bands.json.
     "d_embed_incr_indexed" -> ((s, d) => {
       val idx = embedIndex(s, d)
       idx.probe(Tables.embeddings(s, d)
@@ -527,11 +531,29 @@ object Dedup {
     * ([[graft.config.ScaleConfig]]). */
   val EmbedBandBits = 8
 
-  /** Cosine floor for every embedding near-dup surface (all-pairs
+  /** Cosine floor for the embedding pair-DISCOVERY surfaces (all-pairs
     * verifier, banded/multiprobe pair discovery, the persisted
     * [[EmbedIndex]] probe) — one constant so the family can never
-    * drift apart from itself or the DuckDB oracles' 0.45 literal. */
+    * drift apart from itself or the DuckDB oracles' 0.45 literal.
+    * This is the floor candidates are VERIFIED against, not the tier
+    * any pipeline acts on: see [[EmbedActThreshold]]. */
   private[graft] val EmbedCosineThreshold = 0.45
+
+  /** Cosine tier the cleaning LEDGERS act on (`embed_dup` verdicts in
+    * [[CorpusClean.incrLedger]] and its evolve/streaming closures) —
+    * deliberately SPLIT from [[EmbedCosineThreshold]] (r11 VERDICT
+    * weak row): sign-LSH at production width (16-bit bands) recalls
+    * 0.3–4.9% of true mid-tier (0.45–0.7 cosine) pairs at 128k
+    * vectors — the geometry cannot band ~35%-sign-flip pairs — while
+    * the ≥0.9 near-identical tier recalls ≈1.0 (a ≥0.9 pair flips only
+    * a few percent of sign bits; measured against seeded denominators
+    * in `BENCH_embed_bands.json`). Acting at 0.45 would therefore
+    * CLAIM recall the index cannot deliver; acting at 0.9 makes the
+    * ledger contract match the measured geometry. The mid-tier has its
+    * own recall path via IVF bucket candidates (`d_embed_neardup_ivf`)
+    * for pipelines that want it — as an explicit analysis surface, not
+    * a silent ledger stage. SURVEY §9.12 interprets the tiers. */
+  private[graft] val EmbedActThreshold = 0.9
 
   /** Banded embedding pair discovery (see the map entry's doc); `cap`
     * exposed so BandCapSpec can pin capped == uncapped headroom at
