@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+
+import graft.queries.{Ann, Dedup, IvfIndex}
+
+/** Recall/cost measurement for the IVF-assisted embedding pair route
+  * (`d_embed_neardup_ivf`) — the mid-tier (cosine 0.45–0.7) companion
+  * to [[EmbedBandKnee]]'s sign-band frontier: sign-LSH recalls a few
+  * percent of mid-tier pairs at production width (a 0.45–0.7 pair
+  * flips ~35% of sign bits), while vectors at that tier still land
+  * near each other in CENTROID space — so shared-top-P-IVF-bucket
+  * candidates are the recall path that tier gets. For each corpus dir
+  * this main trains a fresh IVF index at ~√n centroids (the
+  * production sizing rule; the gate's 16-centroid setting is the
+  * oracle-checkable point, not the scale point), then for P = 1/2/4
+  * counts candidates (the pre-verify cost driver), verified pairs,
+  * and TRUE recall per cosine tier against the brute-force all-pairs
+  * denominator.
+  *
+  *   sbt "runMain graft.EmbedIvfRecall /root/testdata/sf0.1 target/scale_x10"
+  *
+  * One JSON line to stdout and `SPARK_GRAFT_IVF_RECALL_OUT` (default
+  * `BENCH_embed_ivf.json`). SURVEY §9.12 interprets the rows next to
+  * the sign-band frontier.
+  */
+object EmbedIvfRecall {
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: EmbedIvfRecall <sfDir> [sfDir…]")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_IVF_RECALL_OUT", "BENCH_embed_ivf.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = Tables.configure(SparkSession.builder())
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def swept[T](body: => T): (T, Double) =
+      graft.util.CheckpointHygiene.scoped(spark, blocking = true) {
+        val t0 = System.nanoTime()
+        val n = body
+        (n, (System.nanoTime() - t0) / 1e9)
+      }
+
+    // (total ≥0.45, mid [0.45,0.7), hi70 ≥0.7, hi90 ≥0.9) in one pass.
+    def tiered(pairs: DataFrame): (Long, Long, Long, Long) = {
+      val r = pairs.agg(count(lit(1)),
+        sum(when(col("cosine") < 0.70, 1L).otherwise(0L)),
+        sum(when(col("cosine") >= 0.70, 1L).otherwise(0L)),
+        sum(when(col("cosine") >= 0.90, 1L).otherwise(0L))).collect().head
+      def g(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
+      (r.getLong(0), g(1), g(2), g(3))
+    }
+    def recallStr(n: Long, denom: Long): String =
+      if (denom == 0) "null" else f(n.toDouble / denom)
+
+    val dirJsons = args.map { d =>
+      val nVecs = Tables.embeddings(spark, d).count()
+      val numCentroids = math.max(16, math.round(math.sqrt(nVecs.toDouble)).toInt)
+      val ((tTot, tMid, t70, t90), truthSec) = swept(tiered(Dedup.embedTruePairs(spark, d)))
+      System.err.println(s"[embed-ivf] $d n=$nVecs centroids=$numCentroids " +
+        s"TRUE total=$tTot mid=$tMid hi70=$t70 hi90=$t90 (${f(truthSec)}s)")
+      graft.functions.DotProduct.register(spark)
+      val e = Tables.embeddings(spark, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v0"))
+        .withColumn("nrm",
+          org.apache.spark.sql.functions.sqrt(graft.functions.VectorOps.norm2(col("v0"))))
+        .select(col("vec_id"),
+          org.apache.spark.sql.functions.transform(col("v0"), x => x / col("nrm")).as("v"))
+      // NOT swept: fresh() leaves live localCheckpoint state the index
+      // handle reads through (a scope here would sweep it — the scoped
+      // contract is for fully-materializing invocations only). The
+      // build's blocks die with the JVM; each measurement below runs
+      // in its own scope, whose baseline already contains them.
+      val tB = System.nanoTime()
+      val idx = IvfIndex.fresh(spark, s"ivfrecall|$d", e, numCentroids, iters = 2,
+        quantScale = 1000000.0)
+      val buildSec = (System.nanoTime() - tB) / 1e9
+      try {
+        val rows = Seq(1, 2, 4).map { p =>
+          val (cands, candSec) = swept(Ann.embedIvfCands(idx, p).count())
+          val ((vTot, vMid, v70, v90), sec) =
+            swept(tiered(Ann.embedPairsIvf(idx, p)))
+          System.err.println(s"[embed-ivf] $d P=$p cands=$cands (${f(candSec)}s) " +
+            s"pairs=$vTot recall=${recallStr(vTot, tTot)} " +
+            s"recall_mid=${recallStr(vMid, tMid)} recall_hi90=${recallStr(v90, t90)} " +
+            s"(${f(sec)}s)")
+          s""""P$p":{"probe":$p,"candidates":$cands,"cand_sec":${f(candSec)},""" +
+            s""""verified_pairs":$vTot,"recall":${recallStr(vTot, tTot)},""" +
+            s""""verified_mid":$vMid,"recall_mid":${recallStr(vMid, tMid)},""" +
+            s""""verified_hi70":$v70,"recall_hi70":${recallStr(v70, t70)},""" +
+            s""""verified_hi90":$v90,"recall_hi90":${recallStr(v90, t90)},""" +
+            s""""pipeline_sec":${f(sec)}}"""
+        }.mkString("{", ",", "}")
+        s""""$d":{"vectors":$nVecs,"centroids":$numCentroids,""" +
+          s""""build_sec":${f(buildSec)},"true_pairs":$tTot,"true_mid":$tMid,""" +
+          s""""true_hi70":$t70,"true_hi90":$t90,"truth_sec":${f(truthSec)},""" +
+          s""""probes":$rows}"""
+      } finally idx.drop()
+    }.mkString("{", ",", "}")
+    val json =
+      s"""{"cosine_threshold":${Dedup.EmbedCosineThreshold},"mid_tier":"[0.45,0.70)","dirs":$dirJsons}"""
+    try Files.writeString(Paths.get(outPath), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[embed-ivf] write $outPath failed: $e") }
+    println(json)
+    spark.stop()
+  }
+
+  private def f(v: Double) = f"$v%.3f"
+}

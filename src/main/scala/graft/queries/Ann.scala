@@ -38,6 +38,12 @@ object Ann {
   private val SignBits = 8 // sign-LSH bucket bits (ann_lsh)
   private val KMeansIters = 2 // Lloyd iterations from the seed centroids
   private val QuantScale = 1000000.0 // integer-quantization scale for means
+  // Top-P centroid multi-assignment width for the IVF-assisted pair
+  // route (d_embed_neardup_ivf): candidates are pairs sharing ANY of
+  // their top-P buckets. P=2 doubles each vector's catchment for ~4×
+  // the per-bucket pair volume — the measured recall/cost point the
+  // gate pins; production corpora scale numCentroids (~√n) instead.
+  private val IvfPairProbe = 2
 
   /** L2-normalized vectors, materialized via localCheckpoint: the
     * normalization is an interpreted higher-order lambda (per-element —
@@ -198,6 +204,27 @@ object Ann {
         .fitStats
     }),
 
+    // IVF-assisted embedding near-dup pairs — the MID-TIER recall
+    // route (r11 VERDICT #2): sign-LSH physically cannot band pairs
+    // at cosine 0.45–0.7 (~35% of sign bits flip; measured 0.3–4.9%
+    // recall at production width on 128k vectors), but such pairs DO
+    // land near each other in centroid space, so candidate pairs =
+    // vectors sharing any of their top-P IVF buckets (the persisted
+    // ann_ivf index's centroids — train cost already amortized),
+    // verified by the exact codegen dot at the SAME 0.45 floor and
+    // output contract as d_embed_neardup / d_embed_lsh_pairs. Both
+    // engines replay the identical quantized Lloyd loop, so the
+    // candidate set — and hence the gate — is exact despite partial
+    // recall. Recall vs the brute-force truth and candidate cost at
+    // scale are measured by graft.EmbedIvfRecall into
+    // BENCH_embed_bands.json (§9.12).
+    "d_embed_neardup_ivf" -> ((s, d) => {
+      DotProduct.register(s)
+      val idx = IvfIndex.of(s, d, vecs(s, d), NumCentroids, KMeansIters, QuantScale)
+      embedPairsIvf(idx, IvfPairProbe)
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
     // The per-invocation indexes are caller-owned (fresh) and dropped
     // after the result materializes (localCheckpoint, the incrEvolve
     // discipline); the fresh/retrain builds are itemized by BuildLog.
@@ -215,6 +242,43 @@ object Ann {
       } finally idx.drop()
     })
   )
+
+  /** The IVF-assisted pair route's body, parameterized so the gate
+    * (shared 16-centroid index, P = [[IvfPairProbe]]) and the scale
+    * measurement ([[graft.EmbedIvfRecall]]: ~√n centroids) share one
+    * definition. Multi-assign every indexed vector to its top-`probe`
+    * centroids (vectors stream once against the BROADCAST centroid
+    * table; the per-vector top-P window partitions on vec_id — an
+    * AQE-splittable exchange of n·centroids skinny rows), self-join on
+    * the bucket id (pairs sharing ANY top-P bucket; the only
+    * corpus-keyed shuffle, ~P·n rows), dedup the pair ids BEFORE
+    * attaching vectors (a pair sharing several buckets dots once), and
+    * verify with the exact codegen dot at the
+    * [[Dedup.EmbedCosineThreshold]] discovery floor. Unsorted. */
+  private[graft] def embedPairsIvf(idx: IvfIndex.Index, probe: Int): DataFrame = {
+    val e = idx.assigned.select(col("vec_id"), col("v"))
+    embedIvfCands(idx, probe)
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"), expr("graft_dot(va, vb)").as("cosine"))
+      .filter(col("cosine") >= Dedup.EmbedCosineThreshold)
+  }
+
+  /** Candidate discovery alone (the pre-verify volume — the cost
+    * driver the recall artifact weighs the route by). */
+  private[graft] def embedIvfCands(idx: IvfIndex.Index, probe: Int): DataFrame = {
+    val e = idx.assigned.select(col("vec_id"), col("v"))
+    val wP = Window.partitionBy(col("vec_id")).orderBy(col("pcos").desc, col("cid"))
+    val multi = e.crossJoin(broadcast(idx.centroids))
+      .select(col("vec_id"), col("cid"), expr("graft_dot(v, cv)").as("pcos"))
+      .withColumn("rn", row_number().over(wP))
+      .filter(col("rn") <= probe)
+      .select(col("vec_id"), col("cid"))
+    multi.as("x").join(multi.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+  }
 
   /** The shared IVF probe: select the top-NProbe centroids per query
     * (queries = index rows passing `queryPred`), bucket-prune the
@@ -336,6 +400,28 @@ object Ann {
          |SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= $K
          |ORDER BY query_id, rank""".stripMargin,
     "ann_ivf" -> ivfOracle(s"vec_id < $NumQueries"),
+    // The pair route: the ann_ivf k-means chain, top-P multi-assignment
+    // per vector (same ROW_NUMBER tie rule as the Spark window),
+    // distinct shared-bucket pairs, exact dot at the 0.45 floor.
+    "d_embed_neardup_ivf" ->
+      s"""WITH $normCte,
+         |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $NumCentroids),
+         |${(1 to KMeansIters).map(kmeansIterCte).mkString(",\n")},
+         |c AS (SELECT cid, cv FROM c$KMeansIters),
+         |multi AS (SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |                         ORDER BY ${dotSql("e.v", "c.cv")} DESC, c.cid) AS rn
+         |    FROM e CROSS JOIN c) WHERE rn <= $IvfPairProbe),
+         |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |         FROM multi x JOIN multi y
+         |           ON x.cid = y.cid AND x.vec_id < y.vec_id),
+         |p AS (SELECT vec_a, vec_b, ${dotSql("a.v", "b.v")} AS cosine
+         |      FROM cand JOIN e a ON cand.vec_a = a.vec_id
+         |                JOIN e b ON cand.vec_b = b.vec_id)
+         |SELECT vec_a, vec_b, cosine FROM p
+         |WHERE cosine >= ${Dedup.EmbedCosineThreshold}
+         |ORDER BY vec_a, vec_b""".stripMargin,
     // Retrain-after-frozen-appends ≡ fresh full-corpus k-means (the
     // seed rule over base∪delta is the fresh build's over the corpus),
     // so the oracle is the ann_ivf chain on the retrain query cohort.
