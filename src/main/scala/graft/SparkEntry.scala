@@ -50,6 +50,10 @@ object SparkEntry {
     if (names("d_embed_incr_indexed") || names("pipe_incr_clean_embed") ||
         names("pipe_incr_evolve_embed"))
       graft.queries.Dedup.embedIndex(spark, sfDir)
+    if (names("pipe_incr_evolve_serve")) {
+      graft.queries.EvolveServe.servePostings(spark, sfDir)
+      graft.queries.EvolveServe.serveIvf(spark, sfDir)
+    }
     ()
   }
 
@@ -74,7 +78,7 @@ object SparkEntry {
     base ++ graft.queries.Relational.queries ++ graft.queries.Graph.queries ++
       graft.queries.TextAnalysis.queries ++ graft.queries.Dedup.queries ++
       graft.queries.Ann.queries ++ graft.queries.SearchQ.queries ++
-      graft.queries.StreamQ.queries ++ graft.queries.Relational2.queries ++ graft.queries.TpchQ.queries ++ graft.queries.TpchQ2.queries ++ graft.queries.TrainPrep.queries ++ graft.queries.CorpusClean.queries
+      graft.queries.StreamQ.queries ++ graft.queries.Relational2.queries ++ graft.queries.TpchQ.queries ++ graft.queries.TpchQ2.queries ++ graft.queries.TrainPrep.queries ++ graft.queries.CorpusClean.queries ++ graft.queries.EvolveServe.queries
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -93,5 +97,5 @@ object SparkEntry {
   ) ++ graft.queries.Relational.oracles ++ graft.queries.Graph.oracles ++
     graft.queries.TextAnalysis.oracles ++ graft.queries.Dedup.oracles ++
     graft.queries.Ann.oracles ++ graft.queries.SearchQ.oracles ++
-    graft.queries.StreamQ.oracles ++ graft.queries.Relational2.oracles ++ graft.queries.TpchQ.oracles ++ graft.queries.TpchQ2.oracles ++ graft.queries.TrainPrep.oracles ++ graft.queries.CorpusClean.oracles
+    graft.queries.StreamQ.oracles ++ graft.queries.Relational2.oracles ++ graft.queries.TpchQ.oracles ++ graft.queries.TpchQ2.oracles ++ graft.queries.TrainPrep.oracles ++ graft.queries.CorpusClean.oracles ++ graft.queries.EvolveServe.oracles
 }

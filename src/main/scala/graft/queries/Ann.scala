@@ -283,7 +283,7 @@ object Ann {
   /** The shared IVF probe: select the top-NProbe centroids per query
     * (queries = index rows passing `queryPred`), bucket-prune the
     * assigned table to the probed cids, exact top-K within. */
-  private def ivfTopK(idx: IvfIndex.Index, queryPred: Column): DataFrame = {
+  private[queries] def ivfTopK(idx: IvfIndex.Index, queryPred: Column): DataFrame = {
     val q = idx.assigned.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
 
@@ -319,7 +319,7 @@ object Ann {
   }
 
   /** DuckDB fold over two already-normalized vectors. */
-  private def dotSql(a: String, b: String): String =
+  private[queries] def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, 64), i -> $a[i] * $b[i])), (x,y) -> x + y)"
 
   /** One Lloyd iteration as DuckDB CTEs: assign to nearest centroid
@@ -327,7 +327,7 @@ object Ann {
     * integer-quantized components per (cid, dim) — exact, order-
     * independent — then de-quantize the mean and L2-normalize with the
     * shared left-to-right fold. Mirrors the Spark loop bit-for-bit. */
-  private def kmeansIterCte(t: Int): String = {
+  private[queries] def kmeansIterCte(t: Int): String = {
     val prev = s"c${t - 1}"
     s"""a$t AS (SELECT vec_id, v, cid FROM (
        |    SELECT e.vec_id, e.v, c.cid,

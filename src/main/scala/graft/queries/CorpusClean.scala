@@ -292,14 +292,20 @@ object CorpusClean {
     require(k >= 1, s"need at least one batch (got $k)")
     val docs = Tables.documents(s, d)
     val isDelta = pmod(col("doc_id"), lit(10)) === 0
+    // Shared bases resolved BEFORE the sweep baseline (the
+    // EvolveServe.evolveServe ordering): a first-call build's live
+    // blocks must never land in the sweep window.
+    val mhBase = Dedup.incrIndex(s, d)
+    val dgBase = Dedup.digestIndex(s, d)
+    val emBase = if (withEmbed) Some(Dedup.embedIndex(s, d)) else None
     val checkpointBaseline = s.sparkContext.getPersistentRDDs.keySet
-    val mh = Dedup.incrIndex(s, d).branch()
-    val dg = Dedup.digestIndex(s, d).branch()
+    val mh = mhBase.branch()
+    val dg = dgBase.branch()
     // With the embed stage, a third branch evolves alongside: accepted
     // docs' VECTORS append to it between batches (vec_id ≡ doc_id in
     // the testdata star), so the embed verdict sees earlier batches'
     // survivors exactly like the text stages do.
-    val em = if (withEmbed) Some(Dedup.embedIndex(s, d).branch()) else None
+    val em = emBase.map(_.branch())
     try {
       val parts = (0 until k).map { b =>
         val inBatch = isDelta && pmod(col("doc_id"), lit(10L * k)) === lit(10L * b)

@@ -361,7 +361,7 @@ object Dedup {
   /** Size+mtime fingerprint of a testdata parquet, so a testdata
     * re-strike at the same path within a live session rebuilds instead
     * of silently probing a stale persisted index (r7 ADVICE). */
-  private def corpusFingerprint(d: String,
+  private[queries] def corpusFingerprint(d: String,
       file: String = "documents.parquet"): String = {
     import java.nio.file.{Files, Paths}
     val p = Paths.get(d, file)

@@ -1,0 +1,243 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{DotProduct, VectorOps}
+import graft.search.PostingsIndex
+
+/** SERVING-while-evolving closure (r11 VERDICT #3): the reference's
+  * always-on MCP server answers queries over a store that a `sync` can
+  * re-index underneath it (server.py:449-492); the 100 TB analogue is
+  * BM25 and ANN answers staying correct while the corpus a standing
+  * pipeline evolves is appended to. `pipe_incr_evolve` closes that
+  * loop for the CLEANING ledgers; this gate closes it for the SERVING
+  * indexes: K ordered delta batches append to zero-copy BRANCHES of
+  * the session's corpus-cohort [[PostingsIndex]] and [[IvfIndex]], and
+  * AFTER each batch's append the branches answer a fixed BM25 top-k
+  * and a fixed ANN top-k — so batch b's answers rank batch ≤ b's
+  * documents and vectors alongside the corpus.
+  *
+  * What this exercises end-to-end (previously pinned only in
+  * isolation):
+  *   - the PostingsIndex branch BM25-STATS-MERGE: scores after an
+  *     append use the merged N/avgdl/df — the oracle recomputes the
+  *     statistics from scratch on the accumulated corpus per batch,
+  *     so a merge error is a value mismatch, not just a spec failure;
+  *   - frozen-centroid IVF serving: the branch assigns appended
+  *     vectors under the BASE's centroids (branches never retrain),
+  *     and the oracle trains on the corpus cohort only — appended
+  *     vectors are probe-visible immediately at frozen geometry.
+  *
+  * Output: one row per (batch, kind, query, rank) —
+  * `(batch, kind, qid, doc_id, score, rank)`; kind `bm25` rows carry
+  * qid = -1 (one OR-query over the fixed term set, score rounded to 9
+  * like `o2_bm25_topk`), kind `ann` rows carry the query vec_id and
+  * the exact cosine. Per-batch answers are top-10, eagerly
+  * checkpointed before the next batch's append mutates the branch
+  * views (the [[CorpusClean.incrEvolve]] discipline, including the
+  * keep-set checkpoint sweep).
+  */
+object EvolveServe {
+
+  private val QueryTerms = Seq("spark", "join", "fast", "table")
+  private val TopK = 10
+  private val NumCentroids = 16
+  private val KMeansIters = 2
+  private val QuantScale = 1000000.0
+  /** ANN query cohort: corpus members stable across batches (vec_id 0
+    * is a delta id — excluded so queries exist from batch 0). */
+  private val AnnQueryPred = "vec_id >= 1 AND vec_id < 5"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_incr_evolve_serve" -> ((s, d) =>
+      evolveServe(s, d, CorpusClean.EvolveBatches))
+  )
+
+  /** Corpus-cohort postings index (build-or-reuse; the
+    * [[Dedup.incrIndex]] fingerprint discipline). Public so the
+    * bench's untimed setup can force the build. */
+  def servePostings(s: SparkSession, d: String): PostingsIndex =
+    PostingsIndex.of(
+      Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        .select(col("doc_id"), col("text")),
+      "doc_id", "text", s"serve|$d|${Dedup.corpusFingerprint(d)}")
+
+  /** Corpus-cohort IVF index (seeds = vec_id < numCentroids among the
+    * cohort — the intrinsic [[IvfIndex]] seed rule, which the oracle
+    * replays over its cohort CTE). Public for the bench setup. */
+  def serveIvf(s: SparkSession, d: String): IvfIndex.Index = {
+    DotProduct.register(s)
+    IvfIndex.of(s,
+      s"serve|$d|${Dedup.corpusFingerprint(d, "embeddings.parquet")}",
+      normalizedCohort(s, d), NumCentroids, KMeansIters, QuantScale)
+  }
+
+  private def normalizedCohort(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .filter(pmod(col("vec_id"), lit(10)) =!= 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v0"))
+      .withColumn("nrm", sqrt(VectorOps.norm2(col("v0"))))
+      .select(col("vec_id"), transform(col("v0"), x => x / col("nrm")).as("v"))
+      .localCheckpoint()
+
+  /** One batch's serving answers against the CURRENT branch state —
+    * split out so EvolveServeSpec can replay it against fresh
+    * rebuilds of the accumulated corpus. Unsorted. */
+  private[graft] def serveAnswers(b: Int, po: PostingsIndex,
+      iv: IvfIndex.Index): DataFrame = {
+    val topBm = po.score(QueryTerms)
+      .select(col("doc").as("doc_id"), round(col("score"), 9).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(TopK)
+    val bm = topBm
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(lit(b.toLong).as("batch"), lit("bm25").as("kind"),
+        lit(-1L).as("qid"), col("doc_id"), col("score"), col("rank"))
+    val ann = Ann.ivfTopK(iv, expr(AnnQueryPred))
+      .select(lit(b.toLong).as("batch"), lit("ann").as("kind"),
+        col("query_id").as("qid"), col("vec_id").as("doc_id"),
+        col("cosine").as("score"), col("rank"))
+    bm.unionByName(ann)
+  }
+
+  private[queries] def evolveServe(s: SparkSession, d: String, k: Int): DataFrame = {
+    require(k >= 1, s"need at least one batch (got $k)")
+    DotProduct.register(s)
+    val docs = Tables.documents(s, d)
+    val isDelta = pmod(col("doc_id"), lit(10)) === 0
+    // Resolve the SHARED base indexes BEFORE the sweep baseline: a
+    // first-call build creates live localCheckpoint state the handles
+    // keep reading (IVF centroids, postings stats) — inside the window
+    // the keep-set sweep below would kill it and poison the session's
+    // cached index (found by EvolveServeSpec's leak test).
+    val poBase = servePostings(s, d)
+    val ivBase = serveIvf(s, d)
+    val checkpointBaseline = s.sparkContext.getPersistentRDDs.keySet
+    var po = poBase.branch()
+    val iv = ivBase.branch()
+    try {
+      val parts = (0 until k).map { b =>
+        val inBatch = isDelta && pmod(col("doc_id"), lit(10L * k)) === lit(10L * b)
+        po = po.append(docs.filter(inBatch).select(col("doc_id"), col("text")),
+          "doc_id", "text")
+        iv.append(
+          Tables.embeddings(s, d)
+            .filter(pmod(col("vec_id"), lit(10)) === 0 &&
+              pmod(col("vec_id"), lit(10L * k)) === lit(10L * b))
+            .select(col("vec_id"), col("embedding").cast("array<double>").as("v0"))
+            .withColumn("nrm", sqrt(VectorOps.norm2(col("v0"))))
+            .select(col("vec_id"), transform(col("v0"), x => x / col("nrm")).as("v")))
+        // Eager: the answers must see exactly batches ≤ b — the next
+        // iteration's append mutates the branch views a lazy frame
+        // would re-read.
+        serveAnswers(b, po, iv).localCheckpoint()
+      }
+      val keep = parts.flatMap(_.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+      }).toSet
+      s.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!checkpointBaseline.contains(id) && !keep.contains(id))
+          rdd.unpersist(blocking = false)
+      }
+      parts.reduce(_ union _)
+        .orderBy(col("batch"), col("kind"), col("qid"), col("rank"))
+    } finally { po.drop(); iv.drop() }
+  }
+
+  private def termsSqlList = QueryTerms.map("'" + _ + "'").mkString(",")
+
+  def oracles: Map[String, String] = Map(
+    "pipe_incr_evolve_serve" -> serveOracle(CorpusClean.EvolveBatches)
+  )
+
+  /** Per batch b, the oracle recomputes BOTH serving paths from
+    * scratch on the accumulated corpus (corpus cohort ∪ delta batches
+    * ≤ b): full BM25 statistics (the stats-merge check) and the
+    * corpus-cohort-trained k-means with frozen-centroid delta
+    * assignment (the branch-append check — [[Ann.kmeansIterCte]]'s
+    * chain runs over the cohort CTE `e`, exactly the seed rule
+    * [[IvfIndex]] applies to the cohort corpus). */
+  private def serveOracle(k: Int): String = {
+    val dot = Ann.dotSql _
+    val norm =
+      """en0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+        |en AS (SELECT vec_id,
+        |        list_transform(v0, x -> x / sqrt(
+        |          list_reduce(list_prepend(0.0::DOUBLE,
+        |            list_transform(generate_series(1, 64), i -> v0[i] * v0[i])),
+        |            (p,q) -> p + q))) AS v
+        |      FROM en0),
+        |e AS (SELECT vec_id, v FROM en WHERE vec_id % 10 <> 0)""".stripMargin
+    val ivfShared =
+      s"""c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $NumCentroids),
+         |${(1 to KMeansIters).map(Ann.kmeansIterCte).mkString(",\n")},
+         |c AS (SELECT cid, cv FROM c$KMeansIters),
+         |acorp AS (SELECT vec_id, v, cid FROM (
+         |    SELECT e.vec_id, e.v, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |                         ORDER BY ${dot("e.v", "c.cv")} DESC, c.cid) AS rn
+         |    FROM e CROSS JOIN c) WHERE rn = 1),
+         |adelta AS (SELECT vec_id, v, cid, (vec_id % ${10 * k}) // 10 AS batch FROM (
+         |    SELECT en.vec_id, en.v, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY en.vec_id
+         |                         ORDER BY ${dot("en.v", "c.cv")} DESC, c.cid) AS rn
+         |    FROM en CROSS JOIN c WHERE en.vec_id % 10 = 0) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE $AnnQueryPred),
+         |probes AS (SELECT query_id, qv, cid FROM (
+         |    SELECT q.query_id, q.qv, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |                         ORDER BY ${dot("q.qv", "c.cv")} DESC, c.cid) AS rn
+         |    FROM q CROSS JOIN c) WHERE rn <= 4),
+         |qt AS (SELECT unnest([$termsSqlList]) AS term)""".stripMargin
+    val perBatch = (0 until k).map { b =>
+      s"""vis$b AS (SELECT vec_id, v, cid FROM acorp
+         |  UNION ALL SELECT vec_id, v, cid FROM adelta WHERE batch <= $b),
+         |scored$b AS (SELECT q.query_id, x.vec_id, ${dot("q.qv", "x.v")} AS cosine
+         |  FROM vis$b x JOIN probes q USING (cid) WHERE x.vec_id <> q.query_id),
+         |annr$b AS (SELECT query_id, vec_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |                       ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM scored$b),
+         |ann$b AS (SELECT CAST($b AS BIGINT) AS batch, 'ann' AS kind,
+         |    query_id AS qid, vec_id AS doc_id, cosine AS score, rank
+         |  FROM annr$b WHERE rank <= $TopK),
+         |docs$b AS (SELECT doc_id, text FROM documents
+         |  WHERE doc_id % 10 <> 0 OR (doc_id % ${10 * k}) // 10 <= $b),
+         |tok$b AS (SELECT doc_id, len(string_split(text,' ')) AS doclen,
+         |               unnest(string_split(text,' ')) AS term FROM docs$b),
+         |post$b AS (SELECT doc_id, doclen, term, COUNT(*) AS tf FROM tok$b GROUP BY 1, 2, 3),
+         |nn$b AS (SELECT COUNT(DISTINCT doc_id) AS n FROM post$b),
+         |ad$b AS (SELECT AVG(doclen) AS avgdl FROM (SELECT DISTINCT doc_id, doclen FROM post$b)),
+         |dft$b AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM post$b GROUP BY term),
+         |pt$b AS (SELECT p.doc_id, p.term,
+         |         ln(1.0 + (nn$b.n - dft$b.df + 0.5) / (dft$b.df + 0.5))
+         |           * (p.tf / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.doclen / ad$b.avgdl))) AS s
+         |       FROM post$b p JOIN qt USING (term) JOIN dft$b USING (term)
+         |       CROSS JOIN nn$b CROSS JOIN ad$b),
+         |sc$b AS (SELECT doc_id,
+         |         list_reduce(list_prepend(0.0::DOUBLE,
+         |           list_transform(list_sort(list(struct_pack(term := term, s := s))),
+         |                          x -> x.s)), (a, b) -> a + b) AS score
+         |       FROM pt$b GROUP BY doc_id),
+         |bmr$b AS (SELECT doc_id, round(score, 9) AS score,
+         |    ROW_NUMBER() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank
+         |  FROM sc$b),
+         |bm$b AS (SELECT CAST($b AS BIGINT) AS batch, 'bm25' AS kind,
+         |    CAST(-1 AS BIGINT) AS qid, doc_id, score, rank
+         |  FROM bmr$b WHERE rank <= $TopK)""".stripMargin
+    }
+    val unioned = (0 until k)
+      .map(b => s"SELECT * FROM bm$b UNION ALL SELECT * FROM ann$b")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $norm,
+       |$ivfShared,
+       |${perBatch.mkString(",\n")}
+       |SELECT batch, kind, qid, doc_id, score, rank FROM ($unioned)
+       |ORDER BY batch, kind, qid, rank""".stripMargin
+  }
+}
