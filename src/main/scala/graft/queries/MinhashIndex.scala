@@ -206,14 +206,18 @@ object MinhashIndex {
       assertCurrent()
       graft.functions.MinhashSig.register(spark)
       val deltaIds = newDocs.select(col("doc_id")).localCheckpoint()
+      // Guard on the ARRAYS table only (the EmbedIndex.append shave):
+      // both tables derive from the same sigged frame and arrays
+      // commits FIRST, so arrays' id set ⊇ bands' — checking arrays
+      // alone is complete and drops the bands-sized scan (bands × n
+      // rows where arrays is 1 × n).
       val clashes = arrays.select(col("doc_id"))
-        .union(bands.select(col("doc_id")))
         .join(broadcast(deltaIds), "doc_id").limit(1).count()
       require(clashes == 0,
         s"append violates the disjointness contract: delta contains doc_ids already in " +
-          s"$tableName or $arraysTable (an id in only one table means a previous append " +
-          "failed between its two commits — those docs are indexed for verify but not " +
-          "discoverable; rebuild or compact to reconcile)")
+          s"$arraysTable (an id present there but absent from $tableName means a previous " +
+          "append failed between its two commits — those docs are indexed for verify but " +
+          "not discoverable; rebuild or compact to reconcile)")
       val sigged = newDocs
         .select(col("doc_id"), expr("graft_minhash(text)").as("sig"),
           expr("graft_shingles(text)").as("hs"))
