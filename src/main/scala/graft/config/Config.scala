@@ -124,7 +124,8 @@ final case class ScaleConfig(
     embedRotations: Int = 4,
     compactEveryAppends: Int = 0,
     ivfFitCheckEvery: Int = 0,
-    ivfRetrainBelowCos: Double = 0.0)
+    ivfRetrainBelowCos: Double = 0.0,
+    embedActCos: Double = 0.9)
 
 /** Engine configuration (config.py:60-86). `manifestPath` derives from
   * the project root + target dir exactly as the reference's property. */
@@ -216,7 +217,8 @@ object Config {
         embedRotations = int(scaleSec, "embed_rotations", 4),
         compactEveryAppends = int(scaleSec, "compact_every_appends", 0),
         ivfFitCheckEvery = int(scaleSec, "ivf_fit_check_every", 0),
-        ivfRetrainBelowCos = dbl(scaleSec, "ivf_retrain_below_cos", 0.0)))
+        ivfRetrainBelowCos = dbl(scaleSec, "ivf_retrain_below_cos", 0.0),
+        embedActCos = dbl(scaleSec, "embed_act_cos", 0.9)))
   }
 
   private def findUpward(start: Path): Option[Path] = {

@@ -195,7 +195,8 @@ object CorpusClean {
     * MinHash band probes scan the bucketed corpus tables in place). */
   private[graft] def incrLedger(s: SparkSession, delta: DataFrame,
       dg: DigestIndex.Index, mh: MinhashIndex.Index,
-      em: Option[(EmbedIndex.Index, DataFrame)] = None): DataFrame = {
+      em: Option[(EmbedIndex.Index, DataFrame)] = None,
+      embedActCos: Double = Dedup.EmbedActThreshold): DataFrame = {
     // 1. exact dedup: digest-index membership probe + within-batch
     // first-id-keeps (delta-sized min-agg + join — the d_exact_dedup
     // skew discipline; DigestIndexSpec pins probe ≡ recompute). The
@@ -248,7 +249,7 @@ object CorpusClean {
         // sign-LSH cannot recall at production width (the r11 weak
         // row; see the constant's doc and SURVEY §9.12).
         val emb = ei.probeRows(deltaVecs)
-          .filter(col("cosine") >= Dedup.EmbedActThreshold)
+          .filter(col("cosine") >= embedActCos)
           .select(col("vec_id").as("doc_id"), col("dup_of").as("emb_dup_of"),
             col("cosine").as("emb_cosine"))
         base

@@ -33,6 +33,26 @@ object ScaleOps {
     Dedup.embedLshPairsMulti(s, d, cap, cfg.scale.embedBandBits,
       cfg.scale.embedRotations)
 
+  /** The embed-stage incremental cleaning ledger at the configured
+    * ACTING tier (`[scale] embed_act_cos`, default 0.9 =
+    * [[Dedup.EmbedActThreshold]]): the cosine a probe match must reach
+    * before the ledger flags `embed_dup`. The gate-pinned ledgers act
+    * at the 0.9 default — the tier sign-LSH measurably recalls; a
+    * deployment that adds a recall route for a looser tier (e.g. the
+    * IVF-assisted `d_embed_neardup_ivf` candidates) can lower it HERE,
+    * not by editing the verifier floor. */
+  def incrCleanEmbed(s: SparkSession, d: String, cfg: EngineConfig): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val delta = graft.Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+    val deltaVecs = graft.Tables.embeddings(s, d)
+      .filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select(col("vec_id"), col("embedding"))
+    CorpusClean.incrLedger(s, delta, Dedup.digestIndex(s, d), Dedup.incrIndex(s, d),
+      Some((Dedup.embedIndex(s, d), deltaVecs)), cfg.scale.embedActCos)
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic global training-order shuffle at the configured
     * shard width (`[scale] shard_bits`). */
   def globalShuffle(s: SparkSession, d: String, cfg: EngineConfig): DataFrame =

@@ -103,6 +103,20 @@ class ConfigSpec extends SparkSuite {
     assert(cfg.scale.ivfFitCheckEvery == 100)
     assert(cfg.scale.ivfRetrainBelowCos == 0.8)
     assert(cfg.scale.compactEveryAppends == 0, "unset cadence stays off")
+    assert(cfg.scale.embedActCos == 0.9, "unset acting tier keeps the gate-pinned 0.9")
+  }
+
+  test("the shipped production preset (examples/graft.toml) loads with its documented values") {
+    val cfg = Config.load(java.nio.file.Paths.get("examples"))
+    assert(cfg.scale.embedBandBits == 16)
+    assert(cfg.scale.embedRotations == 16)
+    assert(cfg.scale.embedActCos == 0.9)
+    assert(cfg.scale.shardBits == 16)
+    assert(cfg.scale.seqPackShards == 64)
+    assert(cfg.scale.compactEveryAppends == 24)
+    assert(cfg.scale.ivfFitCheckEvery == 24)
+    assert(cfg.scale.ivfRetrainBelowCos == 0.8)
+    assert(cfg.capsule.defaultTokenBudget == 10000)
   }
 
   test("missing config file yields pure defaults") {

@@ -42,6 +42,28 @@ class ScaleOpsSpec extends SparkSuite {
       "configured rotations (8) must reach the multiprobe pipeline")
   }
 
+  test("embed_act_cos reaches the cleaning ledger's acting tier") {
+    val root = Files.createTempDirectory("graft_scale_act")
+    Files.writeString(root.resolve(Config.ConfigFilename),
+      "[scale]\nembed_act_cos = 0.45\n")
+    val cfgLoose = Config.load(root)
+    assert(cfgLoose.scale.embedActCos == 0.45)
+    def verdicts(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "reason").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val atDefault = verdicts(ScaleOps.incrCleanEmbed(spark, d,
+      Config.load(Files.createTempDirectory("graft_scale_dflt"))))
+    // cfg-wired default ≡ the gate-pinned ledger
+    assert(atDefault == verdicts(SparkEntry.queries("pipe_incr_clean_embed")(spark, d)))
+    // the loosened tier genuinely changes verdicts on this corpus: its
+    // delta↔corpus matches are all mid-tier (0.45–0.7 — the knee
+    // data), so 0.45 flags embed_dup where the default flags none.
+    val atLoose = verdicts(ScaleOps.incrCleanEmbed(spark, d, cfgLoose))
+    assert(atLoose.exists(_._2 == "embed_dup") &&
+      !atDefault.exists(_._2 == "embed_dup"),
+      s"the configured acting tier must change the ledger: $atLoose")
+  }
+
   test("shard_bits and seq_pack_shards reach the training-prep operators") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
     assert(rows(ScaleOps.globalShuffle(spark, d, cfg16)) ==
