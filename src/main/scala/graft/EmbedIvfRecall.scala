@@ -59,7 +59,19 @@ object EmbedIvfRecall {
     def recallStr(n: Long, denom: Long): String =
       if (denom == 0) "null" else f(n.toDouble / denom)
 
-    val dirJsons = args.map { d =>
+    // Accumulate per-dir JSON and REWRITE the artifact after every
+    // dir — a blowup on a later (bigger) corpus keeps the finished
+    // rows (the ×64 lesson: an end-only write lost sf0.1/×10 when
+    // P=4 at 128k spilled the disk under the pre-round-12 verify).
+    def writeOut(dirs: Seq[String]): String = {
+      val json = s"""{"cosine_threshold":${Dedup.EmbedCosineThreshold},""" +
+        s""""mid_tier":"[0.45,0.70)","dirs":${dirs.mkString("{", ",", "}")}}"""
+      try Files.writeString(Paths.get(outPath), json + "\n")
+      catch { case e: Throwable => System.err.println(s"[embed-ivf] write $outPath failed: $e") }
+      json
+    }
+    var done = Seq.empty[String]
+    args.foreach { d =>
       val nVecs = Tables.embeddings(spark, d).count()
       val numCentroids = math.max(16, math.round(math.sqrt(nVecs.toDouble)).toInt)
       val ((tTot, tMid, t70, t90), truthSec) = swept(tiered(Dedup.embedTruePairs(spark, d)))
@@ -97,17 +109,14 @@ object EmbedIvfRecall {
             s""""verified_hi90":$v90,"recall_hi90":${recallStr(v90, t90)},""" +
             s""""pipeline_sec":${f(sec)}}"""
         }.mkString("{", ",", "}")
-        s""""$d":{"vectors":$nVecs,"centroids":$numCentroids,""" +
+        done = done :+ (s""""$d":{"vectors":$nVecs,"centroids":$numCentroids,""" +
           s""""build_sec":${f(buildSec)},"true_pairs":$tTot,"true_mid":$tMid,""" +
           s""""true_hi70":$t70,"true_hi90":$t90,"truth_sec":${f(truthSec)},""" +
-          s""""probes":$rows}"""
+          s""""probes":$rows}""")
+        writeOut(done)
       } finally idx.drop()
-    }.mkString("{", ",", "}")
-    val json =
-      s"""{"cosine_threshold":${Dedup.EmbedCosineThreshold},"mid_tier":"[0.45,0.70)","dirs":$dirJsons}"""
-    try Files.writeString(Paths.get(outPath), json + "\n")
-    catch { case e: Throwable => System.err.println(s"[embed-ivf] write $outPath failed: $e") }
-    println(json)
+    }
+    println(writeOut(done))
     spark.stop()
   }
 

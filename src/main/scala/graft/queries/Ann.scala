@@ -247,33 +247,53 @@ object Ann {
     * (shared 16-centroid index, P = [[IvfPairProbe]]) and the scale
     * measurement ([[graft.EmbedIvfRecall]]: ~√n centroids) share one
     * definition. Multi-assign every indexed vector to its top-`probe`
-    * centroids (vectors stream once against the BROADCAST centroid
-    * table; the per-vector top-P window partitions on vec_id — an
-    * AQE-splittable exchange of n·centroids skinny rows), self-join on
-    * the bucket id (pairs sharing ANY top-P bucket; the only
-    * corpus-keyed shuffle, ~P·n rows), dedup the pair ids BEFORE
-    * attaching vectors (a pair sharing several buckets dots once), and
-    * verify with the exact codegen dot at the
-    * [[Dedup.EmbedCosineThreshold]] discovery floor. Unsorted. */
+    * centroids ([[topPBuckets]] — skinny rows), attach each vector
+    * ONCE by vec_id (P·n rows, the only vector-carrying shuffle —
+    * CORPUS-sized, never candidate-sized), self-join on the bucket id
+    * and verify with the exact codegen dot INSIDE the join's output:
+    * only survivors of the [[Dedup.EmbedCosineThreshold]] floor
+    * materialize; the ~P²·n²/k candidate stream itself never does.
+    * Pairs that meet in several buckets dot up to `probe` times and
+    * dedup at the SURVIVOR level — exact, because `graft_dot` is a
+    * deterministic left-to-right fold, so duplicate meetings carry
+    * bit-identical cosines into the distinct. (Round 12: the former
+    * shape deduped candidate pair IDS first and joined both vectors
+    * onto the deduped pairs — two candidate-sized vector-attach
+    * shuffles that spilled the ×64 P=4 run, ~365M candidates × two
+    * 64-double arrays, off the disk; this shape's shuffles stay
+    * corpus-sized, so the same run completes on one box.
+    * EmbedIvfRouteSpec pins the rewrite row-identical to the
+    * reference dedup-then-attach shape.) Unsorted. */
   private[graft] def embedPairsIvf(idx: IvfIndex.Index, probe: Int): DataFrame = {
     val e = idx.assigned.select(col("vec_id"), col("v"))
-    embedIvfCands(idx, probe)
-      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
-      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
-      .select(col("vec_a"), col("vec_b"), expr("graft_dot(va, vb)").as("cosine"))
+    val withV = topPBuckets(idx, probe).join(e, "vec_id")
+    withV.as("x").join(withV.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        expr("graft_dot(x.v, y.v)").as("cosine"))
       .filter(col("cosine") >= Dedup.EmbedCosineThreshold)
+      .distinct()
+  }
+
+  /** Per-vector top-`probe` centroid assignment (vec_id, cid) —
+    * vectors stream once against the BROADCAST centroid table; the
+    * per-vector top-P window partitions on vec_id, an AQE-splittable
+    * exchange of n·centroids skinny rows. Shared by the verify route
+    * above and the candidate count below. */
+  private def topPBuckets(idx: IvfIndex.Index, probe: Int): DataFrame = {
+    val e = idx.assigned.select(col("vec_id"), col("v"))
+    val wP = Window.partitionBy(col("vec_id")).orderBy(col("pcos").desc, col("cid"))
+    e.crossJoin(broadcast(idx.centroids))
+      .select(col("vec_id"), col("cid"), expr("graft_dot(v, cv)").as("pcos"))
+      .withColumn("rn", row_number().over(wP))
+      .filter(col("rn") <= probe)
+      .select(col("vec_id"), col("cid"))
   }
 
   /** Candidate discovery alone (the pre-verify volume — the cost
     * driver the recall artifact weighs the route by). */
   private[graft] def embedIvfCands(idx: IvfIndex.Index, probe: Int): DataFrame = {
-    val e = idx.assigned.select(col("vec_id"), col("v"))
-    val wP = Window.partitionBy(col("vec_id")).orderBy(col("pcos").desc, col("cid"))
-    val multi = e.crossJoin(broadcast(idx.centroids))
-      .select(col("vec_id"), col("cid"), expr("graft_dot(v, cv)").as("pcos"))
-      .withColumn("rn", row_number().over(wP))
-      .filter(col("rn") <= probe)
-      .select(col("vec_id"), col("cid"))
+    val multi = topPBuckets(idx, probe)
     multi.as("x").join(multi.as("y"),
         col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
