@@ -87,6 +87,65 @@ object EmbedIndexProbe {
       s""""build_sec":${f(buildSec)},"indexed_p50":${f(idxSec)},""" +
       s""""self_contained_p50":${f(selfSec)},"ratio":${f(selfSec / idxSec)},""" +
       s""""rounds":$Rounds}""")
+
+    // ×64 auto-compact smoke (r11 VERDICT #8): price the standing
+    // pipeline's MAINTENANCE path at scale — a caller-owned snapshot
+    // takes appends under `[scale] compact_every_appends = 2`, the
+    // second append triggers the in-append compaction rotation, and
+    // the post-boundary probe must (a) cost what the pre-boundary
+    // probe costs and (b) answer verdict-identically to a cadence-OFF
+    // twin that took the same appends (probe invariance across the
+    // auto-compact boundary, the AutoCompactSpec claim, here asserted
+    // at corpus scale). Env-gated: the default run keeps the r11
+    // artifact's exact shape.
+    if (sys.env.get("SPARK_GRAFT_AUTOCOMPACT_SMOKE").contains("1")) {
+      val maxId = Tables.embeddings(spark, sfDir)
+        .agg(org.apache.spark.sql.functions.max(col("vec_id"))).head().getLong(0)
+      def shifted(k: Int): DataFrame =
+        delta.withColumn("vec_id", col("vec_id") + lit((maxId + 1) * k))
+      def verdicts(df: DataFrame): Seq[(Long, Any, Any, Boolean)] =
+        df.collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getLong(1),
+          if (r.isNullAt(2)) null else r.getDouble(2),
+          r.getBoolean(3))).toSeq.sortBy(_._1)
+
+      def takeAppends(cadence: Int): (EmbedIndex.Index, Seq[Double]) = {
+        val snap = idx.snapshot()
+        val prev = IndexMaintenance.compactEveryAppends
+        IndexMaintenance.compactEveryAppends = cadence
+        try {
+          var h = snap
+          val appendSecs = (1 to 2).map { k =>
+            val t = System.nanoTime()
+            h = h.append(shifted(k))
+            (System.nanoTime() - t) / 1e9
+          }
+          (h, appendSecs)
+        } finally IndexMaintenance.compactEveryAppends = prev
+      }
+
+      val tSnap = System.nanoTime()
+      val warm = idx.snapshot(); warm.drop() // priced once, separately
+      val snapshotSec = (System.nanoTime() - tSnap) / 1e9
+
+      val (auto, autoAppends) = takeAppends(cadence = 2)
+      val (plain, plainAppends) = takeAppends(cadence = 0)
+      try {
+        require(auto.tableName != plain.tableName)
+        val probeDelta = shifted(3)
+        val (_, beforeSec) = p50(plain.probe(probeDelta).queryExecution.toRdd.count())
+        val (_, afterSec) = p50(auto.probe(probeDelta).queryExecution.toRdd.count())
+        require(verdicts(auto.probe(probeDelta)) == verdicts(plain.probe(probeDelta)),
+          "probe verdicts diverged across the auto-compact boundary")
+        println(s"""{"autocompact_smoke":{"sf":"$sfDir","cadence":2,""" +
+          s""""snapshot_sec":${f(snapshotSec)},""" +
+          s""""append1_sec":${f(autoAppends.head)},""" +
+          s""""append2_with_autocompact_sec":${f(autoAppends(1))},""" +
+          s""""plain_append_secs":[${plainAppends.map(f).mkString(",")}],""" +
+          s""""probe_p50_plain":${f(beforeSec)},"probe_p50_autocompacted":${f(afterSec)},""" +
+          s""""verdicts_invariant":true,"rounds":$Rounds}}""")
+      } finally { auto.drop(); plain.drop() }
+    }
     spark.stop()
   }
 }
