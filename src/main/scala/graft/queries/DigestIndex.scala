@@ -106,14 +106,20 @@ object DigestIndex {
       * course allowed — that is what the index detects). */
     def append(newDocs: DataFrame): Index = {
       assertCurrent()
-      val deltaIds = newDocs.select(col("doc_id")).localCheckpoint()
+      // ONE delta materialization for guard + write (round 12: the
+      // former deltaIds checkpoint scanned the delta once for the
+      // guard and the write scanned it AGAIN for the digests; hashing
+      // before the guard wastes only the digest column when the guard
+      // trips — the contract-violation path, not the hot path).
+      val hashed = newDocs
+        .select(col("doc_id"), TextHash.contentDigest(col("text")).as("content_hash"))
+        .localCheckpoint()
       val clashes = digests.select(col("doc_id"))
-        .join(broadcast(deltaIds), "doc_id").limit(1).count()
+        .join(broadcast(hashed.select(col("doc_id"))), "doc_id").limit(1).count()
       require(clashes == 0,
         s"append violates the disjointness contract: delta contains doc_ids already in " +
           s"$tableName — rebuild or compact to reconcile")
-      newDocs
-        .select(col("doc_id"), TextHash.contentDigest(col("text")).as("content_hash"))
+      hashed
         .repartition(DigestIndex.NumBuckets, col("content_hash"))
         .write.mode("append")
         .bucketBy(DigestIndex.NumBuckets, "content_hash").sortBy("content_hash")

@@ -175,7 +175,12 @@ object EmbedIndex {
       * missing). */
     def append(newVecs: DataFrame): Index = {
       assertCurrent()
-      val deltaIds = newVecs.select(col("vec_id")).localCheckpoint()
+      // ONE delta materialization for guard + both writes (round 12:
+      // the former separate deltaIds localCheckpoint cost an extra job
+      // and a second delta scan per append; normalizing before the
+      // guard wastes only the transform when the guard trips — the
+      // contract-violation path, not the hot path).
+      val normed = EmbedIndex.normalized(newVecs).localCheckpoint()
       // Disjointness guard on the VECTORS table only (r11 VERDICT #4,
       // the append-cost shave): vectors commit FIRST (below), so the
       // vecs table's id set is always a superset of the bands table's
@@ -185,12 +190,11 @@ object EmbedIndex {
       // corpus-band-sized scan (rotations × groups × corpus rows —
       // 32× the vector count at the gate geometry).
       val clashes = vectors.select(col("vec_id"))
-        .join(broadcast(deltaIds), "vec_id").limit(1).count()
+        .join(broadcast(normed.select(col("vec_id"))), "vec_id").limit(1).count()
       require(clashes == 0,
         s"append violates the disjointness contract: delta contains vec_ids already in " +
           s"$vecsTable (an id present there but absent from $tableName means a previous " +
           "append failed between its two commits — rebuild or compact to reconcile)")
-      val normed = EmbedIndex.normalized(newVecs).localCheckpoint()
       normed.select(col("vec_id"), col("v"))
         .repartition(EmbedIndex.NumBuckets, col("vec_id"))
         .write.mode("append")

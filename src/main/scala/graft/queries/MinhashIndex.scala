@@ -205,24 +205,29 @@ object MinhashIndex {
     def append(newDocs: DataFrame): Index = {
       assertCurrent()
       graft.functions.MinhashSig.register(spark)
-      val deltaIds = newDocs.select(col("doc_id")).localCheckpoint()
+      // ONE delta materialization for guard + both writes (round 12:
+      // the former separate deltaIds localCheckpoint cost an extra job
+      // and a second delta scan per append). The guard covers exactly
+      // the rows that LAND: a delta doc the signature stage drops
+      // (null sig — no shingles) is never written, so it cannot
+      // violate the written tables' disjointness.
+      val sigged = newDocs
+        .select(col("doc_id"), expr("graft_minhash(text)").as("sig"),
+          expr("graft_shingles(text)").as("hs"))
+        .filter(col("sig").isNotNull)
+        .localCheckpoint()
       // Guard on the ARRAYS table only (the EmbedIndex.append shave):
       // both tables derive from the same sigged frame and arrays
       // commits FIRST, so arrays' id set ⊇ bands' — checking arrays
       // alone is complete and drops the bands-sized scan (bands × n
       // rows where arrays is 1 × n).
       val clashes = arrays.select(col("doc_id"))
-        .join(broadcast(deltaIds), "doc_id").limit(1).count()
+        .join(broadcast(sigged.select(col("doc_id"))), "doc_id").limit(1).count()
       require(clashes == 0,
         s"append violates the disjointness contract: delta contains doc_ids already in " +
           s"$arraysTable (an id present there but absent from $tableName means a previous " +
           "append failed between its two commits — those docs are indexed for verify but " +
           "not discoverable; rebuild or compact to reconcile)")
-      val sigged = newDocs
-        .select(col("doc_id"), expr("graft_minhash(text)").as("sig"),
-          expr("graft_shingles(text)").as("hs"))
-        .filter(col("sig").isNotNull)
-        .localCheckpoint()
       sigged.select(col("doc_id"), col("hs"))
         .repartition(MinhashIndex.NumBuckets, col("doc_id"))
         .write.mode("append")
