@@ -27,6 +27,9 @@ import graft.util.Scratch
   * the delta. A bulk re-probe past the count gate equi-joins with the
   * shuffle_hash hint instead — the [[MinhashIndex.Index.probe]]
   * discipline exactly.
+  *
+  * Lifecycle (drop/branch/snapshot/compact, stale-handle fail-fast,
+  * auto-compact cadence) is the shared [[PersistedIndex]] contract.
   */
 object DigestIndex {
 
@@ -41,37 +44,35 @@ object DigestIndex {
     * envelope as [[MinhashIndex.ProbeBroadcastMaxKeys]]. */
   val ProbeBroadcastMaxKeys: Long = 4L * 1000 * 1000
 
-  final class Index private[DigestIndex] (spark: SparkSession,
-      baseName: String, private[DigestIndex] val generation: Int, cacheKey: String,
-      parent: Option[Index] = None) {
+  final class Index private[DigestIndex] (
+      private[graft] val spark: SparkSession,
+      private[graft] val baseName: String,
+      private[graft] val generation: Int,
+      private[graft] val cacheKey: String,
+      private[graft] val parentIndex: Option[Index] = None)
+    extends PersistedIndex[Index] {
 
-    def tableName: String =
-      if (generation == 0) baseName else s"${baseName}_g$generation"
-
-    /** compact() swaps the of() cache to the next generation; a handle
-      * obtained before the compaction must fail fast with an
-      * actionable message, not a bare missing-table error (the
-      * [[MinhashIndex]] stale-handle discipline). A branch also checks
-      * its base. */
-    private def assertCurrent(): Unit = {
-      val c = DigestIndex.cache.get(cacheKey)
-      if (c != null && (c ne this) && c.generation != generation)
-        throw new IllegalStateException(
-          s"stale DigestIndex handle: generation $generation was compacted away " +
-            s"(current generation ${c.generation}) — use the instance returned by " +
-            "compact(), or re-resolve via DigestIndex.of()")
-      parent.foreach(_.assertCurrent())
-    }
+    private[graft] def kindName = "DigestIndex"
+    private[graft] def logTag = "digest"
+    private[graft] def scratchPrefix = "graft_dg"
+    private[graft] def tableSpecs =
+      Seq(PersistedIndex.TableSpec("", "content_hash", DigestIndex.NumBuckets))
+    private[graft] def cacheGet(key: String): Index = DigestIndex.cache.get(key)
+    private[graft] def cachePut(key: String, v: Index): Unit =
+      DigestIndex.cache.put(key, v)
+    private[graft] def cacheRemoveEntry(key: String, v: Index): Unit =
+      DigestIndex.cache.remove(key, v)
+    private[graft] def freshSeqNext(): Int = DigestIndex.freshSeq.incrementAndGet()
+    private[graft] def make(baseName: String, generation: Int, cacheKey: String,
+        parent: Option[Index]): Index =
+      new Index(spark, baseName, generation, cacheKey, parent)
 
     /** (doc_id, content_hash), bucketed by content_hash; for a
       * [[branch]], the base's table UNIONed with the branch's delta
       * rows (the delta table materializes lazily on first append). */
     def digests: DataFrame = {
       assertCurrent()
-      (parent.map(_.digests) ++
-        (if (parent.isEmpty || spark.catalog.tableExists(tableName))
-          Seq(spark.table(tableName)) else Nil))
-        .reduce(_ union _)
+      withParentView(tableName, _.digests)
     }
 
     /** Per delta document (doc_id, text): its digest and whether ANY
@@ -119,98 +120,10 @@ object DigestIndex {
       require(clashes == 0,
         s"append violates the disjointness contract: delta contains doc_ids already in " +
           s"$tableName — rebuild or compact to reconcile")
-      hashed
-        .repartition(DigestIndex.NumBuckets, col("content_hash"))
-        .write.mode("append")
-        .bucketBy(DigestIndex.NumBuckets, "content_hash").sortBy("content_hash")
-        .option("path", Scratch.dir(tableName))
-        .saveAsTable(tableName)
+      writeBucketed(hashed, tableName, "content_hash", DigestIndex.NumBuckets, "append")
       // [scale] compact_every_appends cadence — base tables only
-      if (parent.isEmpty && IndexMaintenance.appendTick(baseName)) compact()
+      if (parentIndex.isEmpty && IndexMaintenance.appendTick(baseName)) compact()
       else this
-    }
-
-    /** Drop the table and its scratch dir NOW — the lifecycle end of a
-      * [[DigestIndex.fresh]] index (cached of() indexes live for the
-      * session and never need this). */
-    def drop(): Unit = {
-      spark.sql(s"DROP TABLE IF EXISTS $tableName")
-      Scratch.delete(tableName)
-      // Release this handle's cache entry if it holds one (compact()
-      // on a caller-owned fresh index cache.put()s its key — see
-      // IvfIndex.drop). No-op for branches.
-      DigestIndex.cache.remove(cacheKey, this)
-    }
-
-    /** Caller-owned ZERO-COPY branch ([[MinhashIndex.Index.branch]]
-      * exactly): an empty overlay whose [[digests]] view unions the
-      * base table (scanned in place, never copied) with the branch's
-      * own delta table — appends land on the overlay only, [[drop]]
-      * deletes the overlay and leaves the base intact. Per-invocation
-      * cost for an index-mutating pipeline: probe + delta-sized
-      * appends, nothing corpus-sized. DigestIndexSpec pins branch
-      * semantics ≡ an appended full index and append isolation. */
-    def branch(): Index = {
-      assertCurrent()
-      graft.util.BuildLog.timed(s"digest-branch:$baseName") {
-        val k = s"branch|$baseName#${DigestIndex.freshSeq.incrementAndGet()}"
-        new Index(spark, Scratch.tableName(spark, "graft_dg", k), 0,
-          Scratch.sessionId(spark) + "|" + k, parent = Some(this))
-      }
-    }
-
-    /** Caller-owned copy-on-write SNAPSHOT of this index
-      * ([[MinhashIndex.Index.snapshot]] exactly): the bucketed table
-      * is rewritten byte-for-byte into a fresh caller-owned name with
-      * NO digest recompute — the clone moves the index's serialized
-      * bytes, never the corpus text, so it skips the text scan and
-      * normalization+md5 that [[DigestIndex.fresh]] pays. Build the
-      * shared [[DigestIndex.of]] index once per session, `snapshot()`
-      * per index-MUTATING run, append freely, [[drop]] when done — the
-      * session's probe indexes never see the appends. DigestIndexSpec
-      * pins snapshot-probe ≡ source-probe and append isolation. */
-    def snapshot(): Index = {
-      assertCurrent()
-      require(parent.isEmpty,
-        "snapshot() on a branch is unsupported: the branch's paths hold only its " +
-          "delta — snapshot the base index, or rebuild via fresh()")
-      graft.util.BuildLog.timed(s"digest-snap:$baseName") {
-        val k = s"snap|$baseName#${DigestIndex.freshSeq.incrementAndGet()}"
-        val snap = Scratch.tableName(spark, "graft_dg", k)
-        spark.sql(s"DROP TABLE IF EXISTS $snap")
-        spark.read.parquet(Scratch.dir(tableName))
-          .repartition(DigestIndex.NumBuckets, col("content_hash"))
-          .write.mode("overwrite")
-          .bucketBy(DigestIndex.NumBuckets, "content_hash").sortBy("content_hash")
-          .option("path", Scratch.dir(snap))
-          .saveAsTable(snap)
-        new Index(spark, snap, 0, Scratch.sessionId(spark) + "|" + k)
-      }
-    }
-
-    /** Rewrite into a fresh generation with ONE file per bucket (each
-      * append leaves a file per bucket behind). Content untouched →
-      * probes identical pre/post; path reads, not table reads — see
-      * [[IvfIndex.Index.compact]] for why. */
-    def compact(): Index = {
-      assertCurrent()
-      require(parent.isEmpty,
-        "compact() on a branch is unsupported: the branch's paths hold only its " +
-          "delta — compact the base index")
-      val next = s"${baseName}_g${generation + 1}"
-      spark.sql(s"DROP TABLE IF EXISTS $next")
-      spark.read.parquet(Scratch.dir(tableName))
-        .repartition(DigestIndex.NumBuckets, col("content_hash"))
-        .write.mode("overwrite")
-        .bucketBy(DigestIndex.NumBuckets, "content_hash").sortBy("content_hash")
-        .option("path", Scratch.dir(next))
-        .saveAsTable(next)
-      spark.sql(s"DROP TABLE IF EXISTS $tableName")
-      Scratch.delete(tableName)
-      IndexMaintenance.resetAppend(baseName)
-      val compacted = new Index(spark, baseName, generation + 1, cacheKey)
-      cache.put(cacheKey, compacted)
-      compacted
     }
   }
 
@@ -240,13 +153,10 @@ object DigestIndex {
       cacheKey: String): Index = {
     val tableName = Scratch.tableName(spark, "graft_dg", corpusKey)
     spark.sql(s"DROP TABLE IF EXISTS $tableName")
-    corpus
-      .select(col("doc_id"), TextHash.contentDigest(col("text")).as("content_hash"))
-      .repartition(NumBuckets, col("content_hash"))
-      .write.mode("overwrite")
-      .bucketBy(NumBuckets, "content_hash").sortBy("content_hash")
-      .option("path", Scratch.dir(tableName))
-      .saveAsTable(tableName)
-    new Index(spark, tableName, 0, cacheKey)
+    val idx = new Index(spark, tableName, 0, cacheKey)
+    idx.writeBucketed(
+      corpus.select(col("doc_id"), TextHash.contentDigest(col("text")).as("content_hash")),
+      tableName, "content_hash", NumBuckets, "overwrite")
+    idx
   }
 }

@@ -43,6 +43,9 @@ import graft.util.Scratch
   * fallback — the corpus never reshuffles); hot-band cap on the
   * COMBINED per-key count; exact `graft_dot` cosine verify; best match
   * + is_new per delta vector.
+  *
+  * Lifecycle (drop/branch/snapshot/compact, stale-handle fail-fast,
+  * auto-compact cadence) is the shared [[PersistedIndex]] contract.
   */
 object EmbedIndex {
 
@@ -56,42 +59,39 @@ object EmbedIndex {
     * — the [[MinhashIndex.ProbeBroadcastMaxKeys]] envelope. */
   val ProbeBroadcastMaxKeys: Long = 4L * 1000 * 1000
 
-  final class Index private[EmbedIndex] (spark: SparkSession,
-      baseName: String, private[EmbedIndex] val generation: Int, cacheKey: String,
+  final class Index private[EmbedIndex] (
+      private[graft] val spark: SparkSession,
+      private[graft] val baseName: String,
+      private[graft] val generation: Int,
+      private[graft] val cacheKey: String,
       val bandBits: Int, val rotations: Int,
-      parent: Option[Index] = None) {
+      private[graft] val parentIndex: Option[Index] = None)
+    extends PersistedIndex[Index] {
 
-    def tableName: String =
-      if (generation == 0) baseName else s"${baseName}_g$generation"
     def vecsTable: String = tableName + "_vec"
 
-    /** Stale-handle fail-fast after [[compact]] (the
-      * [[MinhashIndex]] discipline); a branch also checks its base. */
-    private def assertCurrent(): Unit = {
-      val c = EmbedIndex.cache.get(cacheKey)
-      if (c != null && (c ne this) && c.generation != generation)
-        throw new IllegalStateException(
-          s"stale EmbedIndex handle: generation $generation was compacted away " +
-            s"(current generation ${c.generation}) — use the instance returned by " +
-            "compact(), or re-resolve via EmbedIndex.of()")
-      parent.foreach(_.assertCurrent())
-    }
-
-    /** A branch's own delta tables materialize lazily on first append
-      * (mode("append") creates them); until then the views below are
-      * the parent's alone. */
-    private def ownExists(t: String): Boolean = spark.catalog.tableExists(t)
-    private def withParent(own: String, view: Index => DataFrame): DataFrame =
-      (parent.map(view) ++
-        (if (parent.isEmpty || ownExists(own)) Seq(spark.table(own)) else Nil))
-        .reduce(_ union _)
+    private[graft] def kindName = "EmbedIndex"
+    private[graft] def logTag = "embed"
+    private[graft] def scratchPrefix = "graft_em"
+    private[graft] def tableSpecs = Seq(
+      PersistedIndex.TableSpec("", "pk", EmbedIndex.NumBuckets),
+      PersistedIndex.TableSpec("_vec", "vec_id", EmbedIndex.NumBuckets))
+    private[graft] def cacheGet(key: String): Index = EmbedIndex.cache.get(key)
+    private[graft] def cachePut(key: String, v: Index): Unit =
+      EmbedIndex.cache.put(key, v)
+    private[graft] def cacheRemoveEntry(key: String, v: Index): Unit =
+      EmbedIndex.cache.remove(key, v)
+    private[graft] def freshSeqNext(): Int = EmbedIndex.freshSeq.incrementAndGet()
+    private[graft] def make(baseName: String, generation: Int, cacheKey: String,
+        parent: Option[Index]): Index =
+      new Index(spark, baseName, generation, cacheKey, bandBits, rotations, parent)
 
     /** (vec_id, pk), bucketed by pk; for a [[branch]], the base's
       * table UNIONed with the branch's delta rows. */
-    def bands: DataFrame = withParent(tableName, _.bands)
+    def bands: DataFrame = withParentView(tableName, _.bands)
     /** (vec_id, v L2-normalized array<double>), bucketed by vec_id;
       * branch as with [[bands]]. */
-    def vectors: DataFrame = withParent(vecsTable, _.vectors)
+    def vectors: DataFrame = withParentView(vecsTable, _.vectors)
 
     /** Flag each delta vector (vec_id, embedding) that is a near-dup
       * (cosine ≥ [[Dedup.EmbedCosineThreshold]] on a shared sign band)
@@ -165,7 +165,7 @@ object EmbedIndex {
     }
 
     /** Incrementally index `newVecs` ((vec_id, embedding) rows with
-      * NEW vec_ids — ENFORCED by the both-table disjointness guard).
+      * NEW vec_ids — ENFORCED by the disjointness guard below).
       * Bands and vectors derive scan-locally from the delta; nothing
       * corpus-sized recomputes. The vectors table commits FIRST (the
       * [[MinhashIndex.Index.append]] commit-order argument: candidates
@@ -195,122 +195,15 @@ object EmbedIndex {
         s"append violates the disjointness contract: delta contains vec_ids already in " +
           s"$vecsTable (an id present there but absent from $tableName means a previous " +
           "append failed between its two commits — rebuild or compact to reconcile)")
-      normed.select(col("vec_id"), col("v"))
-        .repartition(EmbedIndex.NumBuckets, col("vec_id"))
-        .write.mode("append")
-        .bucketBy(EmbedIndex.NumBuckets, "vec_id").sortBy("vec_id")
-        .option("path", Scratch.dir(vecsTable))
-        .saveAsTable(vecsTable)
-      normed
-        .select(col("vec_id"),
-          explode(array(EmbedIndex.packedKeyCols(bandBits, rotations): _*)).as("pk"))
-        .repartition(EmbedIndex.NumBuckets, col("pk"))
-        .write.mode("append")
-        .bucketBy(EmbedIndex.NumBuckets, "pk").sortBy("pk")
-        .option("path", Scratch.dir(tableName))
-        .saveAsTable(tableName)
+      writeBucketed(normed.select(col("vec_id"), col("v")),
+        vecsTable, "vec_id", EmbedIndex.NumBuckets, "append")
+      writeBucketed(
+        normed.select(col("vec_id"),
+          explode(array(EmbedIndex.packedKeyCols(bandBits, rotations): _*)).as("pk")),
+        tableName, "pk", EmbedIndex.NumBuckets, "append")
       // [scale] compact_every_appends cadence — base tables only
-      if (parent.isEmpty && IndexMaintenance.appendTick(baseName)) compact()
+      if (parentIndex.isEmpty && IndexMaintenance.appendTick(baseName)) compact()
       else this
-    }
-
-    /** Drop both tables and their scratch dirs NOW — the lifecycle end
-      * of a [[EmbedIndex.fresh]] index or a [[branch]] overlay. */
-    def drop(): Unit = {
-      spark.sql(s"DROP TABLE IF EXISTS $tableName")
-      spark.sql(s"DROP TABLE IF EXISTS $vecsTable")
-      Scratch.delete(tableName)
-      Scratch.delete(vecsTable)
-      // Release this handle's cache entry if it holds one (compact()
-      // on a caller-owned fresh index cache.put()s its key — see
-      // IvfIndex.drop). No-op for branches.
-      EmbedIndex.cache.remove(cacheKey, this)
-    }
-
-    /** Caller-owned ZERO-COPY branch ([[MinhashIndex.Index.branch]]
-      * exactly): an empty overlay whose [[bands]]/[[vectors]] views
-      * union the base tables (scanned in place, never copied) with the
-      * branch's own delta tables. Appends land on the overlay only;
-      * [[drop]] deletes the overlay and leaves the base intact — the
-      * generation-pinned route for index-MUTATING pipelines over a
-      * standing corpus. EmbedIndexSpec pins branch-probe ≡ an appended
-      * full index and append isolation. */
-    def branch(): Index = {
-      assertCurrent()
-      graft.util.BuildLog.timed(s"embed-branch:$baseName") {
-        val k = s"branch|$baseName#${EmbedIndex.freshSeq.incrementAndGet()}"
-        new Index(spark, Scratch.tableName(spark, "graft_em", k), 0,
-          Scratch.sessionId(spark) + "|" + k, bandBits, rotations,
-          parent = Some(this))
-      }
-    }
-
-    /** Caller-owned copy-on-write SNAPSHOT: both bucketed tables are
-      * rewritten byte-for-byte into fresh caller-owned names with NO
-      * band recompute (the clone moves index bytes, never re-derives
-      * signatures) — [[MinhashIndex.Index.snapshot]] exactly. */
-    def snapshot(): Index = {
-      assertCurrent()
-      require(parent.isEmpty,
-        "snapshot() on a branch is unsupported: the branch's paths hold only its " +
-          "delta — snapshot the base index, or rebuild via fresh()")
-      graft.util.BuildLog.timed(s"embed-snap:$baseName") {
-        val k = s"snap|$baseName#${EmbedIndex.freshSeq.incrementAndGet()}"
-        val snap = Scratch.tableName(spark, "graft_em", k)
-        val snapVec = snap + "_vec"
-        spark.sql(s"DROP TABLE IF EXISTS $snap")
-        spark.sql(s"DROP TABLE IF EXISTS $snapVec")
-        spark.read.parquet(Scratch.dir(tableName))
-          .repartition(EmbedIndex.NumBuckets, col("pk"))
-          .write.mode("overwrite")
-          .bucketBy(EmbedIndex.NumBuckets, "pk").sortBy("pk")
-          .option("path", Scratch.dir(snap))
-          .saveAsTable(snap)
-        spark.read.parquet(Scratch.dir(vecsTable))
-          .repartition(EmbedIndex.NumBuckets, col("vec_id"))
-          .write.mode("overwrite")
-          .bucketBy(EmbedIndex.NumBuckets, "vec_id").sortBy("vec_id")
-          .option("path", Scratch.dir(snapVec))
-          .saveAsTable(snapVec)
-        new Index(spark, snap, 0, Scratch.sessionId(spark) + "|" + k,
-          bandBits, rotations)
-      }
-    }
-
-    /** Rewrite both tables into a fresh generation with ONE file per
-      * bucket (each append leaves a file per bucket behind). Content
-      * untouched → probe results identical pre/post; path reads, not
-      * table reads — see [[IvfIndex.Index.compact]] for why. */
-    def compact(): Index = {
-      assertCurrent()
-      require(parent.isEmpty,
-        "compact() on a branch is unsupported: the branch's paths hold only its " +
-          "delta — compact the base index")
-      val next = s"${baseName}_g${generation + 1}"
-      val nextVec = next + "_vec"
-      spark.sql(s"DROP TABLE IF EXISTS $next")
-      spark.sql(s"DROP TABLE IF EXISTS $nextVec")
-      spark.read.parquet(Scratch.dir(tableName))
-        .repartition(EmbedIndex.NumBuckets, col("pk"))
-        .write.mode("overwrite")
-        .bucketBy(EmbedIndex.NumBuckets, "pk").sortBy("pk")
-        .option("path", Scratch.dir(next))
-        .saveAsTable(next)
-      spark.read.parquet(Scratch.dir(vecsTable))
-        .repartition(EmbedIndex.NumBuckets, col("vec_id"))
-        .write.mode("overwrite")
-        .bucketBy(EmbedIndex.NumBuckets, "vec_id").sortBy("vec_id")
-        .option("path", Scratch.dir(nextVec))
-        .saveAsTable(nextVec)
-      spark.sql(s"DROP TABLE IF EXISTS $tableName")
-      spark.sql(s"DROP TABLE IF EXISTS $vecsTable")
-      Scratch.delete(tableName)
-      Scratch.delete(vecsTable)
-      IndexMaintenance.resetAppend(baseName)
-      val compacted = new Index(spark, baseName, generation + 1, cacheKey,
-        bandBits, rotations)
-      cache.put(cacheKey, compacted)
-      compacted
     }
   }
 
@@ -379,19 +272,12 @@ object EmbedIndex {
     spark.sql(s"DROP TABLE IF EXISTS $tableName")
     spark.sql(s"DROP TABLE IF EXISTS $vecsTable")
     val normed = normalized(corpus).localCheckpoint()
-    normed
-      .select(col("vec_id"), explode(array(packedKeyCols(bandBits, rotations): _*)).as("pk"))
-      .repartition(NumBuckets, col("pk"))
-      .write.mode("overwrite")
-      .bucketBy(NumBuckets, "pk").sortBy("pk")
-      .option("path", Scratch.dir(tableName))
-      .saveAsTable(tableName)
-    normed.select(col("vec_id"), col("v"))
-      .repartition(NumBuckets, col("vec_id"))
-      .write.mode("overwrite")
-      .bucketBy(NumBuckets, "vec_id").sortBy("vec_id")
-      .option("path", Scratch.dir(vecsTable))
-      .saveAsTable(vecsTable)
-    new Index(spark, tableName, 0, cacheKey, bandBits, rotations)
+    val idx = new Index(spark, tableName, 0, cacheKey, bandBits, rotations)
+    idx.writeBucketed(
+      normed.select(col("vec_id"), explode(array(packedKeyCols(bandBits, rotations): _*)).as("pk")),
+      tableName, "pk", NumBuckets, "overwrite")
+    idx.writeBucketed(normed.select(col("vec_id"), col("v")),
+      vecsTable, "vec_id", NumBuckets, "overwrite")
+    idx
   }
 }

@@ -26,32 +26,42 @@ import graft.util.Scratch
   *
   * The trained centroid table is tiny (numCentroids rows) and kept as a
   * localCheckpoint for broadcast into probe selection.
+  *
+  * Lifecycle (drop/branch/snapshot/compact, stale-handle fail-fast,
+  * auto-compact cadence) is the shared [[PersistedIndex]] contract;
+  * [[Index.retrain]] and the fit-check cadence are IVF-specific
+  * (centroids are per-generation state no other index carries).
   */
 object IvfIndex {
 
-  final class Index private[IvfIndex] (spark: SparkSession, baseName: String,
-      private[IvfIndex] val generation: Int, val centroids: DataFrame,
+  final class Index private[IvfIndex] (
+      private[graft] val spark: SparkSession,
+      private[graft] val baseName: String,
+      private[graft] val generation: Int,
+      private[graft] val cacheKey: String,
+      val centroids: DataFrame,
       numCentroids: Int, trainIters: Int, trainQuant: Double,
-      cacheKey: String, parent: Option[Index] = None) {
+      private[graft] val parentIndex: Option[Index] = None)
+    extends PersistedIndex[Index] {
 
-    /** Catalog name of this generation's assigned table: compaction
-      * rewrites into a fresh `_gN` table (drop-after-write swap). */
-    def tableName: String =
-      if (generation == 0) baseName else s"${baseName}_g$generation"
-
-    /** Fail fast on a handle whose generation was compacted away (the
-      * MinhashIndex.assertCurrent discipline — a stale handle would
-      * otherwise surface as a bare missing-table error). A branch also
-      * checks its base. */
-    private def assertCurrent(): Unit = {
-      val c = IvfIndex.cache.get(cacheKey)
-      if (c != null && (c ne this) && c.generation != generation)
-        throw new IllegalStateException(
-          s"stale IvfIndex handle: generation $generation was compacted away " +
-            s"(current generation ${c.generation}) — use the instance returned by " +
-            "compact(), or re-resolve via IvfIndex.of()")
-      parent.foreach(_.assertCurrent())
-    }
+    private[graft] def kindName = "IvfIndex"
+    private[graft] def logTag = "ivf"
+    private[graft] def scratchPrefix = "graft_ivf"
+    private[graft] def tableSpecs =
+      Seq(PersistedIndex.TableSpec("", "cid", numCentroids))
+    private[graft] def cacheGet(key: String): Index = IvfIndex.cache.get(key)
+    private[graft] def cachePut(key: String, v: Index): Unit =
+      IvfIndex.cache.put(key, v)
+    private[graft] def cacheRemoveEntry(key: String, v: Index): Unit =
+      IvfIndex.cache.remove(key, v)
+    private[graft] def freshSeqNext(): Int = IvfIndex.freshSeq.incrementAndGet()
+    /** Branches SHARE the base's frozen centroids (the generation's
+      * drift bound); compact/snapshot carry them unchanged — only
+      * [[retrain]] replaces them, and it rotates the generation. */
+    private[graft] def make(baseName: String, generation: Int, cacheKey: String,
+        parent: Option[Index]): Index =
+      new Index(spark, baseName, generation, cacheKey,
+        centroids, numCentroids, trainIters, trainQuant, parent)
 
     /** (vec_id, v, cid), bucketed by cid; for a [[branch]], the base's
       * table UNIONed with the branch's delta rows (the branch's own
@@ -59,10 +69,7 @@ object IvfIndex {
       * bucketed, so a cid probe bucket-prunes each side). */
     def assigned: DataFrame = {
       assertCurrent()
-      (parent.map(_.assigned) ++
-        (if (parent.isEmpty || spark.catalog.tableExists(tableName))
-          Seq(spark.table(tableName)) else Nil))
-        .reduce(_ union _)
+      withParentView(tableName, _.assigned)
     }
 
     /** Incrementally index `e2` (normalized (vec_id, v) rows with NEW
@@ -81,18 +88,20 @@ object IvfIndex {
       * append-invariant so no cache refresh is needed. */
     def append(e2: DataFrame): Index = {
       assertCurrent()
-      val deltaIds = e2.select(col("vec_id")).localCheckpoint()
+      // ONE delta materialization for guard + write (the Digest/
+      // Minhash/Embed round-12 fusion): the former bare-ids checkpoint
+      // evaluated the delta once for the guard and assign() scanned it
+      // AGAIN for the write; assigning before the guard wastes only
+      // the centroid argmax when the guard trips — the
+      // contract-violation path, not the hot path.
+      val assignedDelta = assign(e2, centroids)
+        .select(col("vec_id"), col("v"), col("cid"))
+        .localCheckpoint()
       val clashes = assigned.select(col("vec_id"))
-        .join(broadcast(deltaIds), "vec_id").limit(1).count()
+        .join(broadcast(assignedDelta.select(col("vec_id"))), "vec_id").limit(1).count()
       require(clashes == 0,
         s"append violates the disjointness contract: delta contains vec_ids already in $tableName")
-      assign(e2, centroids)
-        .select(col("vec_id"), col("v"), col("cid"))
-        .repartition(numCentroids, col("cid"))
-        .write.mode("append")
-        .bucketBy(numCentroids, "cid").sortBy("cid")
-        .option("path", Scratch.dir(tableName))
-        .saveAsTable(tableName)
+      writeBucketed(assignedDelta, tableName, "cid", numCentroids, "append")
       // [scale] compact_every_appends cadence — base tables only.
       // [scale] ivf_fit_check_every + ivf_retrain_below_cos cadence:
       // every N appends the base index pays the fitStats gauge (a
@@ -107,7 +116,7 @@ object IvfIndex {
       // ADVICE: a tableName key restarts on every rotation, so with
       // compact_every_appends <= ivf_fit_check_every the fit counter
       // would be wiped before it ever fired).
-      if (parent.nonEmpty) this
+      if (parentIndex.nonEmpty) this
       else {
         val cur = if (IndexMaintenance.appendTick(baseName)) compact() else this
         val below = IndexMaintenance.ivfRetrainBelowCos
@@ -116,102 +125,6 @@ object IvfIndex {
           cur.retrain()
         else cur
       }
-    }
-
-    /** Caller-owned ZERO-COPY branch ([[MinhashIndex.Index.branch]]'s
-      * contract, r10 VERDICT #5): an empty overlay whose [[assigned]]
-      * view unions the base table (scanned in place, never copied)
-      * with the branch's own delta table. CENTROIDS ARE SHARED and
-      * frozen — the generation's drift bound: a branch assigns its
-      * appends to the base's centroids exactly as [[append]] does, so
-      * branch semantics ≡ an appended full index under the same
-      * centroids (retraining remains an offline rebuild decision).
-      * Appends land on the overlay only; [[drop]] deletes the overlay
-      * and leaves the base intact — a standing pipeline keeps serving
-      * ANN from the shared of() index while an evolving run appends to
-      * its branch. IvfAppendSpec pins probe equality and isolation. */
-    def branch(): Index = {
-      assertCurrent()
-      graft.util.BuildLog.timed(s"ivf-branch:$baseName") {
-        val k = s"branch|$baseName#${IvfIndex.freshSeq.incrementAndGet()}"
-        new Index(spark, Scratch.tableName(spark, "graft_ivf", k), 0,
-          centroids, numCentroids, trainIters, trainQuant,
-          Scratch.sessionId(spark) + "|" + k, parent = Some(this))
-      }
-    }
-
-    /** Caller-owned copy-on-write SNAPSHOT: the assigned table is
-      * rewritten byte-for-byte into a fresh caller-owned name with NO
-      * re-assignment (the clone moves index bytes, never re-runs the
-      * centroid argmax); the centroid frame is shared (immutable per
-      * generation). */
-    def snapshot(): Index = {
-      assertCurrent()
-      require(parent.isEmpty,
-        "snapshot() on a branch is unsupported: the branch's paths hold only its " +
-          "delta — snapshot the base index")
-      graft.util.BuildLog.timed(s"ivf-snap:$baseName") {
-        val k = s"snap|$baseName#${IvfIndex.freshSeq.incrementAndGet()}"
-        val snap = Scratch.tableName(spark, "graft_ivf", k)
-        spark.sql(s"DROP TABLE IF EXISTS $snap")
-        spark.read.parquet(Scratch.dir(tableName))
-          .repartition(numCentroids, col("cid"))
-          .write.mode("overwrite")
-          .bucketBy(numCentroids, "cid").sortBy("cid")
-          .option("path", Scratch.dir(snap))
-          .saveAsTable(snap)
-        new Index(spark, snap, 0, centroids, numCentroids,
-          trainIters, trainQuant, Scratch.sessionId(spark) + "|" + k)
-      }
-    }
-
-    /** Drop this handle's own table and scratch dir NOW — the
-      * lifecycle end of a [[branch]] overlay or [[snapshot]] clone
-      * (cached of() indexes never need this). */
-    def drop(): Unit = {
-      spark.sql(s"DROP TABLE IF EXISTS $tableName")
-      Scratch.delete(tableName)
-      // Release this handle's cache entry if it holds one (a compact()
-      // or retrain() on a caller-owned fresh index cache.put()s its
-      // key; without this, every dropped rotation leaks an entry
-      // pinning the dead Index forever). No-op for branches and for
-      // handles whose key maps elsewhere.
-      IvfIndex.cache.remove(cacheKey, this)
-    }
-
-    /** Rewrite the assigned table into a fresh generation with ONE
-      * file per bucket (each append leaves a file per bucket behind;
-      * probes pay a file-open per file per probed bucket). Content is
-      * untouched, so probe results are identical pre/post
-      * (CompactionSpec); the old generation is dropped after the
-      * rewrite commits and the of() cache is refreshed. */
-    def compact(): Index = {
-      assertCurrent()
-      require(parent.isEmpty,
-        "compact() on a branch is unsupported: the branch's paths hold only its " +
-          "delta — compact the base index")
-      val next = s"${baseName}_g${generation + 1}"
-      spark.sql(s"DROP TABLE IF EXISTS $next")
-      // Read the files by PATH, not through the table: a bucketed-table
-      // scan advertises HashPartitioning(cid), which lets Catalyst
-      // elide the repartition below — while the actual read coalesces
-      // files arbitrarily, splitting one bucket across tasks and
-      // writing MORE per-(task,bucket) files than before. The raw file
-      // scan keeps the shuffle, so each output task holds exactly one
-      // bucket and writes exactly one file.
-      spark.read.parquet(Scratch.dir(tableName))
-        .repartition(numCentroids, col("cid"))
-        .write.mode("overwrite")
-        .bucketBy(numCentroids, "cid").sortBy("cid")
-        .option("path", Scratch.dir(next))
-        .saveAsTable(next)
-      spark.sql(s"DROP TABLE IF EXISTS $tableName")
-      Scratch.delete(tableName)
-      IndexMaintenance.resetAppend(baseName)
-      val compacted = new Index(spark, baseName, generation + 1,
-        centroids, numCentroids, trainIters, trainQuant, cacheKey)
-      cache.put(cacheKey, compacted)
-      compacted
     }
 
     /** RETRAIN the generation — the operation [[append]]'s frozen-
@@ -232,7 +145,7 @@ object IvfIndex {
       * branches of them) fail fast afterwards. */
     def retrain(iters: Int = trainIters, quantScale: Double = trainQuant): Index = {
       assertCurrent()
-      require(parent.isEmpty,
+      require(parentIndex.isEmpty,
         "retrain() on a branch is unsupported: the branch's table holds only its " +
           "delta and its centroids are the base's — retrain the base index")
       graft.util.BuildLog.timed(s"ivf-retrain:$baseName") {
@@ -240,21 +153,17 @@ object IvfIndex {
         val cent = IvfIndex.train(e, numCentroids, iters, quantScale)
         val next = s"${baseName}_g${generation + 1}"
         spark.sql(s"DROP TABLE IF EXISTS $next")
-        assign(e, cent)
-          .select(col("vec_id"), col("v"), col("cid"))
-          .repartition(numCentroids, col("cid"))
-          .write.mode("overwrite")
-          .bucketBy(numCentroids, "cid").sortBy("cid")
-          .option("path", Scratch.dir(next))
-          .saveAsTable(next)
+        writeBucketed(
+          assign(e, cent).select(col("vec_id"), col("v"), col("cid")),
+          next, "cid", numCentroids, "overwrite")
         spark.sql(s"DROP TABLE IF EXISTS $tableName")
         Scratch.delete(tableName)
         // Fresh centroids restart the drift clock; the rewrite is also
         // one file per bucket, so the compaction count restarts too.
         IndexMaintenance.resetFit(baseName)
         IndexMaintenance.resetAppend(baseName)
-        val retrained = new Index(spark, baseName, generation + 1,
-          cent, numCentroids, iters, quantScale, cacheKey)
+        val retrained = new Index(spark, baseName, generation + 1, cacheKey,
+          cent, numCentroids, iters, quantScale)
         cache.put(cacheKey, retrained)
         retrained
       }
@@ -373,17 +282,13 @@ object IvfIndex {
     // the same corpus never clobber each other — ADVICE r5).
     val tableName = Scratch.tableName(spark, "graft_ivf", corpusKey)
     spark.sql(s"DROP TABLE IF EXISTS $tableName")
-    // One shuffle by cid so each bucket lands as a single file: the
-    // bucketed-table writer emits one file per (task, bucket), so
-    // without this a 32-partition input fans out into up to 32×buckets
-    // small files and every probe pays the file-open overhead.
-    assign(e, cent)
-      .select(col("vec_id"), col("v"), col("cid"))
-      .repartition(numCentroids, col("cid"))
-      .write.mode("overwrite")
-      .bucketBy(numCentroids, "cid").sortBy("cid")
-      .option("path", Scratch.dir(tableName))
-      .saveAsTable(tableName)
-    new Index(spark, tableName, 0, cent, numCentroids, iters, quantScale, cacheKey)
+    val idx = new Index(spark, tableName, 0, cacheKey,
+      cent, numCentroids, iters, quantScale)
+    // One shuffle by cid so each bucket lands as a single file — the
+    // writeBucketed idiom (see PersistedIndex).
+    idx.writeBucketed(
+      assign(e, cent).select(col("vec_id"), col("v"), col("cid")),
+      tableName, "cid", numCentroids, "overwrite")
+    idx
   }
 }

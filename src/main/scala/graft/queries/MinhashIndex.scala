@@ -39,6 +39,9 @@ import graft.util.Scratch
   * verify; best match + is_new per delta doc. MinhashIndexSpec pins
   * row equality with [[Dedup.incrementalNearDup]] and the no-exchange
   * corpus scans.
+  *
+  * Lifecycle (drop/branch/snapshot/compact, stale-handle fail-fast,
+  * auto-compact cadence) is the shared [[PersistedIndex]] contract.
   */
 object MinhashIndex {
 
@@ -56,46 +59,38 @@ object MinhashIndex {
     * the corpus (r7 VERDICT task 7). */
   val ProbeBroadcastMaxKeys: Long = 4L * 1000 * 1000
 
-  final class Index private[MinhashIndex] (spark: SparkSession,
-      baseName: String, private[MinhashIndex] val generation: Int, cacheKey: String,
-      parent: Option[Index] = None) {
+  final class Index private[MinhashIndex] (
+      private[graft] val spark: SparkSession,
+      private[graft] val baseName: String,
+      private[graft] val generation: Int,
+      private[graft] val cacheKey: String,
+      private[graft] val parentIndex: Option[Index] = None)
+    extends PersistedIndex[Index] {
 
-    def tableName: String =
-      if (generation == 0) baseName else s"${baseName}_g$generation"
     def arraysTable: String = tableName + "_arr"
 
-    /** compact() drops this generation's tables and swaps the of()
-      * cache to the next one; a handle obtained BEFORE the compaction
-      * (including compact's receiver) would otherwise fail on its next
-      * probe/append with a bare missing-table error (r7 ADVICE). Fail
-      * fast with the actionable message instead. A branch also checks
-      * its base: appends/probes against a compacted-away parent must
-      * not fail with a bare missing-table error either. */
-    private def assertCurrent(): Unit = {
-      val c = MinhashIndex.cache.get(cacheKey)
-      if (c != null && (c ne this) && c.generation != generation)
-        throw new IllegalStateException(
-          s"stale MinhashIndex handle: generation $generation was compacted away " +
-            s"(current generation ${c.generation}) — use the instance returned by " +
-            "compact(), or re-resolve via MinhashIndex.of()")
-      parent.foreach(_.assertCurrent())
-    }
-
-    /** A branch's own delta tables materialize lazily on first append
-      * (mode("append") creates them); until then the views below are
-      * the parent's alone. */
-    private def ownExists(t: String): Boolean = spark.catalog.tableExists(t)
-    private def withParent(own: String, view: Index => DataFrame): DataFrame =
-      (parent.map(view) ++
-        (if (parent.isEmpty || ownExists(own)) Seq(spark.table(own)) else Nil))
-        .reduce(_ union _)
+    private[graft] def kindName = "MinhashIndex"
+    private[graft] def logTag = "minhash"
+    private[graft] def scratchPrefix = "graft_mh"
+    private[graft] def tableSpecs = Seq(
+      PersistedIndex.TableSpec("", "band_key", MinhashIndex.NumBuckets),
+      PersistedIndex.TableSpec("_arr", "doc_id", MinhashIndex.NumBuckets))
+    private[graft] def cacheGet(key: String): Index = MinhashIndex.cache.get(key)
+    private[graft] def cachePut(key: String, v: Index): Unit =
+      MinhashIndex.cache.put(key, v)
+    private[graft] def cacheRemoveEntry(key: String, v: Index): Unit =
+      MinhashIndex.cache.remove(key, v)
+    private[graft] def freshSeqNext(): Int = MinhashIndex.freshSeq.incrementAndGet()
+    private[graft] def make(baseName: String, generation: Int, cacheKey: String,
+        parent: Option[Index]): Index =
+      new Index(spark, baseName, generation, cacheKey, parent)
 
     /** (doc_id, band_key), bucketed by band_key; for a [[branch]], the
       * base's table UNIONed with the branch's delta rows. */
-    def bands: DataFrame = withParent(tableName, _.bands)
+    def bands: DataFrame = withParentView(tableName, _.bands)
     /** (doc_id, hs sorted array<long>), bucketed by doc_id; branch as
       * with [[bands]]. */
-    def arrays: DataFrame = withParent(arraysTable, _.arrays)
+    def arrays: DataFrame = withParentView(arraysTable, _.arrays)
 
     /** Flag each delta document (doc_id, text) that is a near-dup
       * (J ≥ [[Dedup.JaccardThreshold]]) of an INDEXED document: best
@@ -188,7 +183,7 @@ object MinhashIndex {
 
     /** Incrementally index `newDocs` ((doc_id, text) rows with NEW doc
       * ids — ENFORCED: the guard semi-joins the delta's ids against
-      * BOTH tables' id columns and throws on overlap). Bands and
+      * the arrays table's id column and throws on overlap). Bands and
       * arrays append scan-locally; nothing corpus-sized recomputes —
       * there are no global statistics to merge (band counts are
       * derived per probe), so probes see the appended corpus
@@ -200,8 +195,8 @@ object MinhashIndex {
       * simply not yet discoverable as duplicates; the probe can never
       * see a candidate pair whose verify-side array is missing
       * (candidates come from the bands table, which commits last).
-      * A retry of the failed append then trips the both-table guard
-      * loudly instead of silently double-writing band rows. */
+      * A retry of the failed append then trips the guard loudly
+      * instead of silently double-writing band rows. */
     def append(newDocs: DataFrame): Index = {
       assertCurrent()
       graft.functions.MinhashSig.register(spark)
@@ -228,140 +223,16 @@ object MinhashIndex {
           s"$arraysTable (an id present there but absent from $tableName means a previous " +
           "append failed between its two commits — those docs are indexed for verify but " +
           "not discoverable; rebuild or compact to reconcile)")
-      sigged.select(col("doc_id"), col("hs"))
-        .repartition(MinhashIndex.NumBuckets, col("doc_id"))
-        .write.mode("append")
-        .bucketBy(MinhashIndex.NumBuckets, "doc_id").sortBy("doc_id")
-        .option("path", Scratch.dir(arraysTable))
-        .saveAsTable(arraysTable)
-      sigged
-        .select(col("doc_id"), explode(array(MinhashIndex.bandKeysOfSig: _*)).as("band_key"))
-        .repartition(MinhashIndex.NumBuckets, col("band_key"))
-        .write.mode("append")
-        .bucketBy(MinhashIndex.NumBuckets, "band_key").sortBy("band_key")
-        .option("path", Scratch.dir(tableName))
-        .saveAsTable(tableName)
+      writeBucketed(sigged.select(col("doc_id"), col("hs")),
+        arraysTable, "doc_id", MinhashIndex.NumBuckets, "append")
+      writeBucketed(
+        sigged.select(col("doc_id"),
+          explode(array(MinhashIndex.bandKeysOfSig: _*)).as("band_key")),
+        tableName, "band_key", MinhashIndex.NumBuckets, "append")
       // [scale] compact_every_appends cadence — base tables only
       // (a branch's appends never touch its base), probe-invariant
-      if (parent.isEmpty && IndexMaintenance.appendTick(baseName)) compact()
+      if (parentIndex.isEmpty && IndexMaintenance.appendTick(baseName)) compact()
       else this
-    }
-
-    /** Drop both tables and their scratch dirs NOW — the lifecycle end
-      * of a [[MinhashIndex.fresh]] index (cached of() indexes live for
-      * the session and never need this). */
-    def drop(): Unit = {
-      spark.sql(s"DROP TABLE IF EXISTS $tableName")
-      spark.sql(s"DROP TABLE IF EXISTS $arraysTable")
-      Scratch.delete(tableName)
-      Scratch.delete(arraysTable)
-      // Release this handle's cache entry if it holds one (compact()
-      // on a caller-owned fresh index cache.put()s its key — see
-      // IvfIndex.drop). No-op for branches.
-      MinhashIndex.cache.remove(cacheKey, this)
-    }
-
-    /** Caller-owned copy-on-write BRANCH of this index: both bucketed
-      * tables are rewritten byte-for-byte into fresh caller-owned
-      * names (the [[compact]] path-read discipline — one file per
-      * bucket) with NO signature recompute — the clone moves the
-      * index's serialized bytes, never the corpus text, so it skips
-      * the text scan, the `graft_minhash`/`graft_shingles` kernels
-      * and the corpus-sized checkpoint that [[MinhashIndex.fresh]]
-      * pays. This is the generation-pinned-clone route for
-      * index-MUTATING pipelines over a standing corpus (SURVEY
-      * §9.10): build the shared [[MinhashIndex.of]] index once per
-      * session, `snapshot()` per run, append freely, [[drop]] when
-      * done — the session's probe indexes never see the appends.
-      * MinhashIndexSpec pins snapshot-probe ≡ source-probe and
-      * append isolation. */
-    /** Caller-owned ZERO-COPY branch of this index — the
-      * generation-pinned-clone route for index-MUTATING pipelines over
-      * a standing corpus (r9 VERDICT #4), one step past [[snapshot]]:
-      * where snapshot rewrites the corpus-sized index bytes, a branch
-      * copies NOTHING — it is an empty caller-owned overlay whose
-      * [[bands]]/[[arrays]] views union the base tables (scanned in
-      * place, never rewritten) with the branch's own delta tables,
-      * which materialize lazily on first [[append]]. Appends land on
-      * the overlay only; the base never sees them; [[drop]] deletes
-      * the overlay and leaves the base intact. Per evolve invocation
-      * the cost is therefore probe + delta-sized appends — nothing
-      * corpus-sized, not even a byte copy. Disjointness guards and
-      * probes run against the UNIONed view, so branch semantics ≡ an
-      * appended full index (MinhashIndexSpec pins it). [[compact]] /
-      * [[snapshot]] stay base-only operations (they rewrite from this
-      * handle's own paths, which for a branch hold just the delta). */
-    def branch(): Index = {
-      assertCurrent()
-      graft.util.BuildLog.timed(s"minhash-branch:$baseName") {
-        val k = s"branch|$baseName#${MinhashIndex.freshSeq.incrementAndGet()}"
-        new Index(spark, Scratch.tableName(spark, "graft_mh", k), 0,
-          Scratch.sessionId(spark) + "|" + k, parent = Some(this))
-      }
-    }
-
-    def snapshot(): Index = {
-      assertCurrent()
-      require(parent.isEmpty,
-        "snapshot() on a branch is unsupported: the branch's paths hold only its " +
-          "delta — snapshot the base index, or rebuild via fresh()")
-      graft.util.BuildLog.timed(s"minhash-snap:$baseName") {
-        val k = s"snap|$baseName#${MinhashIndex.freshSeq.incrementAndGet()}"
-        val snap = Scratch.tableName(spark, "graft_mh", k)
-        val snapArr = snap + "_arr"
-        spark.sql(s"DROP TABLE IF EXISTS $snap")
-        spark.sql(s"DROP TABLE IF EXISTS $snapArr")
-        spark.read.parquet(Scratch.dir(tableName))
-          .repartition(MinhashIndex.NumBuckets, col("band_key"))
-          .write.mode("overwrite")
-          .bucketBy(MinhashIndex.NumBuckets, "band_key").sortBy("band_key")
-          .option("path", Scratch.dir(snap))
-          .saveAsTable(snap)
-        spark.read.parquet(Scratch.dir(arraysTable))
-          .repartition(MinhashIndex.NumBuckets, col("doc_id"))
-          .write.mode("overwrite")
-          .bucketBy(MinhashIndex.NumBuckets, "doc_id").sortBy("doc_id")
-          .option("path", Scratch.dir(snapArr))
-          .saveAsTable(snapArr)
-        new Index(spark, snap, 0, Scratch.sessionId(spark) + "|" + k)
-      }
-    }
-
-    /** Rewrite both tables into a fresh generation with ONE file per
-      * bucket (each append leaves a file per bucket behind). Content
-      * untouched → probe results identical pre/post; the old
-      * generation is dropped after the rewrite commits and the of()
-      * cache refreshed. Path reads, not table reads — see
-      * [[IvfIndex.Index.compact]] for why. */
-    def compact(): Index = {
-      assertCurrent()
-      require(parent.isEmpty,
-        "compact() on a branch is unsupported: the branch's paths hold only its " +
-          "delta — compact the base index")
-      val next = s"${baseName}_g${generation + 1}"
-      val nextArr = next + "_arr"
-      spark.sql(s"DROP TABLE IF EXISTS $next")
-      spark.sql(s"DROP TABLE IF EXISTS $nextArr")
-      spark.read.parquet(Scratch.dir(tableName))
-        .repartition(MinhashIndex.NumBuckets, col("band_key"))
-        .write.mode("overwrite")
-        .bucketBy(MinhashIndex.NumBuckets, "band_key").sortBy("band_key")
-        .option("path", Scratch.dir(next))
-        .saveAsTable(next)
-      spark.read.parquet(Scratch.dir(arraysTable))
-        .repartition(MinhashIndex.NumBuckets, col("doc_id"))
-        .write.mode("overwrite")
-        .bucketBy(MinhashIndex.NumBuckets, "doc_id").sortBy("doc_id")
-        .option("path", Scratch.dir(nextArr))
-        .saveAsTable(nextArr)
-      spark.sql(s"DROP TABLE IF EXISTS $tableName")
-      spark.sql(s"DROP TABLE IF EXISTS $arraysTable")
-      Scratch.delete(tableName)
-      Scratch.delete(arraysTable)
-      IndexMaintenance.resetAppend(baseName)
-      val compacted = new Index(spark, baseName, generation + 1, cacheKey)
-      cache.put(cacheKey, compacted)
-      compacted
     }
   }
 
@@ -408,19 +279,12 @@ object MinhashIndex {
         expr("graft_shingles(text)").as("hs"))
       .filter(col("sig").isNotNull)
       .localCheckpoint()
-    sigged
-      .select(col("doc_id"), explode(array(bandKeysOfSig: _*)).as("band_key"))
-      .repartition(NumBuckets, col("band_key"))
-      .write.mode("overwrite")
-      .bucketBy(NumBuckets, "band_key").sortBy("band_key")
-      .option("path", Scratch.dir(tableName))
-      .saveAsTable(tableName)
-    sigged.select(col("doc_id"), col("hs"))
-      .repartition(NumBuckets, col("doc_id"))
-      .write.mode("overwrite")
-      .bucketBy(NumBuckets, "doc_id").sortBy("doc_id")
-      .option("path", Scratch.dir(arraysTable))
-      .saveAsTable(arraysTable)
-    new Index(spark, tableName, 0, cacheKey)
+    val idx = new Index(spark, tableName, 0, cacheKey)
+    idx.writeBucketed(
+      sigged.select(col("doc_id"), explode(array(bandKeysOfSig: _*)).as("band_key")),
+      tableName, "band_key", NumBuckets, "overwrite")
+    idx.writeBucketed(sigged.select(col("doc_id"), col("hs")),
+      arraysTable, "doc_id", NumBuckets, "overwrite")
+    idx
   }
 }

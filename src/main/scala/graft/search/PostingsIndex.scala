@@ -5,6 +5,8 @@ import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.queries.PersistedIndex
+
 /** Persisted BM25 postings index — the distributed counterpart of the
   * serving tier's collected posting cache (`serve/Snapshot.scala`), and
   * the re-expression of the reference's persistent FTS5 index
@@ -31,41 +33,44 @@ import org.apache.spark.sql.functions._
   * join(df) → per-doc agg`: the only hash exchange left is the final
   * per-doc aggregation over matched rows (output-sized, not
   * corpus-sized).
-  */
+  *
+  * Lifecycle (drop/branch/snapshot/compact, stale-handle fail-fast,
+  * auto-compact cadence) is the shared
+  * [[graft.queries.PersistedIndex]] contract; the BM25 collection
+  * stats (termDf/nDocs/totalDoclen) are the PostingsIndex-specific
+  * state — [[append]] merges them additively so append ≡ rebuild
+  * bit-for-bit, and a [[branch]]'s stats start at the base's and
+  * merge per overlay append. */
 final class PostingsIndex private (
-    spark: SparkSession,
-    baseName: String,
-    private[search] val generation: Int,
+    private[graft] val spark: SparkSession,
+    private[graft] val baseName: String,
+    private[graft] val generation: Int,
     termDf: DataFrame,
     val nDocs: Long,
     val totalDoclen: Long,
-    cacheKey: String,
-    parent: Option[PostingsIndex] = None) {
-
-  /** Catalog name of this generation's postings table: compaction
-    * rewrites into a fresh `_gN` table (a reader of the old generation
-    * is never raced by its deletion mid-scan — the swap is
-    * drop-after-write). */
-  def tableName: String =
-    if (generation == 0) baseName else s"${baseName}_g$generation"
+    private[graft] val cacheKey: String,
+    private[graft] val parentIndex: Option[PostingsIndex] = None)
+  extends PersistedIndex[PostingsIndex] {
 
   private def docsTable: String = tableName + "_docs"
 
-  /** Fail fast on a handle whose generation was compacted away (the
-    * MinhashIndex.assertCurrent discipline — a stale handle would
-    * otherwise surface as a bare missing-table error). Stale-STATS
-    * handles after append are already covered by the cache refresh
-    * (ADVICE r5); this covers stale-TABLE handles after compact. A
-    * branch also checks its base. */
-  private def assertCurrent(): Unit = {
-    val c = PostingsIndex.cache.get(cacheKey)
-    if (c != null && (c ne this) && c.generation != generation)
-      throw new IllegalStateException(
-        s"stale PostingsIndex handle: generation $generation was compacted away " +
-          s"(current generation ${c.generation}) — use the instance returned by " +
-          "compact(), or re-resolve via PostingsIndex.of()")
-    parent.foreach(_.assertCurrent())
-  }
+  private[graft] def kindName = "PostingsIndex"
+  private[graft] def logTag = "postings"
+  private[graft] def scratchPrefix = "graft_po"
+  private[graft] def tableSpecs = Seq(
+    PersistedIndex.TableSpec("", "term", PostingsIndex.NumBuckets),
+    PersistedIndex.TableSpec("_docs", "doc", PostingsIndex.NumBuckets))
+  private[graft] def cacheGet(key: String): PostingsIndex =
+    PostingsIndex.cache.get(key)
+  private[graft] def cachePut(key: String, v: PostingsIndex): Unit =
+    PostingsIndex.cache.put(key, v)
+  private[graft] def cacheRemoveEntry(key: String, v: PostingsIndex): Unit =
+    PostingsIndex.cache.remove(key, v)
+  private[graft] def freshSeqNext(): Int = PostingsIndex.freshSeq.incrementAndGet()
+  private[graft] def make(baseName: String, generation: Int, cacheKey: String,
+      parent: Option[PostingsIndex]): PostingsIndex =
+    new PostingsIndex(spark, baseName, generation, termDf, nDocs, totalDoclen,
+      cacheKey, parent)
 
   /** Average doc length, derived from exact integer totals: doclen is
     * integral, so `totalDoclen` is exact no matter the aggregation
@@ -76,22 +81,14 @@ final class PostingsIndex private (
     * bit-identical-to-rebuild contract. */
   val avgdl: Double = totalDoclen.toDouble / nDocs
 
-  /** A branch's own delta tables materialize lazily on first append
-    * (mode("append") creates them); until then the views below are the
-    * parent's alone. */
-  private def withParent(own: String, view: PostingsIndex => DataFrame): DataFrame =
-    (parent.map(view) ++
-      (if (parent.isEmpty || spark.catalog.tableExists(own)) Seq(spark.table(own)) else Nil))
-      .reduce(_ union _)
-
   /** The bucketed postings table: (term, doc, doclen, tf); for a
     * [[branch]], the base's table UNIONed with the branch's delta
     * rows (the base scans in place, never copied). */
-  def postings: DataFrame = { assertCurrent(); withParent(tableName, _.postings) }
+  def postings: DataFrame = { assertCurrent(); withParentView(tableName, _.postings) }
 
   /** The (doc, doclen) inventory — the append guard's membership set;
     * branch view as with [[postings]]. */
-  private def docsInventory: DataFrame = withParent(docsTable, _.docsInventory)
+  private def docsInventory: DataFrame = withParentView(docsTable, _.docsInventory)
 
   /** Incrementally index `newDocs` (disjoint NEW doc ids — ENFORCED:
     * a delta carrying an already-indexed doc id would silently
@@ -118,16 +115,14 @@ final class PostingsIndex private (
       .limit(1).count()
     require(clashes == 0,
       s"append violates the disjointness contract: delta contains doc ids already in $tableName")
+    // The delta rides Bm25.postings' groupBy partitioning — no extra
+    // repartition before the bucketed append (unlike writeBucketed's
+    // one-file-per-bucket rewrite idiom, which compact() applies).
     delta.write.mode("append")
       .bucketBy(PostingsIndex.NumBuckets, "term").sortBy("term")
       .option("path", graft.util.Scratch.dir(tableName))
       .saveAsTable(tableName)
-    deltaDocs
-      .repartition(PostingsIndex.NumBuckets, col("doc"))
-      .write.mode("append")
-      .bucketBy(PostingsIndex.NumBuckets, "doc").sortBy("doc")
-      .option("path", graft.util.Scratch.dir(docsTable))
-      .saveAsTable(docsTable)
+    writeBucketed(deltaDocs, docsTable, "doc", PostingsIndex.NumBuckets, "append")
     val stats = deltaDocs
       .agg(count(lit(1)).as("n"), sum(col("doclen")).as("len")).collect().head
     val deltaDf = delta.groupBy("term")
@@ -136,129 +131,14 @@ final class PostingsIndex private (
       .groupBy("term").agg(sum(col("df")).as("df"))
       .localCheckpoint()
     val merged = new PostingsIndex(spark, baseName, generation, mergedDf,
-      nDocs + stats.getLong(0), totalDoclen + stats.getLong(1), cacheKey, parent)
+      nDocs + stats.getLong(0), totalDoclen + stats.getLong(1), cacheKey, parentIndex)
     // Branch handles never touch the shared cache — their appends are
     // caller-owned overlay state, invisible to of() callers.
-    if (parent.isEmpty) PostingsIndex.refresh(cacheKey, merged)
+    if (parentIndex.isEmpty) PostingsIndex.refresh(cacheKey, merged)
     // [scale] compact_every_appends cadence — base tables only
-    if (parent.isEmpty && graft.queries.IndexMaintenance.appendTick(baseName))
+    if (parentIndex.isEmpty && graft.queries.IndexMaintenance.appendTick(baseName))
       merged.compact()
     else merged
-  }
-
-  /** Caller-owned ZERO-COPY branch ([[graft.queries.MinhashIndex]]'s
-    * contract, r10 VERDICT #5): an empty overlay whose [[postings]] /
-    * doc-inventory views union the base tables (scanned in place,
-    * never copied) with the branch's own delta tables, and whose
-    * collection stats start at the base's and merge per append — so a
-    * standing pipeline can keep SERVING BM25 from the shared of()
-    * index while an evolving run appends to its branch. Appends land
-    * on the overlay only; [[drop]] deletes the overlay and leaves the
-    * base intact. Scores from a branch are bit-identical to a full
-    * rebuild over base ∪ overlay (PostingsAppendSpec pins it). */
-  def branch(): PostingsIndex = {
-    assertCurrent()
-    graft.util.BuildLog.timed(s"postings-branch:$baseName") {
-      val k = s"branch|$baseName#${PostingsIndex.freshSeq.incrementAndGet()}"
-      new PostingsIndex(spark, graft.util.Scratch.tableName(spark, "graft_po", k),
-        0, termDf, nDocs, totalDoclen,
-        graft.util.Scratch.sessionId(spark) + "|" + k, parent = Some(this))
-    }
-  }
-
-  /** Caller-owned copy-on-write SNAPSHOT: both bucketed tables are
-    * rewritten byte-for-byte into fresh caller-owned names with NO
-    * re-tokenization (the clone moves index bytes, never the corpus
-    * text); stats carry over unchanged. Build the shared of() index
-    * once per session, snapshot() per index-MUTATING run, append
-    * freely, [[drop]] when done. */
-  def snapshot(): PostingsIndex = {
-    assertCurrent()
-    require(parent.isEmpty,
-      "snapshot() on a branch is unsupported: the branch's paths hold only its " +
-        "delta — snapshot the base index, or rebuild via of()")
-    graft.util.BuildLog.timed(s"postings-snap:$baseName") {
-      val k = s"snap|$baseName#${PostingsIndex.freshSeq.incrementAndGet()}"
-      val snap = graft.util.Scratch.tableName(spark, "graft_po", k)
-      val snapDocs = snap + "_docs"
-      spark.sql(s"DROP TABLE IF EXISTS $snap")
-      spark.sql(s"DROP TABLE IF EXISTS $snapDocs")
-      spark.read.parquet(graft.util.Scratch.dir(tableName))
-        .repartition(PostingsIndex.NumBuckets, col("term"))
-        .write.mode("overwrite")
-        .bucketBy(PostingsIndex.NumBuckets, "term").sortBy("term")
-        .option("path", graft.util.Scratch.dir(snap))
-        .saveAsTable(snap)
-      spark.read.parquet(graft.util.Scratch.dir(docsTable))
-        .repartition(PostingsIndex.NumBuckets, col("doc"))
-        .write.mode("overwrite")
-        .bucketBy(PostingsIndex.NumBuckets, "doc").sortBy("doc")
-        .option("path", graft.util.Scratch.dir(snapDocs))
-        .saveAsTable(snapDocs)
-      new PostingsIndex(spark, snap, 0, termDf, nDocs, totalDoclen,
-        graft.util.Scratch.sessionId(spark) + "|" + k)
-    }
-  }
-
-  /** Drop this handle's own tables and scratch dirs NOW — the
-    * lifecycle end of a [[branch]] overlay or [[snapshot]] clone
-    * (cached of() indexes live for the session and never need this). */
-  def drop(): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $tableName")
-    spark.sql(s"DROP TABLE IF EXISTS $docsTable")
-    graft.util.Scratch.delete(tableName)
-    graft.util.Scratch.delete(docsTable)
-    // Release this handle's cache entry if it holds one (append()/
-    // compact() refresh the entry for caller-owned fresh indexes too —
-    // see IvfIndex.drop). No-op for branches.
-    PostingsIndex.cache.remove(cacheKey, this)
-  }
-
-  /** Rewrite the postings into a fresh generation with ONE file per
-    * bucket (each append leaves a file per bucket behind; a
-    * continuously-fed corpus degrades to many-small-files scans
-    * without periodic compaction). One shuffle on the bucket key so
-    * every output task holds exactly one bucket; scores are identical
-    * pre/post (CompactionSpec) because content is untouched. The old
-    * generation's table and files are dropped after the rewrite
-    * commits; the cache is refreshed with the compacted instance. */
-  def compact(): PostingsIndex = {
-    assertCurrent()
-    require(parent.isEmpty,
-      "compact() on a branch is unsupported: the branch's paths hold only its " +
-        "delta — compact the base index")
-    val next = s"${baseName}_g${generation + 1}"
-    val nextDocs = next + "_docs"
-    spark.sql(s"DROP TABLE IF EXISTS $next")
-    spark.sql(s"DROP TABLE IF EXISTS $nextDocs")
-    // Path read, not table read: the bucketed scan's advertised
-    // partitioning would elide the repartition while the files are
-    // read coalesced — see IvfIndex.compact.
-    spark.read.parquet(graft.util.Scratch.dir(tableName))
-      .repartition(PostingsIndex.NumBuckets, col("term"))
-      .write.mode("overwrite")
-      .bucketBy(PostingsIndex.NumBuckets, "term").sortBy("term")
-      .option("path", graft.util.Scratch.dir(next))
-      .saveAsTable(next)
-    // The docs inventory is one row per DOCUMENT — corpus-row-count
-    // sized (billions at the 100 TB target), so it gets the same
-    // bucketed parallel rewrite as the postings table, never a
-    // coalesce(1) single-task funnel (r10 VERDICT weak row).
-    spark.read.parquet(graft.util.Scratch.dir(docsTable))
-      .repartition(PostingsIndex.NumBuckets, col("doc"))
-      .write.mode("overwrite")
-      .bucketBy(PostingsIndex.NumBuckets, "doc").sortBy("doc")
-      .option("path", graft.util.Scratch.dir(nextDocs))
-      .saveAsTable(nextDocs)
-    spark.sql(s"DROP TABLE IF EXISTS $tableName")
-    spark.sql(s"DROP TABLE IF EXISTS $docsTable")
-    graft.util.Scratch.delete(tableName)
-    graft.util.Scratch.delete(docsTable)
-    graft.queries.IndexMaintenance.resetAppend(baseName)
-    val compacted = new PostingsIndex(spark, baseName, generation + 1,
-      termDf, nDocs, totalDoclen, cacheKey)
-    PostingsIndex.refresh(cacheKey, compacted)
-    compacted
   }
 
   /** BM25 scores for an OR-semantics term set; same contract and same
