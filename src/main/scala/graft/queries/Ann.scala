@@ -36,6 +36,12 @@ object Ann {
   private val NumCentroids = 16 // centroid seed set: vec_id < 16
   private val NProbe = 4
   private val SignBits = 8 // sign-LSH bucket bits (ann_lsh)
+  // SQ8 (ann_sq8): int8 code scale and candidate pool width. Scale is
+  // a GLOBAL constant (vectors are L2-normalized, components ∈ [-1,1])
+  // so integer code dots are comparable across vectors; 50 candidates
+  // per query feed the exact rerank.
+  private val Sq8Scale = 127.0
+  private val Sq8Cands = 50
   private val KMeansIters = 2 // Lloyd iterations from the seed centroids
   private val QuantScale = 1000000.0 // integer-quantization scale for means
   // Top-P centroid multi-assignment width for the IVF-assisted pair
@@ -150,6 +156,51 @@ object Ann {
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"), expr("graft_dot(qv, v)").as("cosine"))
         .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // SQ8 two-stage ANN — the MEMORY-BOUNDED serving shape a 100 TB
+    // vector store actually runs: vectors are scalar-quantized to int8
+    // codes (8× smaller than float64 — the store a serving fleet keeps
+    // hot; here derived scan-locally from the persisted vector table,
+    // production persists the code column beside it), stage 1 ranks
+    // the WHOLE corpus by the integer code dot and keeps Sq8Cands per
+    // query, stage 2 reranks only those candidates with the exact
+    // float cosine and keeps top-K — so the expensive float vectors
+    // are touched for 50 rows per query, not the corpus.
+    //
+    // Exactness across engines: code_i = floor(v_i·127 + 0.5) is an
+    // exact integer carried in a double (|code|≤127), and the stage-1
+    // score Σ code_q·code_x is ≤ 64·127² < 2²¹ — every intermediate is
+    // an integer exactly representable in double, so the codegen
+    // graft_dot fold computes EXACT integer arithmetic in any order
+    // and DuckDB replays it bit-for-bit (same trick as the k-means
+    // quantized sums). The stage-2 cosine is the shared left-to-right
+    // fold. Ties break (score desc, vec_id) at both stages. Query
+    // cohort 2N≤vec_id<3N — disjoint from ann_ivf's and
+    // ann_ivf_retrain's so the three gates share no values.
+    "ann_sq8" -> ((s, d) => {
+      val e = persistedVecs(s, d)
+      val coded = e.withColumn("c",
+        transform(col("v"), x => floor(x * Sq8Scale + 0.5).cast("double")))
+      val q = coded
+        .filter(col("vec_id") >= 2 * NumQueries && col("vec_id") < 3 * NumQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("c").as("qc"))
+      val wCand = Window.partitionBy(col("query_id"))
+        .orderBy(col("qdot").desc, col("vec_id"))
+      val cands = coded.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), col("qv"), col("v"),
+          expr("graft_dot(qc, c)").cast("long").as("qdot"))
+        .withColumn("crank", row_number().over(wCand))
+        .filter(col("crank") <= Sq8Cands)
+      val wTop = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      cands
+        .select(col("query_id"), col("vec_id"), col("qdot"),
+          expr("graft_dot(qv, v)").as("cosine"))
+        .withColumn("rank", row_number().over(wTop))
         .filter(col("rank") <= K)
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -418,6 +469,33 @@ object Ann {
          |                                ORDER BY cosine DESC, vec_id) AS rank
          |           FROM scored)
          |SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
+    // SQ8: codes recomputed per use (floor is exact, so recompute ≡
+    // cache); stage-1 integer dot as a BIGINT-cast exact double fold,
+    // stage-2 exact cosine on the kept candidates only.
+    "ann_sq8" ->
+      s"""WITH $normCte,
+         |coded AS (SELECT vec_id, v,
+         |            list_transform(v, x -> floor(x * $Sq8Scale + 0.5)) AS c
+         |          FROM e),
+         |q AS (SELECT vec_id AS query_id, v AS qv, c AS qc FROM coded
+         |      WHERE vec_id >= ${2 * NumQueries} AND vec_id < ${3 * NumQueries}),
+         |scored AS (SELECT q.query_id, x.vec_id, q.qv, x.v,
+         |             CAST(list_reduce(list_prepend(0.0::DOUBLE,
+         |               list_transform(generate_series(1, 64), i -> q.qc[i] * x.c[i])),
+         |               (a, b) -> a + b) AS BIGINT) AS qdot
+         |           FROM coded x CROSS JOIN q WHERE x.vec_id <> q.query_id),
+         |cands AS (SELECT query_id, vec_id, qv, v, qdot,
+         |            ROW_NUMBER() OVER (PARTITION BY query_id
+         |                               ORDER BY qdot DESC, vec_id) AS crank
+         |          FROM scored),
+         |rer AS (SELECT query_id, vec_id, qdot, ${dotSql("qv", "v")} AS cosine
+         |        FROM cands WHERE crank <= $Sq8Cands),
+         |ranked AS (SELECT query_id, vec_id, qdot, cosine,
+         |             ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                ORDER BY cosine DESC, vec_id) AS rank
+         |           FROM rer)
+         |SELECT query_id, vec_id, qdot, cosine, rank FROM ranked WHERE rank <= $K
          |ORDER BY query_id, rank""".stripMargin,
     "ann_ivf" -> ivfOracle(s"vec_id < $NumQueries"),
     // The pair route: the ann_ivf k-means chain, top-P multi-assignment

@@ -24,11 +24,12 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Join"))
   }
 
-  test("all three ANN paths scan the one persisted normalized-vector table") {
+  test("the fixed ANN paths scan the one persisted normalized-vector table") {
     // r8 VERDICT #4: ann_bruteforce/ann_lsh used to re-normalize the
     // corpus (fresh localCheckpoint) per call and swung ~2× at ×64
-    // saturation; all three must now read the graft_ivf table.
-    for (q <- Seq("ann_bruteforce", "ann_lsh", "ann_ivf")) {
+    // saturation; all must now read the graft_ivf table (ann_sq8
+    // derives its int8 codes scan-locally from the same scan).
+    for (q <- Seq("ann_bruteforce", "ann_lsh", "ann_ivf", "ann_sq8")) {
       val p = plan(q)
       assert(p.contains("graft_ivf"),
         s"$q must scan the persisted IVF vector table:\n$p")
