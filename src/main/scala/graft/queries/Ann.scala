@@ -231,6 +231,55 @@ object Ann {
       ivfTopK(idx, col("vec_id") < NumQueries)
     }),
 
+    // The composed production ANN stack — IVF bucket-prune, THEN the
+    // int8 quantized rank, THEN the exact float rerank: a probe reads
+    // only nprobe/centroids of the corpus off disk (the bucketed-scan
+    // prune), ranks those rows by the integer code dot (the 8×-smaller
+    // column a serving fleet keeps hot), and touches float vectors for
+    // just the 50-candidate rerank pool per query. Each stage is the
+    // already-gated machinery (ann_ivf's probe selection + literal IN
+    // prune; ann_sq8's exact-integer stage-1 and fold rerank), so the
+    // oracle composes their chains verbatim. Query cohort 3N≤vec_id<4N
+    // — its own, like every ANN gate.
+    "ann_ivf_sq8" -> ((s, d) => {
+      DotProduct.register(s)
+      val idx = IvfIndex.of(s, d, vecs(s, d), NumCentroids, KMeansIters, QuantScale)
+      val coded = idx.assigned
+        .select(col("vec_id"), col("v"), col("cid"),
+          transform(col("v"), x => floor(x * Sq8Scale + 0.5).cast("double")).as("c"))
+      val q = coded
+        .filter(col("vec_id") >= 3 * NumQueries && col("vec_id") < 4 * NumQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("c").as("qc"))
+      val wProbe = Window.partitionBy(col("query_id"))
+        .orderBy(col("qcos").desc, col("cid"))
+      val probes = q.crossJoin(broadcast(idx.centroids))
+        .select(col("query_id"), col("qv"), col("qc"), col("cid"),
+          expr("graft_dot(qv, cv)").as("qcos"))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= NProbe)
+        .select(col("query_id"), col("qv"), col("qc"), col("cid"))
+        .localCheckpoint()
+      val probedCids = probes.select(col("cid").cast("long")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      val wCand = Window.partitionBy(col("query_id"))
+        .orderBy(col("qdot").desc, col("vec_id"))
+      val cands = coded.filter(col("cid").isin(probedCids.toIndexedSeq: _*))
+        .join(broadcast(probes), Seq("cid"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), col("qv"), col("v"),
+          expr("graft_dot(qc, c)").cast("long").as("qdot"))
+        .withColumn("crank", row_number().over(wCand))
+        .filter(col("crank") <= Sq8Cands)
+      val wTop = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      cands
+        .select(col("query_id"), col("vec_id"), col("qdot"),
+          expr("graft_dot(qv, v)").as("cosine"))
+        .withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= K)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // IVF generation rotation — the operation a standing ANN pipeline
     // runs when fitStats says the frozen centroids have drifted: fresh
     // index on the 90% cohort (vec_id % 10 ≠ 0), the delta appended
@@ -498,6 +547,48 @@ object Ann {
          |SELECT query_id, vec_id, qdot, cosine, rank FROM ranked WHERE rank <= $K
          |ORDER BY query_id, rank""".stripMargin,
     "ann_ivf" -> ivfOracle(s"vec_id < $NumQueries"),
+    // The composed stack: ann_ivf's train/assign/probe chain, then
+    // ann_sq8's two stages within the probed buckets.
+    "ann_ivf_sq8" ->
+      s"""WITH $normCte,
+         |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $NumCentroids),
+         |${(1 to KMeansIters).map(kmeansIterCte).mkString(",\n")},
+         |c AS (SELECT cid, cv FROM c$KMeansIters),
+         |q AS (SELECT vec_id AS query_id, v AS qv,
+         |        list_transform(v, x -> floor(x * $Sq8Scale + 0.5)) AS qc
+         |      FROM e WHERE vec_id >= ${3 * NumQueries} AND vec_id < ${4 * NumQueries}),
+         |assigned AS (
+         |  SELECT vec_id, v, c, cid FROM (
+         |    SELECT e.vec_id, e.v,
+         |      list_transform(e.v, x -> floor(x * $Sq8Scale + 0.5)) AS c, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |                         ORDER BY ${dotSql("e.v", "c.cv")} DESC, c.cid) AS rn
+         |    FROM e CROSS JOIN c) WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, qv, qc, cid FROM (
+         |    SELECT q.query_id, q.qv, q.qc, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |                         ORDER BY ${dotSql("q.qv", "c.cv")} DESC, c.cid) AS rn
+         |    FROM q CROSS JOIN c) WHERE rn <= $NProbe),
+         |scored AS (
+         |  SELECT p.query_id, x.vec_id, p.qv, x.v,
+         |    CAST(list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(generate_series(1, 64), i -> p.qc[i] * x.c[i])),
+         |      (a, b) -> a + b) AS BIGINT) AS qdot
+         |  FROM assigned x JOIN probes p USING (cid)
+         |  WHERE x.vec_id <> p.query_id),
+         |cands AS (SELECT query_id, vec_id, qv, v, qdot,
+         |            ROW_NUMBER() OVER (PARTITION BY query_id
+         |                               ORDER BY qdot DESC, vec_id) AS crank
+         |          FROM scored),
+         |rer AS (SELECT query_id, vec_id, qdot, ${dotSql("qv", "v")} AS cosine
+         |        FROM cands WHERE crank <= $Sq8Cands),
+         |ranked AS (SELECT query_id, vec_id, qdot, cosine,
+         |             ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                ORDER BY cosine DESC, vec_id) AS rank
+         |           FROM rer)
+         |SELECT query_id, vec_id, qdot, cosine, rank FROM ranked WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
     // The pair route: the ann_ivf k-means chain, top-P multi-assignment
     // per vector (same ROW_NUMBER tie rule as the Spark window),
     // distinct shared-bucket pairs, exact dot at the 0.45 floor.

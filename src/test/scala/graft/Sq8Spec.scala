@@ -42,6 +42,21 @@ class Sq8Spec extends SparkSuite {
     }
   }
 
+  test("composed ann_ivf_sq8: bucket-pruned scan, K ranked rows per query, candidates from probed buckets only") {
+    val df = SparkEntry.queries("ann_ivf_sq8")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"),
+      s"the quantized rank must scan only the probed IVF buckets:\n$plan")
+    val rows = df.collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 5)
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(4)).toSeq.sorted == (1 to 10))
+      val cos = rs.sortBy(_.getInt(4)).map(_.getDouble(3)).toSeq
+      assert(cos == cos.sorted.reverse)
+    }
+  }
+
   test("recall@10 vs exact brute force on the gate corpus") {
     graft.functions.DotProduct.register(spark)
     val e = Tables.embeddings(spark, d)
