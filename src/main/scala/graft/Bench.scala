@@ -33,6 +33,27 @@ object Bench {
     s(lo) + (s(hi) - s(lo)) * (k - lo)
   }
 
+  /** 1-minute loadavg, or -1 where /proc is unavailable. */
+  private def loadAvg1(): Double =
+    try Files.readString(Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** JVMs on the box that are NOT this process or its ancestors (the
+    * sbt launcher chain) — the box-pressure signal a strike should
+    * carry. Child processes would count too, but local-mode Spark
+    * spawns none. */
+  private def foreignJvms(): Long =
+    try {
+      val self = ProcessHandle.current()
+      val lineage = Iterator.iterate(Option(self))(_.flatMap(p =>
+          Option(p.parent().orElse(null))))
+        .takeWhile(_.isDefined).flatten.map(_.pid()).toSet
+      ProcessHandle.allProcesses().filter { p =>
+        p.info().command().map[Boolean](_.contains("java")).orElse(false) &&
+          !lineage.contains(p.pid())
+      }.count()
+    } catch { case _: Throwable => -1L }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -56,6 +77,25 @@ object Bench {
       .getOrElse(Set.empty[String])
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) && !skip(name) }
+
+    // Quiet-box stamp (r12 VERDICT #4: the committed r12 strike carried
+    // a uniform ~1.15× box-pressure drift that was only diagnosable by
+    // cross-referencing same-day artifacts): sample 1-min loadavg and
+    // foreign-JVM count before and after the run and RECORD them in the
+    // JSON, so a contaminated strike self-identifies. `quiet` uses the
+    // SPARK_GRAFT_BENCH_MAX_LOAD threshold (default 4.0); scripts/
+    // bench.sh can also REFUSE to strike under
+    // SPARK_GRAFT_BENCH_REQUIRE_QUIET=1.
+    val maxQuietLoad =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "4.0").toDouble
+    val loadStart = loadAvg1()
+    val jvmsStart = foreignJvms()
+    val quietStart = jvmsStart == 0 &&
+      (loadStart >= 0.0 && loadStart <= maxQuietLoad)
+    if (!quietStart)
+      System.err.println(s"[bench] WARNING: box not quiet at start " +
+        s"(loadavg1=$loadStart, foreign JVMs=$jvmsStart) — the strike " +
+        "will carry a load stamp; prefer a quiet box for committed artifacts")
 
     // EXPLICIT untimed setup: build every one-per-corpus persisted
     // index (postings / IVF / MinHash) before any measurement, so no
@@ -153,9 +193,14 @@ object Bench {
       else buildsByQuery
         .map { case (q, evs) => "\"" + q + "\":" + buildsJson(evs) }
         .mkString(""","builds_in_rounds":{""", ",", "}")
+    val loadEnd = loadAvg1()
+    val quiet = quietStart && foreignJvms() == 0 &&
+      (loadEnd >= 0.0 && loadEnd <= math.max(maxQuietLoad, cpus.toDouble))
+    val loadJson = s""","load":{"loadavg1_start":$loadStart,""" +
+      s""""loadavg1_end":$loadEnd,"foreign_jvms":$jvmsStart,"quiet":$quiet}"""
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$p50s,""" +
       s""""p95":$p95s,"rounds":$roundsUsed$setupJson$inRoundBuildsJson,""" +
-      s""""protocol":"p50 of <=$Rounds rounds, warm, full materialization (toRdd), untimed index-build setup, ${PerQueryCapSec.toInt}s/query cap, per-round orphan unpersist + per-query gc isolation, local[$cpus], heap ${Runtime.getRuntime.maxMemory() >> 30}g"$skippedJson,"sf":"$sfDir"}"""
+      s""""protocol":"p50 of <=$Rounds rounds, warm, full materialization (toRdd), untimed index-build setup, ${PerQueryCapSec.toInt}s/query cap, per-round orphan unpersist + per-query gc isolation, local[$cpus], heap ${Runtime.getRuntime.maxMemory() >> 30}g"$skippedJson$loadJson,"sf":"$sfDir"}"""
     // The driver tail-parses a bounded slice of the run log; the full
     // line (~100 query entries) overflows that window and has recorded
     // as parsed:null since r5. Emit the headline numbers as a LAST,
@@ -165,7 +210,7 @@ object Bench {
     // stdout with it.
     val shortJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},""" +
-      s""""setup_sec":${fmt(setupSec)},"detail":"$outPath"$skippedJson,"sf":"$sfDir"}"""
+      s""""setup_sec":${fmt(setupSec)},"detail":"$outPath"$skippedJson$loadJson,"sf":"$sfDir"}"""
     try {
       Files.writeString(Paths.get(outPath), json + "\n")
       Files.writeString(Paths.get(outPath + ".short"), shortJson + "\n")

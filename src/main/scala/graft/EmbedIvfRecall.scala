@@ -13,13 +13,21 @@ import graft.queries.{Ann, Dedup, IvfIndex}
   * percent of mid-tier pairs at production width (a 0.45–0.7 pair
   * flips ~35% of sign bits), while vectors at that tier still land
   * near each other in CENTROID space — so shared-top-P-IVF-bucket
-  * candidates are the recall path that tier gets. For each corpus dir
-  * this main trains a fresh IVF index at ~√n centroids (the
-  * production sizing rule; the gate's 16-centroid setting is the
-  * oracle-checkable point, not the scale point), then for P = 1/2/4
-  * counts candidates (the pre-verify cost driver), verified pairs,
-  * and TRUE recall per cosine tier against the brute-force all-pairs
-  * denominator.
+  * candidates are the recall path that tier gets.
+  *
+  * For each corpus dir this main SWEEPS the centroid-count sizing
+  * (r12 VERDICT #1 — the weak row): √n (the r12 rule, under which
+  * candidate volume grows ~n^1.5 and recall FELL with n: 89.6 → 58.4
+  * → 39.7 % at 2k/20k/128k) against the flat-bucket rules n/512 and
+  * n/256 (centroids ∝ n ⇒ expected bucket size B stays flat ⇒
+  * candidates ≈ n·B·P²/2 stay LINEAR in n — the sizing a 100 TB
+  * deployment needs). Per sizing × P = 1/2/4: candidate count (the
+  * pre-verify cost driver), verified pairs, and TRUE recall per
+  * cosine tier against the brute-force all-pairs denominator. The
+  * committed production rule lives in SURVEY §9.12 and the
+  * `[scale] ivf_pair_bucket` knob ([[graft.queries.ScaleOps
+  * .embedNearDupIvf]]); the gate's 16-centroid setting stays the
+  * oracle-checkable point, not the scale point.
   *
   *   sbt "runMain graft.EmbedIvfRecall /root/testdata/sf0.1 target/scale_x10"
   *
@@ -73,9 +81,16 @@ object EmbedIvfRecall {
     var done = Seq.empty[String]
     args.foreach { d =>
       val nVecs = Tables.embeddings(spark, d).count()
-      val numCentroids = math.max(16, math.round(math.sqrt(nVecs.toDouble)).toInt)
+      // The sizing sweep (r12 VERDICT #1): √n (super-linear candidate
+      // law) vs the flat-bucket rules n/B (candidates ∝ n). Rules that
+      // collapse to the same centroid count after the 16 floor (small
+      // corpora) share one build and are labeled together.
+      val rules = Seq(
+        "sqrt_n" -> math.max(16, math.round(math.sqrt(nVecs.toDouble)).toInt),
+        "n_over_512" -> math.max(16, (nVecs / 512).toInt),
+        "n_over_256" -> math.max(16, (nVecs / 256).toInt))
       val ((tTot, tMid, t70, t90), truthSec) = swept(tiered(Dedup.embedTruePairs(spark, d)))
-      System.err.println(s"[embed-ivf] $d n=$nVecs centroids=$numCentroids " +
+      System.err.println(s"[embed-ivf] $d n=$nVecs sizings=${rules.toMap} " +
         s"TRUE total=$tTot mid=$tMid hi70=$t70 hi90=$t90 (${f(truthSec)}s)")
       graft.functions.DotProduct.register(spark)
       val e = Tables.embeddings(spark, d)
@@ -84,37 +99,47 @@ object EmbedIvfRecall {
           org.apache.spark.sql.functions.sqrt(graft.functions.VectorOps.norm2(col("v0"))))
         .select(col("vec_id"),
           org.apache.spark.sql.functions.transform(col("v0"), x => x / col("nrm")).as("v"))
-      // NOT swept: fresh() leaves live localCheckpoint state the index
-      // handle reads through (a scope here would sweep it — the scoped
-      // contract is for fully-materializing invocations only). The
-      // build's blocks die with the JVM; each measurement below runs
-      // in its own scope, whose baseline already contains them.
-      val tB = System.nanoTime()
-      val idx = IvfIndex.fresh(spark, s"ivfrecall|$d", e, numCentroids, iters = 2,
-        quantScale = 1000000.0)
-      val buildSec = (System.nanoTime() - tB) / 1e9
-      try {
-        val rows = Seq(1, 2, 4).map { p =>
-          val (cands, candSec) = swept(Ann.embedIvfCands(idx, p).count())
-          val ((vTot, vMid, v70, v90), sec) =
-            swept(tiered(Ann.embedPairsIvf(idx, p)))
-          System.err.println(s"[embed-ivf] $d P=$p cands=$cands (${f(candSec)}s) " +
-            s"pairs=$vTot recall=${recallStr(vTot, tTot)} " +
-            s"recall_mid=${recallStr(vMid, tMid)} recall_hi90=${recallStr(v90, t90)} " +
-            s"(${f(sec)}s)")
-          s""""P$p":{"probe":$p,"candidates":$cands,"cand_sec":${f(candSec)},""" +
-            s""""verified_pairs":$vTot,"recall":${recallStr(vTot, tTot)},""" +
-            s""""verified_mid":$vMid,"recall_mid":${recallStr(vMid, tMid)},""" +
-            s""""verified_hi70":$v70,"recall_hi70":${recallStr(v70, t70)},""" +
-            s""""verified_hi90":$v90,"recall_hi90":${recallStr(v90, t90)},""" +
-            s""""pipeline_sec":${f(sec)}}"""
-        }.mkString("{", ",", "}")
-        done = done :+ (s""""$d":{"vectors":$nVecs,"centroids":$numCentroids,""" +
-          s""""build_sec":${f(buildSec)},"true_pairs":$tTot,"true_mid":$tMid,""" +
-          s""""true_hi70":$t70,"true_hi90":$t90,"truth_sec":${f(truthSec)},""" +
-          s""""probes":$rows}""")
+        .localCheckpoint()
+      var sizingJsons = Seq.empty[String]
+      def emitDir(): Unit = {
+        done = (done.filterNot(_.startsWith(s""""$d":"""))) :+
+          (s""""$d":{"vectors":$nVecs,"true_pairs":$tTot,"true_mid":$tMid,""" +
+            s""""true_hi70":$t70,"true_hi90":$t90,"truth_sec":${f(truthSec)},""" +
+            s""""sizings":${sizingJsons.mkString("{", ",", "}")}}""")
         writeOut(done)
-      } finally idx.drop()
+      }
+      rules.groupBy(_._2).toSeq.sortBy(_._1).foreach { case (numCentroids, shared) =>
+        val labels = shared.map(_._1)
+        // NOT swept: fresh() leaves live localCheckpoint state the
+        // index handle reads through (a scope here would sweep it).
+        // The build's blocks die with drop()/the JVM; each measurement
+        // below runs in its own scope, whose baseline contains them.
+        val tB = System.nanoTime()
+        val idx = IvfIndex.fresh(spark, s"ivfrecall|$d|c$numCentroids", e,
+          numCentroids, iters = 2, quantScale = 1000000.0)
+        val buildSec = (System.nanoTime() - tB) / 1e9
+        try {
+          val rows = Seq(1, 2, 4).map { p =>
+            val (cands, candSec) = swept(Ann.embedIvfCands(idx, p).count())
+            val ((vTot, vMid, v70, v90), sec) =
+              swept(tiered(Ann.embedPairsIvf(idx, p)))
+            System.err.println(s"[embed-ivf] $d c=$numCentroids P=$p cands=$cands " +
+              s"(${f(candSec)}s) pairs=$vTot recall=${recallStr(vTot, tTot)} " +
+              s"recall_mid=${recallStr(vMid, tMid)} recall_hi90=${recallStr(v90, t90)} " +
+              s"(${f(sec)}s)")
+            s""""P$p":{"probe":$p,"candidates":$cands,"cand_sec":${f(candSec)},""" +
+              s""""verified_pairs":$vTot,"recall":${recallStr(vTot, tTot)},""" +
+              s""""verified_mid":$vMid,"recall_mid":${recallStr(vMid, tMid)},""" +
+              s""""verified_hi70":$v70,"recall_hi70":${recallStr(v70, t70)},""" +
+              s""""verified_hi90":$v90,"recall_hi90":${recallStr(v90, t90)},""" +
+              s""""pipeline_sec":${f(sec)}}"""
+          }.mkString("{", ",", "}")
+          sizingJsons = sizingJsons ++ labels.map(label =>
+            s""""$label":{"centroids":$numCentroids,""" +
+              s""""build_sec":${f(buildSec)},"probes":$rows}""")
+          emitDir() // rewrite after every sizing — a later blowup keeps these
+        } finally idx.drop()
+      }
     }
     println(writeOut(done))
     spark.stop()

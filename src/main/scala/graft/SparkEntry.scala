@@ -38,7 +38,8 @@ object SparkEntry {
     if (names("o2_bm25_topk") || names("o5_bm25_hybrid"))
       graft.search.PostingsIndex.forDocuments(spark, sfDir)
     if (names("ann_ivf") || names("ann_bruteforce") || names("ann_lsh") ||
-        names("ann_ivf_fitstats"))
+        names("ann_ivf_fitstats") || names("ann_sq8") || names("ann_ivf_sq8") ||
+        names("d_embed_neardup_ivf"))
       graft.queries.Ann.prebuildIndex(spark, sfDir)
     if (names("d_incr_indexed") || names("pipe_incr_clean") || names("st_incr_neardup") ||
         names("pipe_incr_evolve") || // evolve branches the shared indexes (r9 VERDICT #4)

@@ -71,17 +71,22 @@ object Toml {
       try s.replace("_", "").toLong
       catch {
         case _: Throwable =>
-          // TOML floats (ivf_retrain_below_cos = 0.8): only the
-          // dotted-decimal form (optional exponent), NOT everything
+          // TOML floats (ivf_retrain_below_cos = 0.8 or 8e-1): the
+          // digits-led decimal/exponent forms only, NOT everything
           // Scala's toDouble accepts — a blanket fallback silently
-          // turned bare strings like "NaN", "Infinity", and "1e3"
+          // turned bare strings like "NaN", "Infinity" and "inf"
           // into Doubles for every config consumer (r11 ADVICE).
+          // Exponent-only floats (8e-1, 1e3) are valid TOML and must
+          // parse too (r12 ADVICE: requiring a dot silently dropped
+          // them to strings, so Config.dbl fell back to the default —
+          // a silent misconfiguration). This branch is reached only
+          // after toLong failed, so plain integers never land here.
           if (FloatPattern.matches(s.replace("_", ""))) s.replace("_", "").toDouble
           else s
       }
   }
 
-  private val FloatPattern = "[+-]?\\d+\\.\\d+([eE][+-]?\\d+)?".r
+  private val FloatPattern = "[+-]?\\d+(\\.\\d+)?([eE][+-]?\\d+)?".r
 }
 
 /** Capsule tuning knobs (config.py:24-41): token budget, pivot cap,
@@ -125,7 +130,9 @@ final case class ScaleConfig(
     compactEveryAppends: Int = 0,
     ivfFitCheckEvery: Int = 0,
     ivfRetrainBelowCos: Double = 0.0,
-    embedActCos: Double = 0.9)
+    embedActCos: Double = 0.9,
+    sq8Cands: Int = 50,
+    ivfPairBucket: Int = 0)
 
 /** Engine configuration (config.py:60-86). `manifestPath` derives from
   * the project root + target dir exactly as the reference's property. */
@@ -218,7 +225,9 @@ object Config {
         compactEveryAppends = int(scaleSec, "compact_every_appends", 0),
         ivfFitCheckEvery = int(scaleSec, "ivf_fit_check_every", 0),
         ivfRetrainBelowCos = dbl(scaleSec, "ivf_retrain_below_cos", 0.0),
-        embedActCos = dbl(scaleSec, "embed_act_cos", 0.9)))
+        embedActCos = dbl(scaleSec, "embed_act_cos", 0.9),
+        sq8Cands = int(scaleSec, "sq8_cands", 50),
+        ivfPairBucket = int(scaleSec, "ivf_pair_bucket", 0)))
   }
 
   private def findUpward(start: Path): Option[Path] = {

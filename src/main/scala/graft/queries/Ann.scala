@@ -36,12 +36,13 @@ object Ann {
   private val NumCentroids = 16 // centroid seed set: vec_id < 16
   private val NProbe = 4
   private val SignBits = 8 // sign-LSH bucket bits (ann_lsh)
-  // SQ8 (ann_sq8): int8 code scale and candidate pool width. Scale is
-  // a GLOBAL constant (vectors are L2-normalized, components ∈ [-1,1])
-  // so integer code dots are comparable across vectors; 50 candidates
-  // per query feed the exact rerank.
-  private val Sq8Scale = 127.0
-  private val Sq8Cands = 50
+  // SQ8 (ann_sq8): int8 code scale (the persisted-code constant, see
+  // IvfIndex.Sq8Scale) and the gate-pinned candidate pool width — 50
+  // candidates per query feed the exact rerank. Production sizes the
+  // pool via `[scale] sq8_cands` ([[ScaleOps.annSq8]]); the
+  // recall-vs-pool trade is measured by [[graft.Sq8PoolSweep]].
+  private val Sq8Scale = IvfIndex.Sq8Scale
+  private[queries] val Sq8Cands = 50
   private val KMeansIters = 2 // Lloyd iterations from the seed centroids
   private val QuantScale = 1000000.0 // integer-quantization scale for means
   // Top-P centroid multi-assignment width for the IVF-assisted pair
@@ -88,6 +89,12 @@ object Ann {
     IvfIndex.of(s, d, vecs(s, d), NumCentroids, KMeansIters, QuantScale)
       .assigned.select(col("vec_id"), col("v"))
   }
+
+  /** [[persistedVecs]] for the measurement mains ([[graft.Sq8PoolSweep]]'s
+    * brute-force truth reads the same persisted geometry the SQ8 route
+    * ranks, so recall is apples-to-apples). */
+  private[graft] def persistedVecsFor(s: SparkSession, d: String): DataFrame =
+    persistedVecs(s, d)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -161,48 +168,34 @@ object Ann {
     }),
 
     // SQ8 two-stage ANN — the MEMORY-BOUNDED serving shape a 100 TB
-    // vector store actually runs: vectors are scalar-quantized to int8
-    // codes (8× smaller than float64 — the store a serving fleet keeps
-    // hot; here derived scan-locally from the persisted vector table,
-    // production persists the code column beside it), stage 1 ranks
-    // the WHOLE corpus by the integer code dot and keeps Sq8Cands per
-    // query, stage 2 reranks only those candidates with the exact
-    // float cosine and keeps top-K — so the expensive float vectors
-    // are touched for 50 rows per query, not the corpus.
+    // vector store actually runs: stage 1 ranks the corpus by the
+    // integer dot over the PERSISTED int8 code column (8× smaller than
+    // float64 — the store a serving fleet keeps hot; derived once at
+    // index build/append, never at query time — r12 VERDICT #2) and
+    // keeps Sq8Cands per query; stage 2 reranks only those candidates
+    // with the exact float cosine and keeps top-K. The stage-1 scan
+    // column-prunes to (vec_id, c) — it NEVER reads the float column
+    // (plan-pinned by Sq8Spec) — and the float attach reads `v` only
+    // for the collected candidate-id IN list (≤ pool×queries ids, the
+    // bucket-prune collect idiom), so float bytes move for ~50 rows
+    // per query, not the corpus.
     //
     // Exactness across engines: code_i = floor(v_i·127 + 0.5) is an
-    // exact integer carried in a double (|code|≤127), and the stage-1
-    // score Σ code_q·code_x is ≤ 64·127² < 2²¹ — every intermediate is
-    // an integer exactly representable in double, so the codegen
-    // graft_dot fold computes EXACT integer arithmetic in any order
-    // and DuckDB replays it bit-for-bit (same trick as the k-means
-    // quantized sums). The stage-2 cosine is the shared left-to-right
-    // fold. Ties break (score desc, vec_id) at both stages. Query
-    // cohort 2N≤vec_id<3N — disjoint from ann_ivf's and
-    // ann_ivf_retrain's so the three gates share no values.
+    // exact integer carried in tinyint→double (|code|≤127), and the
+    // stage-1 score Σ code_q·code_x is ≤ 64·127² < 2²¹ — every
+    // intermediate is an integer exactly representable in double, so
+    // the codegen graft_dot fold computes EXACT integer arithmetic in
+    // any order and DuckDB replays it bit-for-bit from recomputed
+    // codes (stored ≡ recomputed: floor is exact). The stage-2 cosine
+    // is the shared left-to-right fold. Ties break (score desc,
+    // vec_id) at both stages. Query cohort 2N≤vec_id<3N — disjoint
+    // from ann_ivf's and ann_ivf_retrain's so the three gates share no
+    // values.
     "ann_sq8" -> ((s, d) => {
-      val e = persistedVecs(s, d)
-      val coded = e.withColumn("c",
-        transform(col("v"), x => floor(x * Sq8Scale + 0.5).cast("double")))
-      val q = coded
-        .filter(col("vec_id") >= 2 * NumQueries && col("vec_id") < 3 * NumQueries)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("c").as("qc"))
-      val wCand = Window.partitionBy(col("query_id"))
-        .orderBy(col("qdot").desc, col("vec_id"))
-      val cands = coded.crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"), col("qv"), col("v"),
-          expr("graft_dot(qc, c)").cast("long").as("qdot"))
-        .withColumn("crank", row_number().over(wCand))
-        .filter(col("crank") <= Sq8Cands)
-      val wTop = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("vec_id"))
-      cands
-        .select(col("query_id"), col("vec_id"), col("qdot"),
-          expr("graft_dot(qv, v)").as("cosine"))
-        .withColumn("rank", row_number().over(wTop))
-        .filter(col("rank") <= K)
-        .orderBy(col("query_id"), col("rank"))
+      DotProduct.register(s)
+      val idx = IvfIndex.of(s, d, vecs(s, d), NumCentroids, KMeansIters, QuantScale)
+      sq8TopK(idx, col("vec_id") >= 2 * NumQueries && col("vec_id") < 3 * NumQueries,
+        Sq8Cands, prune = false)
     }),
 
     // IVF: train centroids with spherical k-means (Lloyd, fixed seed set
@@ -232,11 +225,13 @@ object Ann {
     }),
 
     // The composed production ANN stack — IVF bucket-prune, THEN the
-    // int8 quantized rank, THEN the exact float rerank: a probe reads
-    // only nprobe/centroids of the corpus off disk (the bucketed-scan
-    // prune), ranks those rows by the integer code dot (the 8×-smaller
-    // column a serving fleet keeps hot), and touches float vectors for
-    // just the 50-candidate rerank pool per query. Each stage is the
+    // int8 quantized rank over the PERSISTED code column, THEN the
+    // exact float rerank: a probe reads only nprobe/centroids of the
+    // corpus off disk (the bucketed-scan prune), ranks those rows by
+    // the integer code dot reading ONLY (vec_id, cid, c) — never the
+    // float column (plan-pinned) — and touches float vectors for just
+    // the 50-candidate rerank pool per query (candidate-id IN list,
+    // ALSO bucket-pruned to the probed cids). Each stage is the
     // already-gated machinery (ann_ivf's probe selection + literal IN
     // prune; ann_sq8's exact-integer stage-1 and fold rerank), so the
     // oracle composes their chains verbatim. Query cohort 3N≤vec_id<4N
@@ -244,40 +239,8 @@ object Ann {
     "ann_ivf_sq8" -> ((s, d) => {
       DotProduct.register(s)
       val idx = IvfIndex.of(s, d, vecs(s, d), NumCentroids, KMeansIters, QuantScale)
-      val coded = idx.assigned
-        .select(col("vec_id"), col("v"), col("cid"),
-          transform(col("v"), x => floor(x * Sq8Scale + 0.5).cast("double")).as("c"))
-      val q = coded
-        .filter(col("vec_id") >= 3 * NumQueries && col("vec_id") < 4 * NumQueries)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("c").as("qc"))
-      val wProbe = Window.partitionBy(col("query_id"))
-        .orderBy(col("qcos").desc, col("cid"))
-      val probes = q.crossJoin(broadcast(idx.centroids))
-        .select(col("query_id"), col("qv"), col("qc"), col("cid"),
-          expr("graft_dot(qv, cv)").as("qcos"))
-        .withColumn("rn", row_number().over(wProbe))
-        .filter(col("rn") <= NProbe)
-        .select(col("query_id"), col("qv"), col("qc"), col("cid"))
-        .localCheckpoint()
-      val probedCids = probes.select(col("cid").cast("long")).distinct()
-        .collect().map(_.getLong(0)).sorted
-      val wCand = Window.partitionBy(col("query_id"))
-        .orderBy(col("qdot").desc, col("vec_id"))
-      val cands = coded.filter(col("cid").isin(probedCids.toIndexedSeq: _*))
-        .join(broadcast(probes), Seq("cid"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"), col("qv"), col("v"),
-          expr("graft_dot(qc, c)").cast("long").as("qdot"))
-        .withColumn("crank", row_number().over(wCand))
-        .filter(col("crank") <= Sq8Cands)
-      val wTop = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("vec_id"))
-      cands
-        .select(col("query_id"), col("vec_id"), col("qdot"),
-          expr("graft_dot(qv, v)").as("cosine"))
-        .withColumn("rank", row_number().over(wTop))
-        .filter(col("rank") <= K)
-        .orderBy(col("query_id"), col("rank"))
+      sq8TopK(idx, col("vec_id") >= 3 * NumQueries && col("vec_id") < 4 * NumQueries,
+        Sq8Cands, prune = true)
     }),
 
     // IVF generation rotation — the operation a standing ANN pipeline
@@ -433,6 +396,127 @@ object Ann {
       .join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), expr("graft_dot(qv, v)").as("cosine"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** SQ8 two-stage top-K over the corpus dir's shared IVF index at an
+    * arbitrary pool width — the config-wired production entry behind
+    * `[scale] sq8_cands` ([[ScaleOps.annSq8]]) and the
+    * [[graft.Sq8PoolSweep]] recall measurement. `queryPred` defaults
+    * to the `ann_sq8` gate cohort. */
+  private[graft] def sq8TopKFor(s: SparkSession, d: String, pool: Int,
+      prune: Boolean = false,
+      queryPred: Column =
+        col("vec_id") >= 2 * NumQueries && col("vec_id") < 3 * NumQueries): DataFrame = {
+    DotProduct.register(s)
+    val idx = IvfIndex.of(s, d, vecs(s, d), NumCentroids, KMeansIters, QuantScale)
+    sq8TopK(idx, queryPred, pool, prune)
+  }
+
+  /** The IVF-assisted mid-tier pair route at an ARBITRARY centroid
+    * count — the config-wired production entry behind
+    * `[scale] ivf_pair_bucket` ([[ScaleOps.embedNearDupIvf]]) and the
+    * sizing the [[graft.EmbedIvfRecall]] sweep prices: flat bucket
+    * size (centroids = n / bucket) keeps candidate volume LINEAR in n,
+    * where the gate's fixed-16 / a √n rule grow it super-linearly
+    * (SURVEY §9.12). One cached index per (corpus, count) — repeated
+    * discovery sweeps pay probes only. */
+  private[graft] def embedPairsIvfAt(s: SparkSession, d: String,
+      numCentroids: Int, probe: Int): DataFrame = {
+    DotProduct.register(s)
+    val idx = IvfIndex.of(s, s"pairs|$d|c$numCentroids", vecs(s, d),
+      numCentroids, KMeansIters, QuantScale)
+    embedPairsIvf(idx, probe).orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Stage-1 candidate frame over the corpus dir's shared index — the
+    * Sq8Spec plan seam (the stage is checkpointed inside [[sq8TopK]],
+    * so its scan shape is invisible in the final result's plan). */
+  private[graft] def sq8CandStageFor(s: SparkSession, d: String, pool: Int,
+      prune: Boolean, queryPred: Column): DataFrame = {
+    DotProduct.register(s)
+    val idx = IvfIndex.of(s, d, vecs(s, d), NumCentroids, KMeansIters, QuantScale)
+    sq8CandStage(idx, sq8Queries(idx, queryPred), pool, prune)
+  }
+
+  /** SQ8 query frame: (query_id, qv, qc) for the index rows passing
+    * `queryPred` — the one place the query-side float vectors are read
+    * (a ≤queries-row pushed-filter scan), checkpointed so the stage-1
+    * candidate plan contains NO scan that touches `v`. */
+  private def sq8Queries(idx: IvfIndex.Index, queryPred: Column): DataFrame =
+    idx.assigned.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("c").cast("array<double>").as("qc"))
+      .localCheckpoint()
+
+  /** SQ8 stage 1 — the integer-code candidate rank, reading ONLY the
+    * persisted (vec_id, [cid,] c) columns (Sq8Spec plan-pins the scan
+    * schema): corpus codes × broadcast query codes, exact integer dot
+    * (see the ann_sq8 entry), top-`pool` per query by (qdot desc,
+    * vec_id). With `prune`, the scan is first bucket-pruned to the
+    * queries' top-NProbe centroids (the ivfTopK literal-IN idiom) and
+    * candidates come from the probes join. */
+  private[graft] def sq8CandStage(idx: IvfIndex.Index, q: DataFrame,
+      pool: Int, prune: Boolean): DataFrame = {
+    val wCand = Window.partitionBy(col("query_id"))
+      .orderBy(col("qdot").desc, col("vec_id"))
+    val scored =
+      if (!prune) {
+        val codes = idx.assigned
+          .select(col("vec_id"), col("c").cast("array<double>").as("c"))
+        codes.crossJoin(broadcast(q.select(col("query_id"), col("qc"))))
+      } else {
+        val wProbe = Window.partitionBy(col("query_id"))
+          .orderBy(col("qcos").desc, col("cid"))
+        val probes = q.crossJoin(broadcast(idx.centroids))
+          .select(col("query_id"), col("qc"), col("cid"),
+            expr("graft_dot(qv, cv)").as("qcos"))
+          .withColumn("rn", row_number().over(wProbe))
+          .filter(col("rn") <= NProbe)
+          .select(col("query_id"), col("qc"), col("cid"))
+          .localCheckpoint()
+        // ≤ numCentroids ids — the 1-row-scalar collect pattern; a
+        // literal IN over the bucket column is what actually prunes
+        // the scan (SelectedBucketsCount), a broadcast join never does.
+        val probedCids = probes.select(col("cid").cast("long")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        idx.assigned.filter(col("cid").isin(probedCids.toIndexedSeq: _*))
+          .select(col("vec_id"), col("cid"), col("c").cast("array<double>").as("c"))
+          .join(broadcast(probes), Seq("cid"))
+      }
+    scored
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        expr("graft_dot(qc, c)").cast("long").as("qdot"))
+      .withColumn("crank", row_number().over(wCand))
+      .filter(col("crank") <= pool)
+      .select(col("query_id"), col("vec_id"), col("qdot"))
+  }
+
+  /** The full SQ8 two-stage top-K (shared by `ann_sq8`, `ann_ivf_sq8`,
+    * [[ScaleOps.annSq8]] and the [[graft.Sq8PoolSweep]] measurement):
+    * stage-1 candidates off the persisted codes, then the exact float
+    * rerank — candidates are collected as a vec_id IN list (≤
+    * pool×queries ids) so the float attach is a PRUNED scan of
+    * (vec_id, v), never a corpus pass. */
+  private[graft] def sq8TopK(idx: IvfIndex.Index, queryPred: Column,
+      pool: Int, prune: Boolean): DataFrame = {
+    val q = sq8Queries(idx, queryPred)
+    val cands = sq8CandStage(idx, q, pool, prune).localCheckpoint()
+    val candIds = cands.select(col("vec_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val vAttach = idx.assigned
+      .filter(col("vec_id").isin(candIds.toIndexedSeq: _*))
+      .select(col("vec_id"), col("v"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cands
+      .join(broadcast(vAttach), Seq("vec_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"))), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), col("qdot"),
+        expr("graft_dot(qv, v)").as("cosine"))
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= K)
       .orderBy(col("query_id"), col("rank"))

@@ -337,7 +337,12 @@ object CorpusClean {
       // Every checkpoint block created during the loop is dead now
       // EXCEPT the K ledger frames the returned union consumes — an
       // unpersisted local checkpoint cannot be recomputed, so the keep
-      // set is collected off the ledgers' own plans.
+      // set is collected off the ledgers' own plans. Manual sweep, not
+      // CheckpointHygiene.scoped (a scope's exit sweep would destroy
+      // the kept ledgers), so it does NOT merge with concurrent scopes:
+      // it runs under the single-flight-per-session contract
+      // (CheckpointHygiene corollary 1) — don't race it against scoped
+      // work on the same session.
       val keep = parts.flatMap(_.queryExecution.analyzed.collect {
         case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
       }).toSet

@@ -137,6 +137,14 @@ object EvolveServe {
         // would re-read.
         serveAnswers(b, po, iv).localCheckpoint()
       }
+      // MANUAL keep-set sweep, not CheckpointHygiene.scoped: the K
+      // answer checkpoints must SURVIVE into the returned frame, which
+      // a scope's exit sweep would destroy. The flip side (r12 ADVICE):
+      // this sweep does NOT merge with concurrent scopes, so it runs
+      // under the single-flight-per-session contract (CheckpointHygiene
+      // corollary 1) — callers must not race it against scoped work on
+      // the same session. The gate/bench/Verify harnesses are
+      // single-flight by construction; the serve tier never calls this.
       val keep = parts.flatMap(_.queryExecution.analyzed.collect {
         case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
       }).toSet

@@ -24,6 +24,17 @@ import graft.util.Scratch
   * probed buckets off disk, never the rest of the corpus
   * (plan-asserted by PlanSpec).
   *
+  * The table ALSO persists the int8 scalar-quantized code column `c`
+  * (`floor(v_i·127 + 0.5)` as `array<tinyint>` — 8× smaller than the
+  * float64 vector column), derived ONCE at build/append/retrain inside
+  * the same bucketed write (r12 VERDICT #2: the SQ8 serving shape kept
+  * re-deriving codes from the float column per call, defeating the
+  * point of the 8×-smaller store). `ann_sq8`/`ann_ivf_sq8` stage 1
+  * column-prunes to (vec_id, [cid,] c) and never touches `v`
+  * (plan-pinned by Sq8Spec); compaction carries the stored codes
+  * byte-for-byte. floor() is exact, so stored codes ≡ recomputed ones
+  * and the DuckDB oracle keeps recomputing them.
+  *
   * The trained centroid table is tiny (numCentroids rows) and kept as a
   * localCheckpoint for broadcast into probe selection.
   *
@@ -63,7 +74,7 @@ object IvfIndex {
       new Index(spark, baseName, generation, cacheKey,
         centroids, numCentroids, trainIters, trainQuant, parent)
 
-    /** (vec_id, v, cid), bucketed by cid; for a [[branch]], the base's
+    /** (vec_id, v, cid, c), bucketed by cid; for a [[branch]], the base's
       * table UNIONed with the branch's delta rows (the branch's own
       * table materializes lazily on first append — both sides stay
       * bucketed, so a cid probe bucket-prunes each side). */
@@ -94,8 +105,8 @@ object IvfIndex {
       // AGAIN for the write; assigning before the guard wastes only
       // the centroid argmax when the guard trips — the
       // contract-violation path, not the hot path.
-      val assignedDelta = assign(e2, centroids)
-        .select(col("vec_id"), col("v"), col("cid"))
+      val assignedDelta = withCodes(assign(e2, centroids)
+          .select(col("vec_id"), col("v"), col("cid")))
         .localCheckpoint()
       val clashes = assigned.select(col("vec_id"))
         .join(broadcast(assignedDelta.select(col("vec_id"))), "vec_id").limit(1).count()
@@ -154,7 +165,7 @@ object IvfIndex {
         val next = s"${baseName}_g${generation + 1}"
         spark.sql(s"DROP TABLE IF EXISTS $next")
         writeBucketed(
-          assign(e, cent).select(col("vec_id"), col("v"), col("cid")),
+          withCodes(assign(e, cent).select(col("vec_id"), col("v"), col("cid"))),
           next, "cid", numCentroids, "overwrite")
         spark.sql(s"DROP TABLE IF EXISTS $tableName")
         Scratch.delete(tableName)
@@ -287,8 +298,26 @@ object IvfIndex {
     // One shuffle by cid so each bucket lands as a single file — the
     // writeBucketed idiom (see PersistedIndex).
     idx.writeBucketed(
-      assign(e, cent).select(col("vec_id"), col("v"), col("cid")),
+      withCodes(assign(e, cent).select(col("vec_id"), col("v"), col("cid"))),
       tableName, "cid", numCentroids, "overwrite")
     idx
   }
+
+  /** SQ8 quantization scale: vectors are L2-normalized (components ∈
+    * [-1, 1]), so one GLOBAL scale keeps integer code dots comparable
+    * across vectors; 127 saturates int8. Shared with the query-side
+    * code derivation in [[Ann]]. */
+  private[graft] val Sq8Scale = 127.0
+
+  /** Append the persisted int8 code column to assigned rows — the ONE
+    * transform every write path (build / append / retrain) runs, so
+    * the 8×-smaller code store exists the moment the vector lands and
+    * is never re-derived at query time. floor(v·127 + 0.5) ∈
+    * [-127, 127] is exact in a double and exact again as tinyint, so
+    * the stored codes are bit-identical to a recomputation (the DuckDB
+    * oracle recomputes; compaction carries the stored bytes). */
+  private def withCodes(df: DataFrame): DataFrame =
+    df.withColumn("c",
+      org.apache.spark.sql.functions.transform(col("v"),
+        x => floor(x * Sq8Scale + 0.5).cast("tinyint")))
 }

@@ -182,8 +182,15 @@ object MinhashIndex {
     }
 
     /** Incrementally index `newDocs` ((doc_id, text) rows with NEW doc
-      * ids — ENFORCED: the guard semi-joins the delta's ids against
-      * the arrays table's id column and throws on overlap). Bands and
+      * ids — ENFORCED for every row that LANDS: the guard semi-joins
+      * the delta's SIGNED ids against the arrays table's id column and
+      * throws on overlap. Null-sig docs — no shingles — are filtered
+      * before the guard because they are never written to either
+      * table, so a clashing id among them passes silently rather than
+      * throwing: the tables stay consistent, the caller's contract
+      * violation just isn't surfaced for a row that contributes
+      * nothing — r12 ADVICE, documented as the intended trade). Bands
+      * and
       * arrays append scan-locally; nothing corpus-sized recomputes —
       * there are no global statistics to merge (band counts are
       * derived per probe), so probes see the appended corpus

@@ -66,4 +66,36 @@ object ScaleOps {
     * (`[scale] seq_pack_shards`). */
   def seqPack(s: SparkSession, d: String, cfg: EngineConfig): DataFrame =
     TrainPrep.seqPack(s, d, cfg.scale.seqPackShards)
+
+  /** SQ8 two-stage ANN at the configured rerank pool width
+    * (`[scale] sq8_cands`, default 50 = the gate-pinned `ann_sq8`
+    * pool): stage 1 ranks the persisted int8 codes and keeps `pool`
+    * candidates per query, stage 2 reranks them with the exact float
+    * cosine — the pool is the memory/recall trade a serving preset
+    * sizes (recall@10-vs-pool curve measured by [[graft.Sq8PoolSweep]]
+    * into `BENCH_sq8.json`). `prune` composes the IVF bucket prune in
+    * front (the `ann_ivf_sq8` stack). */
+  def annSq8(s: SparkSession, d: String, cfg: EngineConfig,
+      prune: Boolean = false): DataFrame =
+    Ann.sq8TopKFor(s, d, cfg.scale.sq8Cands, prune)
+
+  /** IVF-assisted mid-tier embedding pair DISCOVERY at the configured
+    * centroid sizing (`[scale] ivf_pair_bucket`): centroids =
+    * max(16, n / bucket) — the FLAT-BUCKET rule the EmbedIvfRecall
+    * sweep committed (bucket size stays flat as n grows ⇒ candidate
+    * volume stays LINEAR in n, where the r12 √n rule grew it ~n^1.5
+    * with falling recall — SURVEY §9.12). bucket = 0 (the default)
+    * keeps √n for parity with the r12 artifact rows. The route's
+    * contract is bounded-recall DISCOVERY of the 0.45–0.7 tier —
+    * ledgers ACT only at ≥ `embed_act_cos` where sign-LSH recalls
+    * 1.0 measured. */
+  def embedNearDupIvf(s: SparkSession, d: String, cfg: EngineConfig,
+      probe: Int = 2): DataFrame = {
+    val n = graft.Tables.embeddings(s, d).count()
+    val centroids =
+      if (cfg.scale.ivfPairBucket > 0)
+        math.max(16L, n / cfg.scale.ivfPairBucket).toInt
+      else math.max(16, math.round(math.sqrt(n.toDouble)).toInt)
+    Ann.embedPairsIvfAt(s, d, centroids, probe)
+  }
 }

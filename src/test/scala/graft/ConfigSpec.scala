@@ -51,33 +51,47 @@ class ConfigSpec extends SparkSuite {
     assert(gen("targets") == Seq("claude_code", "cursor"))
   }
 
-  test("only dotted-decimal bare values parse as floats; other bare values stay strings") {
+  test("digits-led decimal/exponent bare values parse as floats; other bare values stay strings") {
     // r11 ADVICE: a blanket toDouble fallback silently coerced bare
-    // strings Scala's parser happens to accept — "NaN", "Infinity",
-    // exponent-only forms — into Doubles for every config consumer.
-    // The fallback is now gated on the dotted-decimal TOML float shape.
+    // strings Scala's parser happens to accept — "NaN", "Infinity" —
+    // into Doubles for every config consumer. r12 ADVICE: the first
+    // fix overshot and ALSO dropped valid TOML exponent-only floats
+    // (8e-1, 1e3) to strings, a silent-misconfiguration path. The
+    // fallback now accepts exactly the digits-led decimal/exponent
+    // forms and nothing else.
     val t = Toml.parse(
       """[x]
         |f = 0.8
         |fneg = -2.5
         |fexp = 6.02e2
         |funder = 1_000.5
+        |exp_only = 1e3
+        |exp_neg = 8e-1
         |nan = NaN
         |inf = Infinity
         |neginf = -Infinity
-        |exp_only = 1e3
         |suffixed = 7d
+        |hexish = 0x10
         |""".stripMargin)
     val x = t("x").asInstanceOf[Map[String, Any]]
     assert(x("f") == 0.8)
     assert(x("fneg") == -2.5)
     assert(x("fexp") == 602.0)
     assert(x("funder") == 1000.5)
+    assert(x("exp_only") == 1000.0)
+    assert(x("exp_neg") == 0.8)
     assert(x("nan") == "NaN")
     assert(x("inf") == "Infinity")
     assert(x("neginf") == "-Infinity")
-    assert(x("exp_only") == "1e3", "exponent without a dot is outside the supported subset")
     assert(x("suffixed") == "7d")
+    assert(x("hexish") == "0x10")
+  }
+
+  test("an exponent-only float reaches a double [scale] knob (r12 ADVICE)") {
+    val cfg = Config.fromToml(
+      Toml.parse("[scale]\nivf_retrain_below_cos = 8e-1\n"),
+      java.nio.file.Paths.get("."))
+    assert(cfg.scale.ivfRetrainBelowCos == 0.8)
   }
 
   test("config discovery walks upward and merges depths over defaults") {
@@ -107,7 +121,16 @@ class ConfigSpec extends SparkSuite {
   }
 
   test("the shipped production preset (examples/graft.toml) loads with its documented values") {
-    val cfg = Config.load(java.nio.file.Paths.get("examples"))
+    // Anchor on the repo root by walking up from the test JVM's CWD
+    // until examples/graft.toml appears (r12 ADVICE: a bare relative
+    // Paths.get("examples") breaks under runners that fork with a
+    // different working directory).
+    val start = java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath
+    val examples = Iterator.iterate(start)(_.getParent).takeWhile(_ != null)
+      .map(_.resolve("examples"))
+      .find(p => Files.exists(p.resolve(Config.ConfigFilename)))
+      .getOrElse(fail(s"examples/graft.toml not found walking up from $start"))
+    val cfg = Config.load(examples)
     assert(cfg.scale.embedBandBits == 16)
     assert(cfg.scale.embedRotations == 16)
     assert(cfg.scale.embedActCos == 0.9)

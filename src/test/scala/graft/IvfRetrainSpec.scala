@@ -201,4 +201,38 @@ class IvfRetrainSpec extends SparkSuite {
       br2.drop()
     } finally { br.drop(); idx1.drop() }
   }
+
+  test("a LIVE serving branch fails fast across a base retrain and still drops cleanly") {
+    // The serve-while-retrain handoff contract (r12 VERDICT #6): the
+    // EvolveServe closure answers queries off zero-copy branches whose
+    // view UNIONS the base table — so when retrain() rotates the base
+    // generation (and drops the old generation's table), an old branch
+    // cannot stay valid to drain: its probes fail fast with the
+    // actionable stale-handle message (never a bare missing-table
+    // error), a standing server re-branches from the handle retrain()
+    // returned, and the dead branch's own delta tables still drop
+    // cleanly. This pins the LIVE-branch case — delta appended and
+    // probes answered before the rotation — which the stale-handle
+    // test above (empty branch) did not exercise.
+    import spark.implicits._
+    graft.functions.DotProduct.register(spark)
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    def oneHot(i: Int): Seq[Double] = Seq.tabulate(64)(j => if (j == i) 1.0 else 0.0)
+    val e = (0L until 8L).map(i => (i, oneHot((i % 4).toInt))).toDF("vec_id", "v")
+    val idx0 = IvfIndex.fresh(spark, s"ivf_rt_live_$run", e,
+      numCentroids = 2, iters = 1, quantScale = 1000000.0)
+    val br = idx0.branch()
+      .append((100L until 104L).map(i => (i, oneHot((i % 4).toInt))).toDF("vec_id", "v"))
+    assert(br.assigned.count() == 12, "live branch answers before the rotation")
+    val idx1 = idx0.retrain(iters = 1, quantScale = 1000000.0)
+    try {
+      val ex = intercept[IllegalStateException](br.assigned.count())
+      assert(ex.getMessage.contains("stale IvfIndex handle"),
+        s"draining an old branch mid-rotation must fail fast, got: ${ex.getMessage}")
+      br.drop() // the dead branch's delta tables still clean up
+      val br2 = idx1.branch()
+      assert(br2.assigned.count() == 8, "re-branching from the returned handle serves on")
+      br2.drop()
+    } finally idx1.drop()
+  }
 }

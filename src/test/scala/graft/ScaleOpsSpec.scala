@@ -73,4 +73,53 @@ class ScaleOpsSpec extends SparkSuite {
     assert(rows(ScaleOps.seqPack(spark, d, cfg16)) ==
       rows(TrainPrep.seqPack(spark, d, shards = 4)))
   }
+
+  test("ivf_pair_bucket reaches the mid-tier pair route's centroid sizing") {
+    import graft.queries.Ann
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val n = Tables.embeddings(spark, d).count() // 500 on sf0.001
+    // Default (0) = the √n rule (= 22 centroids here, NOT the gate's
+    // fixed 16 — the gate stays the oracle point, this is the scale
+    // entry): cfg-wired ≡ directly parameterized at √n.
+    val dflt = Config.fromToml(Map.empty, java.nio.file.Paths.get("."))
+    assert(dflt.scale.ivfPairBucket == 0)
+    val sqrtN = math.max(16, math.round(math.sqrt(n.toDouble)).toInt)
+    assert(rows(ScaleOps.embedNearDupIvf(spark, d, dflt)) ==
+      rows(Ann.embedPairsIvfAt(spark, d, sqrtN, probe = 2)),
+      "default sizing ≡ the √n rule")
+    // bucket = 25 → centroids = max(16, 500/25) = 20 ≠ 16 ≠ 22: the
+    // cfg-wired call must equal the directly parameterized call.
+    val root = Files.createTempDirectory("graft_scale_ivfpair")
+    Files.writeString(root.resolve(Config.ConfigFilename),
+      "[scale]\nivf_pair_bucket = 25\n")
+    val cfg2 = Config.load(root)
+    assert(cfg2.scale.ivfPairBucket == 25)
+    assert(rows(ScaleOps.embedNearDupIvf(spark, d, cfg2)) ==
+      rows(Ann.embedPairsIvfAt(spark, d, numCentroids = 20, probe = 2)),
+      "configured flat-bucket sizing must reach the index build")
+  }
+
+  test("sq8_cands reaches the SQ8 rerank pool") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSeq
+    // Default pool (50) ≡ the gate entry.
+    val dflt = Config.fromToml(Map.empty, java.nio.file.Paths.get("."))
+    assert(dflt.scale.sq8Cands == 50)
+    assert(rows(ScaleOps.annSq8(spark, d, dflt)) ==
+      rows(SparkEntry.queries("ann_sq8")(spark, d)),
+      "cfg-wired call at the default pool ≡ the gate query")
+    // A pool of 1 leaves at most ONE candidate per query for the
+    // rerank — a knob that silently stayed at 50 would still return
+    // 10 ranked rows per query.
+    val root = Files.createTempDirectory("graft_scale_sq8")
+    Files.writeString(root.resolve(Config.ConfigFilename),
+      "[scale]\nsq8_cands = 1\n")
+    val cfg1 = Config.load(root)
+    assert(cfg1.scale.sq8Cands == 1)
+    val perQuery = ScaleOps.annSq8(spark, d, cfg1)
+      .groupBy("query_id").count().collect().map(_.getLong(1)).toSeq
+    assert(perQuery.nonEmpty && perQuery.forall(_ == 1L),
+      s"pool=1 must cap the rerank pool at one candidate per query, got $perQuery")
+  }
 }

@@ -42,11 +42,36 @@ class Sq8Spec extends SparkSuite {
     }
   }
 
-  test("composed ann_ivf_sq8: bucket-pruned scan, K ranked rows per query, candidates from probed buckets only") {
-    val df = SparkEntry.queries("ann_ivf_sq8")(spark, d)
-    val plan = df.queryExecution.executedPlan.toString
+  test("stage 1 reads ONLY the persisted code column — no scan in the candidate plan touches v") {
+    // r12 VERDICT #2: the int8 codes are PERSISTED in the IVF vector
+    // table (derived once at build/append/retrain), so the serving
+    // fleet's hot path never scans float vectors. The query frame is
+    // checkpointed, so the candidate plan's only file scan is the
+    // corpus code read — pin that it reads the stored tinyint codes
+    // and never the float column.
+    val cands = graft.queries.Ann.sq8CandStageFor(spark, d, 50,
+      prune = false, queryPred = col("vec_id") >= 10 && col("vec_id") < 15)
+    val plan = cands.queryExecution.executedPlan.toString
+    assert(plan.contains("c:array<tinyint>"),
+      s"stage 1 must read the persisted tinyint code column:\n$plan")
+    assert(!plan.contains("v:array<double>"),
+      s"stage 1 must never read the float vector column:\n$plan")
+  }
+
+  test("composed ann_ivf_sq8 stage 1: bucket-pruned AND code-only scan") {
+    val cands = graft.queries.Ann.sq8CandStageFor(spark, d, 50,
+      prune = true, queryPred = col("vec_id") >= 15 && col("vec_id") < 20)
+    val plan = cands.queryExecution.executedPlan.toString
     assert(plan.contains("SelectedBucketsCount"),
       s"the quantized rank must scan only the probed IVF buckets:\n$plan")
+    assert(plan.contains("c:array<tinyint>"),
+      s"stage 1 must read the persisted tinyint code column:\n$plan")
+    assert(!plan.contains("v:array<double>"),
+      s"stage 1 must never read the float vector column:\n$plan")
+  }
+
+  test("composed ann_ivf_sq8: K ranked rows per query, cosines non-increasing") {
+    val df = SparkEntry.queries("ann_ivf_sq8")(spark, d)
     val rows = df.collect()
     val byQ = rows.groupBy(_.getLong(0))
     assert(byQ.size == 5)
