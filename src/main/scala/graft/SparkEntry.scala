@@ -51,9 +51,15 @@ object SparkEntry {
     if (names("d_embed_incr_indexed") || names("pipe_incr_clean_embed") ||
         names("pipe_incr_evolve_embed"))
       graft.queries.Dedup.embedIndex(spark, sfDir)
-    if (names("pipe_incr_evolve_serve")) {
+    if (names("pipe_incr_evolve_serve") || names("pipe_incr_clean_serve")) {
       graft.queries.EvolveServe.servePostings(spark, sfDir)
       graft.queries.EvolveServe.serveIvf(spark, sfDir)
+    }
+    if (names("pipe_incr_clean_serve")) {
+      // The composed closure also branches all three cleaning indexes.
+      graft.queries.Dedup.incrIndex(spark, sfDir)
+      graft.queries.Dedup.digestIndex(spark, sfDir)
+      graft.queries.Dedup.embedIndex(spark, sfDir)
     }
     ()
   }

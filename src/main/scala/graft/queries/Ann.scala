@@ -530,14 +530,16 @@ object Ann {
     * c{t-1} (same ROW_NUMBER tie-break as the Spark window), sum the
     * integer-quantized components per (cid, dim) — exact, order-
     * independent — then de-quantize the mean and L2-normalize with the
-    * shared left-to-right fold. Mirrors the Spark loop bit-for-bit. */
-  private[queries] def kmeansIterCte(t: Int): String = {
+    * shared left-to-right fold. Mirrors the Spark loop bit-for-bit.
+    * `src` = the training-corpus CTE (default `e`; the clean+serve
+    * oracle trains on its cohort CTE while `e` holds ALL vectors). */
+  private[queries] def kmeansIterCte(t: Int, src: String = "e"): String = {
     val prev = s"c${t - 1}"
     s"""a$t AS (SELECT vec_id, v, cid FROM (
        |    SELECT e.vec_id, e.v, c.cid,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |                         ORDER BY ${dotSql("e.v", "c.cv")} DESC, c.cid) AS rn
-       |    FROM e CROSS JOIN $prev c) WHERE rn = 1),
+       |    FROM $src AS e CROSS JOIN $prev c) WHERE rn = 1),
        |s$t AS (SELECT cid, i AS dim,
        |          SUM(CAST(floor(v[i] * 1000000.0 + 0.5) AS BIGINT)) AS sq,
        |          COUNT(*) AS n
@@ -636,7 +638,7 @@ object Ann {
     "ann_ivf_sq8" ->
       s"""WITH $normCte,
          |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $NumCentroids),
-         |${(1 to KMeansIters).map(kmeansIterCte).mkString(",\n")},
+         |${(1 to KMeansIters).map(t => kmeansIterCte(t)).mkString(",\n")},
          |c AS (SELECT cid, cv FROM c$KMeansIters),
          |q AS (SELECT vec_id AS query_id, v AS qv,
          |        list_transform(v, x -> floor(x * $Sq8Scale + 0.5)) AS qc
@@ -679,7 +681,7 @@ object Ann {
     "d_embed_neardup_ivf" ->
       s"""WITH $normCte,
          |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $NumCentroids),
-         |${(1 to KMeansIters).map(kmeansIterCte).mkString(",\n")},
+         |${(1 to KMeansIters).map(t => kmeansIterCte(t)).mkString(",\n")},
          |c AS (SELECT cid, cv FROM c$KMeansIters),
          |multi AS (SELECT vec_id, cid FROM (
          |    SELECT e.vec_id, c.cid,
@@ -707,7 +709,7 @@ object Ann {
     "ann_ivf_fitstats" ->
       s"""WITH $normCte,
          |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $NumCentroids),
-         |${(1 to KMeansIters).map(kmeansIterCte).mkString(",\n")},
+         |${(1 to KMeansIters).map(t => kmeansIterCte(t)).mkString(",\n")},
          |c AS (SELECT cid, cv FROM c$KMeansIters),
          |assigned AS (
          |  SELECT vec_id, v, cid FROM (
@@ -732,7 +734,7 @@ object Ann {
   private def ivfOracle(queryPred: String): String =
       s"""WITH $normCte,
          |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $NumCentroids),
-         |${(1 to KMeansIters).map(kmeansIterCte).mkString(",\n")},
+         |${(1 to KMeansIters).map(t => kmeansIterCte(t)).mkString(",\n")},
          |c AS (SELECT cid, cv FROM c$KMeansIters),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE $queryPred),
          |assigned AS (

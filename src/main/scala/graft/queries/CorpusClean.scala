@@ -523,6 +523,25 @@ object CorpusClean {
     * in idx{b} — so a kept earlier-batch doc's vector is matchable and
     * a rejected one's is not, mirroring the accepted-only appends. */
   private def evolveOracle(k: Int, withEmbed: Boolean = false): String = {
+    val unioned = (0 until k).map(b => s"SELECT * FROM led$b").mkString("\n  UNION ALL ")
+    val embOutCols = if (!withEmbed) "" else "emb_dup_of, emb_cosine, "
+    s"""WITH ${evolveChainCtes(k, withEmbed)}
+       |SELECT doc_id, batch, round(quality_score, 9) AS quality_score,
+       |  dup_of, jaccard, ${embOutCols}reason, reason = 'kept' AS keep
+       |FROM ($unioned)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** The K-batch evolving closure's CTE BODY alone (everything through
+    * `led{b}` / `idx{b+1}`, no final SELECT) — shared by
+    * [[evolveOracle]] and [[EvolveServe]]'s clean+serve oracle, which
+    * composes per-batch BM25/ANN rebuild answers over the SAME idx{b}
+    * kept-set closure (so acceptance gating is value-checked end to
+    * end, not re-derived). CTE names in here: tok/sh/cnt/ov/j/jp,
+    * e0/e/eu/ejc/ejp0/ejpairs (withEmbed), dig/delta/q/lg, idx{0..k},
+    * ex{b}/best{b}/ebest{b}/led{b} — composers must avoid them (`e` =
+    * ALL normalized vectors is there to be REUSED). */
+  private[queries] def evolveChainCtes(k: Int, withEmbed: Boolean = false): String = {
     val qualityCte =
       """q AS (SELECT doc_id,
         |        least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0) * 0.4
@@ -578,10 +597,8 @@ object CorpusClean {
          |idx${b + 1} AS (SELECT doc_id FROM idx$b UNION ALL
          |  SELECT doc_id FROM led$b WHERE reason = 'kept')""".stripMargin
     }
-    val unioned = (0 until k).map(b => s"SELECT * FROM led$b").mkString("\n  UNION ALL ")
     val embPairCtes = if (!withEmbed) "" else s"${Dedup.embedEvolvePairCtes},\n"
-    val embOutCols = if (!withEmbed) "" else "emb_dup_of, emb_cosine, "
-    s"""WITH ${Dedup.jaccardCtes},
+    s"""${Dedup.jaccardCtes},
        |jp AS (SELECT doc_a AS x, doc_b AS y, jaccard FROM j
        |       UNION ALL SELECT doc_b, doc_a, jaccard FROM j),
        |${embPairCtes}dig AS (SELECT doc_id,
@@ -591,10 +608,6 @@ object CorpusClean {
        |          FROM documents WHERE doc_id % 10 = 0),
        |$qualityCte,
        |idx0 AS (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0),
-       |${blocks.mkString(",\n")}
-       |SELECT doc_id, batch, round(quality_score, 9) AS quality_score,
-       |  dup_of, jaccard, ${embOutCols}reason, reason = 'kept' AS keep
-       |FROM ($unioned)
-       |ORDER BY doc_id""".stripMargin
+       |${blocks.mkString(",\n")}""".stripMargin
   }
 }

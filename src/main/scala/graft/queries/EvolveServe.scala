@@ -50,10 +50,16 @@ object EvolveServe {
   /** ANN query cohort: corpus members stable across batches (vec_id 0
     * is a delta id — excluded so queries exist from batch 0). */
   private val AnnQueryPred = "vec_id >= 1 AND vec_id < 5"
+  /** The clean+serve gate's own ANN cohort (corpus members too; kept
+    * disjoint from [[AnnQueryPred]] so the two gates share no query
+    * geometry — the per-ANN-gate cohort discipline). */
+  private[graft] val CleanServeAnnPred = "vec_id >= 11 AND vec_id < 15"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_incr_evolve_serve" -> ((s, d) =>
-      evolveServe(s, d, CorpusClean.EvolveBatches))
+      evolveServe(s, d, CorpusClean.EvolveBatches)),
+    "pipe_incr_clean_serve" -> ((s, d) =>
+      cleanServe(s, d, CorpusClean.EvolveBatches))
   )
 
   /** Corpus-cohort postings index (build-or-reuse; the
@@ -88,7 +94,7 @@ object EvolveServe {
     * split out so EvolveServeSpec can replay it against fresh
     * rebuilds of the accumulated corpus. Unsorted. */
   private[graft] def serveAnswers(b: Int, po: PostingsIndex,
-      iv: IvfIndex.Index): DataFrame = {
+      iv: IvfIndex.Index, annPred: String = AnnQueryPred): DataFrame = {
     val topBm = po.score(QueryTerms)
       .select(col("doc").as("doc_id"), round(col("score"), 9).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
@@ -98,7 +104,7 @@ object EvolveServe {
         row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
       .select(lit(b.toLong).as("batch"), lit("bm25").as("kind"),
         lit(-1L).as("qid"), col("doc_id"), col("score"), col("rank"))
-    val ann = Ann.ivfTopK(iv, expr(AnnQueryPred))
+    val ann = Ann.ivfTopK(iv, expr(annPred))
       .select(lit(b.toLong).as("batch"), lit("ann").as("kind"),
         col("query_id").as("qid"), col("vec_id").as("doc_id"),
         col("cosine").as("score"), col("rank"))
@@ -157,10 +163,94 @@ object EvolveServe {
     } finally { po.drop(); iv.drop() }
   }
 
+  /** The FULL standing pipeline — cleaning composed into serving (r12
+    * VERDICT #3; `pipe_incr_evolve_serve` appends RAW deltas,
+    * `pipe_incr_evolve_embed` cleans but never serves — this closes
+    * the loop): per ordered batch,
+    *
+    *   1. the 5-stage cleaning ledger ([[CorpusClean.incrLedger]],
+    *      digest → minhash → embed → quality → language) runs on
+    *      zero-copy branches of the session's shared cleaning indexes;
+    *   2. ONLY the batch's ACCEPTED docs append to the cleaning
+    *      branches (the evolve contract) AND to the serving
+    *      [[PostingsIndex]] branch; only accepted docs' VECTORS append
+    *      to the embed-cleaning branch AND the serving [[IvfIndex]]
+    *      branch;
+    *   3. the serving branches answer the fixed BM25 + ANN top-k.
+    *
+    * So a rejected document is NEVER retrievable — acceptance gates
+    * the serving tier (spec-pinned: a planted dup absent from every
+    * batch's answers), BM25 statistics merge over kept-only corpora,
+    * and the ANN buckets hold kept-only vectors under frozen
+    * centroids. Output = the serve-answer rows only (the ledger
+    * itself is the already-gated `pipe_incr_evolve_embed` shape); the
+    * oracle composes the evolve closure's chained kept-set CTEs with
+    * per-batch from-scratch BM25/ANN rebuilds over idx{b+1}. Five
+    * branches run per invocation; every probe/append is delta-sized.
+    */
+  private[queries] def cleanServe(s: SparkSession, d: String, k: Int): DataFrame = {
+    require(k >= 1, s"need at least one batch (got $k)")
+    DotProduct.register(s)
+    val docs = Tables.documents(s, d)
+    val isDelta = pmod(col("doc_id"), lit(10)) === 0
+    // Shared bases resolved BEFORE the sweep baseline (the evolveServe
+    // ordering — first-call builds keep live checkpoint state).
+    val mhBase = Dedup.incrIndex(s, d)
+    val dgBase = Dedup.digestIndex(s, d)
+    val emBase = Dedup.embedIndex(s, d)
+    val poBase = servePostings(s, d)
+    val ivBase = serveIvf(s, d)
+    val checkpointBaseline = s.sparkContext.getPersistentRDDs.keySet
+    val mh = mhBase.branch()
+    val dg = dgBase.branch()
+    val em = emBase.branch()
+    var po = poBase.branch()
+    val iv = ivBase.branch()
+    try {
+      val parts = (0 until k).map { b =>
+        val inBatch = isDelta && pmod(col("doc_id"), lit(10L * k)) === lit(10L * b)
+        val batch = docs.filter(inBatch)
+        val batchVecs = Tables.embeddings(s, d)
+          .filter(pmod(col("vec_id"), lit(10)) === 0 &&
+            pmod(col("vec_id"), lit(10L * k)) === lit(10L * b))
+          .select(col("vec_id"), col("embedding"))
+        // Eager: the ledger must see exactly batches < b's survivors —
+        // the appends below mutate the branch views it reads.
+        val ledger = CorpusClean.incrLedger(s, batch, dg, mh, Some((em, batchVecs)))
+          .localCheckpoint()
+        val acceptedIds = ledger.filter(col("keep")).select(col("doc_id"))
+        val accepted = batch.join(acceptedIds, "doc_id")
+          .select(col("doc_id"), col("text"))
+        val acceptedVecs = batchVecs
+          .join(acceptedIds.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+        mh.append(accepted)
+        dg.append(accepted)
+        em.append(acceptedVecs)
+        po = po.append(accepted, "doc_id", "text")
+        iv.append(acceptedVecs
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v0"))
+          .withColumn("nrm", sqrt(VectorOps.norm2(col("v0"))))
+          .select(col("vec_id"), transform(col("v0"), x => x / col("nrm")).as("v")))
+        serveAnswers(b, po, iv, CleanServeAnnPred).localCheckpoint()
+      }
+      // Manual keep-set sweep — single-flight contract (see evolveServe).
+      val keep = parts.flatMap(_.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+      }).toSet
+      s.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!checkpointBaseline.contains(id) && !keep.contains(id))
+          rdd.unpersist(blocking = false)
+      }
+      parts.reduce(_ union _)
+        .orderBy(col("batch"), col("kind"), col("qid"), col("rank"))
+    } finally { po.drop(); iv.drop(); mh.drop(); dg.drop(); em.drop() }
+  }
+
   private def termsSqlList = QueryTerms.map("'" + _ + "'").mkString(",")
 
   def oracles: Map[String, String] = Map(
-    "pipe_incr_evolve_serve" -> serveOracle(CorpusClean.EvolveBatches)
+    "pipe_incr_evolve_serve" -> serveOracle(CorpusClean.EvolveBatches),
+    "pipe_incr_clean_serve" -> cleanServeOracle(CorpusClean.EvolveBatches)
   )
 
   /** Per batch b, the oracle recomputes BOTH serving paths from
@@ -183,7 +273,7 @@ object EvolveServe {
         |e AS (SELECT vec_id, v FROM en WHERE vec_id % 10 <> 0)""".stripMargin
     val ivfShared =
       s"""c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $NumCentroids),
-         |${(1 to KMeansIters).map(Ann.kmeansIterCte).mkString(",\n")},
+         |${(1 to KMeansIters).map(t => Ann.kmeansIterCte(t)).mkString(",\n")},
          |c AS (SELECT cid, cv FROM c$KMeansIters),
          |acorp AS (SELECT vec_id, v, cid FROM (
          |    SELECT e.vec_id, e.v, c.cid,
@@ -243,6 +333,88 @@ object EvolveServe {
       .map(b => s"SELECT * FROM bm$b UNION ALL SELECT * FROM ann$b")
       .mkString("\n  UNION ALL ")
     s"""WITH $norm,
+       |$ivfShared,
+       |${perBatch.mkString(",\n")}
+       |SELECT batch, kind, qid, doc_id, score, rank FROM ($unioned)
+       |ORDER BY batch, kind, qid, rank""".stripMargin
+  }
+
+  /** The clean+serve oracle: [[CorpusClean.evolveChainCtes]]'s
+    * kept-set closure (idx{b+1} = corpus ∪ kept delta docs of batches
+    * ≤ b, with the FULL 5-stage ledger semantics incl. the embed
+    * tier), composed with per-batch from-scratch serving rebuilds —
+    * BM25 statistics over exactly the docs in idx{b+1}, and ANN over
+    * the cohort-trained centroids with frozen-assignment delta vectors
+    * RESTRICTED to idx{b+1} (a rejected doc's vector is simply absent
+    * from vis{b}). The chain's `e` CTE (ALL normalized vectors) is
+    * reused; training runs on the cohort CTE `vcorp` via
+    * [[Ann.kmeansIterCte]]'s src parameter. */
+  private def cleanServeOracle(k: Int): String = {
+    val dot = Ann.dotSql _
+    val ivfShared =
+      s"""vcorp AS (SELECT vec_id, v FROM e WHERE vec_id % 10 <> 0),
+         |c0 AS (SELECT vec_id AS cid, v AS cv FROM vcorp WHERE vec_id < $NumCentroids),
+         |${(1 to KMeansIters).map(t => Ann.kmeansIterCte(t, "vcorp")).mkString(",\n")},
+         |c AS (SELECT cid, cv FROM c$KMeansIters),
+         |acorp AS (SELECT vec_id, v, cid FROM (
+         |    SELECT x.vec_id, x.v, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+         |                         ORDER BY ${dot("x.v", "c.cv")} DESC, c.cid) AS rn
+         |    FROM vcorp x CROSS JOIN c) WHERE rn = 1),
+         |adelta AS (SELECT vec_id, v, cid FROM (
+         |    SELECT x.vec_id, x.v, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+         |                         ORDER BY ${dot("x.v", "c.cv")} DESC, c.cid) AS rn
+         |    FROM e x CROSS JOIN c WHERE x.vec_id % 10 = 0) WHERE rn = 1),
+         |aq AS (SELECT vec_id AS query_id, v AS qv FROM vcorp WHERE $CleanServeAnnPred),
+         |probes AS (SELECT query_id, qv, cid FROM (
+         |    SELECT aq.query_id, aq.qv, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY aq.query_id
+         |                         ORDER BY ${dot("aq.qv", "c.cv")} DESC, c.cid) AS rn
+         |    FROM aq CROSS JOIN c) WHERE rn <= 4),
+         |qt AS (SELECT unnest([$termsSqlList]) AS term)""".stripMargin
+    val perBatch = (0 until k).map { b =>
+      s"""vis$b AS (SELECT a.vec_id, a.v, a.cid
+         |  FROM (SELECT * FROM acorp UNION ALL SELECT * FROM adelta) a
+         |  JOIN idx${b + 1} i ON a.vec_id = i.doc_id),
+         |scored$b AS (SELECT p.query_id, x.vec_id, ${dot("p.qv", "x.v")} AS cosine
+         |  FROM vis$b x JOIN probes p USING (cid) WHERE x.vec_id <> p.query_id),
+         |annr$b AS (SELECT query_id, vec_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |                       ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM scored$b),
+         |ann$b AS (SELECT CAST($b AS BIGINT) AS batch, 'ann' AS kind,
+         |    query_id AS qid, vec_id AS doc_id, cosine AS score, rank
+         |  FROM annr$b WHERE rank <= $TopK),
+         |docs$b AS (SELECT d.doc_id, d.text FROM documents d
+         |  JOIN idx${b + 1} i ON d.doc_id = i.doc_id),
+         |stok$b AS (SELECT doc_id, len(string_split(text,' ')) AS doclen,
+         |               unnest(string_split(text,' ')) AS term FROM docs$b),
+         |post$b AS (SELECT doc_id, doclen, term, COUNT(*) AS tf FROM stok$b GROUP BY 1, 2, 3),
+         |nn$b AS (SELECT COUNT(DISTINCT doc_id) AS n FROM post$b),
+         |ad$b AS (SELECT AVG(doclen) AS avgdl FROM (SELECT DISTINCT doc_id, doclen FROM post$b)),
+         |dft$b AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM post$b GROUP BY term),
+         |pt$b AS (SELECT p.doc_id, p.term,
+         |         ln(1.0 + (nn$b.n - dft$b.df + 0.5) / (dft$b.df + 0.5))
+         |           * (p.tf / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.doclen / ad$b.avgdl))) AS s
+         |       FROM post$b p JOIN qt USING (term) JOIN dft$b USING (term)
+         |       CROSS JOIN nn$b CROSS JOIN ad$b),
+         |sc$b AS (SELECT doc_id,
+         |         list_reduce(list_prepend(0.0::DOUBLE,
+         |           list_transform(list_sort(list(struct_pack(term := term, s := s))),
+         |                          x -> x.s)), (a, b) -> a + b) AS score
+         |       FROM pt$b GROUP BY doc_id),
+         |bmr$b AS (SELECT doc_id, round(score, 9) AS score,
+         |    ROW_NUMBER() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank
+         |  FROM sc$b),
+         |bm$b AS (SELECT CAST($b AS BIGINT) AS batch, 'bm25' AS kind,
+         |    CAST(-1 AS BIGINT) AS qid, doc_id, score, rank
+         |  FROM bmr$b WHERE rank <= $TopK)""".stripMargin
+    }
+    val unioned = (0 until k)
+      .map(b => s"SELECT * FROM bm$b UNION ALL SELECT * FROM ann$b")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${CorpusClean.evolveChainCtes(k, withEmbed = true)},
        |$ivfShared,
        |${perBatch.mkString(",\n")}
        |SELECT batch, kind, qid, doc_id, score, rank FROM ($unioned)
