@@ -79,6 +79,36 @@ object ScaleOps {
       prune: Boolean = false): DataFrame =
     Ann.sq8TopKFor(s, d, cfg.scale.sq8Cands, prune)
 
+  /** The embed-stage cleaning ledger WITH the mid-tier discovery feed
+    * (r12 VERDICT optional #8): the IVF pair route's 0.45–0.7 matches
+    * — the tier sign-LSH physically cannot band, which the ledger
+    * therefore never ACTS on — surfaced as REPORT-ONLY columns
+    * (`mid_dup_of`, `mid_cosine` = the best below-acting-tier
+    * geometric match for each delta doc). Verdicts and `keep` are
+    * bit-identical to [[incrCleanEmbed]] (ScaleOpsSpec pins it): the
+    * feed gives a data-governance review the candidates a human (or a
+    * stronger verifier) might act on, without moving the measured
+    * acting contract. */
+  def incrCleanEmbedDiscover(s: SparkSession, d: String,
+      cfg: EngineConfig): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val pairs = embedNearDupIvf(s, d, cfg)
+    val sym = pairs
+      .select(col("vec_a").as("doc_id"), col("vec_b").as("mid_dup_of"), col("cosine"))
+      .unionByName(pairs
+        .select(col("vec_b").as("doc_id"), col("vec_a").as("mid_dup_of"), col("cosine")))
+      .filter(pmod(col("doc_id"), lit(10)) === 0 &&
+        col("cosine") < lit(cfg.scale.embedActCos))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("cosine").desc, col("mid_dup_of"))
+    val best = sym.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("mid_dup_of"), col("cosine").as("mid_cosine"))
+    incrCleanEmbed(s, d, cfg)
+      .join(best, Seq("doc_id"), "left")
+      .orderBy(col("doc_id"))
+  }
+
   /** IVF-assisted mid-tier embedding pair DISCOVERY at the configured
     * centroid sizing (`[scale] ivf_pair_bucket`): centroids =
     * max(16, n / bucket) — the FLAT-BUCKET rule the EmbedIvfRecall

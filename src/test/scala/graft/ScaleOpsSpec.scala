@@ -100,6 +100,21 @@ class ScaleOpsSpec extends SparkSuite {
       "configured flat-bucket sizing must reach the index build")
   }
 
+  test("the mid-tier discovery feed never changes verdicts and never crosses the acting tier") {
+    import org.apache.spark.sql.functions.col
+    val cfg = Config.fromToml(Map.empty, java.nio.file.Paths.get("."))
+    val base = ScaleOps.incrCleanEmbed(spark, d, cfg)
+    val fed = ScaleOps.incrCleanEmbedDiscover(spark, d, cfg)
+    // Report-only: the ledger columns are bit-identical with the feed on.
+    assert(fed.select(base.columns.map(col): _*).collect().toSeq ==
+      base.collect().toSeq,
+      "the discovery feed must not move any verdict or score")
+    // And every surfaced match sits strictly below the acting tier.
+    assert(fed.filter(col("mid_cosine").isNotNull &&
+        col("mid_cosine") >= cfg.scale.embedActCos).count() == 0,
+      "discovery rows must stay below embed_act_cos")
+  }
+
   test("sq8_cands reaches the SQ8 rerank pool") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSeq
