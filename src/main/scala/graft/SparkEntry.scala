@@ -39,7 +39,7 @@ object SparkEntry {
       graft.search.PostingsIndex.forDocuments(spark, sfDir)
     if (names("ann_ivf") || names("ann_bruteforce") || names("ann_lsh") ||
         names("ann_ivf_fitstats") || names("ann_sq8") || names("ann_ivf_sq8") ||
-        names("d_embed_neardup_ivf"))
+        names("d_embed_neardup_ivf") || names("ann_pq"))
       graft.queries.Ann.prebuildIndex(spark, sfDir)
     if (names("d_incr_indexed") || names("pipe_incr_clean") || names("st_incr_neardup") ||
         names("pipe_incr_evolve") || // evolve branches the shared indexes (r9 VERDICT #4)
@@ -84,7 +84,8 @@ object SparkEntry {
     }))
     base ++ graft.queries.Relational.queries ++ graft.queries.Graph.queries ++
       graft.queries.TextAnalysis.queries ++ graft.queries.Dedup.queries ++
-      graft.queries.Ann.queries ++ graft.queries.SearchQ.queries ++
+      graft.queries.Ann.queries ++ graft.queries.AnnPq.queries ++
+      graft.queries.SearchQ.queries ++
       graft.queries.StreamQ.queries ++ graft.queries.Relational2.queries ++ graft.queries.TpchQ.queries ++ graft.queries.TpchQ2.queries ++ graft.queries.TrainPrep.queries ++ graft.queries.CorpusClean.queries ++ graft.queries.EvolveServe.queries
   }
 
@@ -103,6 +104,7 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin
   ) ++ graft.queries.Relational.oracles ++ graft.queries.Graph.oracles ++
     graft.queries.TextAnalysis.oracles ++ graft.queries.Dedup.oracles ++
-    graft.queries.Ann.oracles ++ graft.queries.SearchQ.oracles ++
+    graft.queries.Ann.oracles ++ graft.queries.AnnPq.oracles ++
+    graft.queries.SearchQ.oracles ++
     graft.queries.StreamQ.oracles ++ graft.queries.Relational2.oracles ++ graft.queries.TpchQ.oracles ++ graft.queries.TpchQ2.oracles ++ graft.queries.TrainPrep.oracles ++ graft.queries.CorpusClean.oracles ++ graft.queries.EvolveServe.oracles
 }

@@ -121,6 +121,45 @@ object Relational2 {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // As-of join (event attribution): each purchase matched to the
+    // user's most recent STRICTLY-earlier click — the time-series join
+    // Spark has no native operator for. Expressed as the single-shuffle
+    // UNION trick instead of a range join: tag both sides, sort each
+    // user's merged stream once (purchases sort BEFORE clicks at equal
+    // ts, which is exactly the strict < semantics), and carry the last
+    // click forward with last(ignoreNulls) over the running frame. At
+    // scale this is ONE hash partition by user + one sort — no
+    // per-pair range explosion (a naive range join is O(clicks ×
+    // purchases) per user), no broadcast requirement, and skew is
+    // bounded by a single user's event count. Epoch-seconds output
+    // (the a10/st_ house rule: raw timestamp columns don't round-trip
+    // encodings portably; `CAST AS LONG` ≡ DuckDB floor(epoch())).
+    "j_asof_attrib" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          when(col("event_type") === "purchase", lit(0)).otherwise(lit(1)).as("side"),
+          when(col("event_type") === "click", col("event_id")).as("c_id"),
+          when(col("event_type") === "click", col("ts")).as("c_ts"),
+          when(col("event_type") === "click", col("value")).as("c_value"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("side"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.select(col("event_id"), col("user_id"), col("ts"), col("value"), col("side"),
+          last(col("c_id"), ignoreNulls = true).over(w).as("click_id"),
+          last(col("c_ts"), ignoreNulls = true).over(w).as("click_ts"),
+          last(col("c_value"), ignoreNulls = true).over(w).as("click_value"))
+        .filter(col("side") === 0)
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").cast("long").as("purchase_ts_s"),
+          col("value").as("purchase_value"),
+          col("click_id"),
+          col("click_ts").cast("long").as("click_ts_s"),
+          (col("ts").cast("long") - col("click_ts").cast("long")).as("gap_s"),
+          (col("value") - col("click_value")).as("value_delta"))
+        .orderBy(col("purchase_id"))
+    }),
+
     // PIVOT: order counts status × priority — Spark's dedicated
     // RelationalGroupedDataset.pivot with a pinned value list (required
     // at scale anyway: an unpinned pivot runs an extra distinct scan).
@@ -322,6 +361,30 @@ object Relational2 {
         |FROM orders WHERE o_custkey < 200
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "j_asof_attrib" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, ts, value,
+        |    CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS side,
+        |    CASE WHEN event_type = 'click' THEN event_id END AS c_id,
+        |    CASE WHEN event_type = 'click' THEN ts END AS c_ts,
+        |    CASE WHEN event_type = 'click' THEN value END AS c_value
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |f AS (
+        |  SELECT event_id, user_id, ts, value, side,
+        |    LAST_VALUE(c_id IGNORE NULLS) OVER w AS click_id,
+        |    LAST_VALUE(c_ts IGNORE NULLS) OVER w AS click_ts,
+        |    LAST_VALUE(c_value IGNORE NULLS) OVER w AS click_value
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id AS purchase_id, user_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS purchase_ts_s,
+        |  value AS purchase_value,
+        |  click_id,
+        |  CAST(floor(epoch(click_ts)) AS BIGINT) AS click_ts_s,
+        |  CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(click_ts)) AS BIGINT) AS gap_s,
+        |  value - click_value AS value_delta
+        |FROM f WHERE side = 0 ORDER BY purchase_id""".stripMargin,
     "a_pivot" ->
       """SELECT o_orderstatus,
         |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1,

@@ -34,9 +34,15 @@ class PlanSpec extends SparkSuite {
       assert(p.contains("graft_ivf"),
         s"$q must scan the persisted IVF vector table:\n$p")
       // ann_ivf keeps its intentional tiny probes checkpoint (queries ×
-      // nprobe rows); the two fixed paths must carry no RDD scan at all.
-      if (q != "ann_ivf") assert(!p.contains("Scan ExistingRDD"),
-        s"$q must not rebuild a checkpointed normalization frame:\n$p")
+      // nprobe rows), and ann_sq8 — since the codes were PERSISTED
+      // (round 13) — its queries×pool candidate checkpoint (collected
+      // for the rerank IN list; checkpointing stops stage 1 from
+      // computing twice). The two fixed paths must carry no RDD scan:
+      // an ExistingRDD there means a corpus-sized normalization frame
+      // was rebuilt, the exact r8 regression this test pins.
+      if (q == "ann_bruteforce" || q == "ann_lsh")
+        assert(!p.contains("Scan ExistingRDD"),
+          s"$q must not rebuild a checkpointed normalization frame:\n$p")
     }
   }
 
