@@ -33,8 +33,8 @@ object Ann {
 
   private val K = 10
   private val NumQueries = 5 // query set: vec_id < 5
-  private val NumCentroids = 16 // centroid seed set: vec_id < 16
-  private val NProbe = 4
+  private[queries] val NumCentroids = 16 // centroid seed set: vec_id < 16
+  private[queries] val NProbe = 4
   private val SignBits = 8 // sign-LSH bucket bits (ann_lsh)
   // SQ8 (ann_sq8): int8 code scale (the persisted-code constant, see
   // IvfIndex.Sq8Scale) and the gate-pinned candidate pool width — 50
@@ -43,7 +43,7 @@ object Ann {
   // recall-vs-pool trade is measured by [[graft.Sq8PoolSweep]].
   private val Sq8Scale = IvfIndex.Sq8Scale
   private[queries] val Sq8Cands = 50
-  private val KMeansIters = 2 // Lloyd iterations from the seed centroids
+  private[queries] val KMeansIters = 2 // Lloyd iterations from the seed centroids
   private val QuantScale = 1000000.0 // integer-quantization scale for means
   // Top-P centroid multi-assignment width for the IVF-assisted pair
   // route (d_embed_neardup_ivf): candidates are pairs sharing ANY of
@@ -71,9 +71,19 @@ object Ann {
     * a measured round can never pay the train+assign cost. */
   def prebuildIndex(s: SparkSession, d: String): Unit = {
     DotProduct.register(s)
-    IvfIndex.of(s, d, vecs(s, d), NumCentroids, KMeansIters, QuantScale)
+    corpusIdx(s, d)
     ()
   }
+
+
+  /** The ONE corpus-shared IVF index every fixed ANN gate rides —
+    * built with `pq = true`, so the table also persists the PQ code
+    * column `pc` and the handle carries the codebooks ([[PqCodec]];
+    * `ann_pq` serves off the stored codes). Per-invocation `fresh()`
+    * pipelines stay pq-free — their closures never read PQ codes. */
+  private[graft] def corpusIdx(s: SparkSession, d: String): IvfIndex.Index =
+    IvfIndex.of(s, d, vecs(s, d), NumCentroids, KMeansIters, QuantScale,
+      pq = true)
 
   /** Normalized vectors read back from the PERSISTED IVF index table —
     * the shared corpus frame for ALL three ANN paths (r8 VERDICT #4):
@@ -86,7 +96,7 @@ object Ann {
     * corpus builds the index (the bench pre-builds it untimed). */
   private def persistedVecs(s: SparkSession, d: String): DataFrame = {
     DotProduct.register(s)
-    IvfIndex.of(s, d, vecs(s, d), NumCentroids, KMeansIters, QuantScale)
+    corpusIdx(s, d)
       .assigned.select(col("vec_id"), col("v"))
   }
 
@@ -193,7 +203,7 @@ object Ann {
     // values.
     "ann_sq8" -> ((s, d) => {
       DotProduct.register(s)
-      val idx = IvfIndex.of(s, d, vecs(s, d), NumCentroids, KMeansIters, QuantScale)
+      val idx = corpusIdx(s, d)
       sq8TopK(idx, col("vec_id") >= 2 * NumQueries && col("vec_id") < 3 * NumQueries,
         Sq8Cands, prune = false)
     }),
@@ -220,7 +230,7 @@ object Ann {
       // parquet exactly), so a warm query never re-runs the
       // normalization pass over the corpus.
       DotProduct.register(s)
-      val idx = IvfIndex.of(s, d, vecs(s, d), NumCentroids, KMeansIters, QuantScale)
+      val idx = corpusIdx(s, d)
       ivfTopK(idx, col("vec_id") < NumQueries)
     }),
 
@@ -238,7 +248,7 @@ object Ann {
     // — its own, like every ANN gate.
     "ann_ivf_sq8" -> ((s, d) => {
       DotProduct.register(s)
-      val idx = IvfIndex.of(s, d, vecs(s, d), NumCentroids, KMeansIters, QuantScale)
+      val idx = corpusIdx(s, d)
       sq8TopK(idx, col("vec_id") >= 3 * NumQueries && col("vec_id") < 4 * NumQueries,
         Sq8Cands, prune = true)
     }),
@@ -263,7 +273,7 @@ object Ann {
     // [scale] ivf_retrain_below_cos cadence thresholds.
     "ann_ivf_fitstats" -> ((s, d) => {
       DotProduct.register(s)
-      IvfIndex.of(s, d, vecs(s, d), NumCentroids, KMeansIters, QuantScale)
+      corpusIdx(s, d)
         .fitStats
     }),
 
@@ -283,7 +293,7 @@ object Ann {
     // BENCH_embed_bands.json (§9.12).
     "d_embed_neardup_ivf" -> ((s, d) => {
       DotProduct.register(s)
-      val idx = IvfIndex.of(s, d, vecs(s, d), NumCentroids, KMeansIters, QuantScale)
+      val idx = corpusIdx(s, d)
       embedPairsIvf(idx, IvfPairProbe)
         .orderBy(col("vec_a"), col("vec_b"))
     }),
@@ -411,7 +421,7 @@ object Ann {
       queryPred: Column =
         col("vec_id") >= 2 * NumQueries && col("vec_id") < 3 * NumQueries): DataFrame = {
     DotProduct.register(s)
-    val idx = IvfIndex.of(s, d, vecs(s, d), NumCentroids, KMeansIters, QuantScale)
+    val idx = corpusIdx(s, d)
     sq8TopK(idx, queryPred, pool, prune)
   }
 
@@ -437,7 +447,7 @@ object Ann {
   private[graft] def sq8CandStageFor(s: SparkSession, d: String, pool: Int,
       prune: Boolean, queryPred: Column): DataFrame = {
     DotProduct.register(s)
-    val idx = IvfIndex.of(s, d, vecs(s, d), NumCentroids, KMeansIters, QuantScale)
+    val idx = corpusIdx(s, d)
     sq8CandStage(idx, sq8Queries(idx, queryPred), pool, prune)
   }
 
@@ -554,7 +564,7 @@ object Ann {
   }
 
   /** Shared normalization CTE (identical fp order to vecs()). */
-  private val normCte =
+  private[queries] val normCte =
     """e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
       |e AS (SELECT vec_id,
       |        list_transform(v0, x -> x / sqrt(

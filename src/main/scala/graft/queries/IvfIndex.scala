@@ -52,6 +52,14 @@ object IvfIndex {
       private[graft] val cacheKey: String,
       val centroids: DataFrame,
       numCentroids: Int, trainIters: Int, trainQuant: Double,
+      /** PQ codebooks (sub, cid, cv) when the index was built with
+        * `pq = true` — generation state exactly like [[centroids]]:
+        * frozen across appends (deltas are coded under the trained
+        * books), carried by branches/snapshots/compaction, replaced
+        * only by [[retrain]]. The corpus-shared ANN index enables
+        * this; per-invocation `fresh()` pipelines default off so
+        * their priced closures don't pay an unused training pass. */
+      private[graft] val pqBooks: Option[DataFrame] = None,
       private[graft] val parentIndex: Option[Index] = None)
     extends PersistedIndex[Index] {
 
@@ -72,7 +80,7 @@ object IvfIndex {
     private[graft] def make(baseName: String, generation: Int, cacheKey: String,
         parent: Option[Index]): Index =
       new Index(spark, baseName, generation, cacheKey,
-        centroids, numCentroids, trainIters, trainQuant, parent)
+        centroids, numCentroids, trainIters, trainQuant, pqBooks, parent)
 
     /** (vec_id, v, cid, c), bucketed by cid; for a [[branch]], the base's
       * table UNIONed with the branch's delta rows (the branch's own
@@ -106,7 +114,7 @@ object IvfIndex {
       // the centroid argmax when the guard trips — the
       // contract-violation path, not the hot path.
       val assignedDelta = withCodes(assign(e2, centroids)
-          .select(col("vec_id"), col("v"), col("cid")))
+          .select(col("vec_id"), col("v"), col("cid")), pqBooks)
         .localCheckpoint()
       val clashes = assigned.select(col("vec_id"))
         .join(broadcast(assignedDelta.select(col("vec_id"))), "vec_id").limit(1).count()
@@ -162,10 +170,16 @@ object IvfIndex {
       graft.util.BuildLog.timed(s"ivf-retrain:$baseName") {
         val e = assigned.select(col("vec_id"), col("v"))
         val cent = IvfIndex.train(e, numCentroids, iters, quantScale)
+        // PQ codebooks are generation state like the centroids: a
+        // pq-enabled index retrains them over the same union corpus
+        // (seed rule unchanged), so retrain ≡ fresh-build holds for
+        // the stored code column too.
+        val books = pqBooks.map(_ => PqCodec.train(e))
         val next = s"${baseName}_g${generation + 1}"
         spark.sql(s"DROP TABLE IF EXISTS $next")
         writeBucketed(
-          withCodes(assign(e, cent).select(col("vec_id"), col("v"), col("cid"))),
+          withCodes(assign(e, cent).select(col("vec_id"), col("v"), col("cid")),
+            books),
           next, "cid", numCentroids, "overwrite")
         spark.sql(s"DROP TABLE IF EXISTS $tableName")
         Scratch.delete(tableName)
@@ -174,7 +188,7 @@ object IvfIndex {
         IndexMaintenance.resetFit(baseName)
         IndexMaintenance.resetAppend(baseName)
         val retrained = new Index(spark, baseName, generation + 1, cacheKey,
-          cent, numCentroids, iters, quantScale)
+          cent, numCentroids, iters, quantScale, books)
         cache.put(cacheKey, retrained)
         retrained
       }
@@ -237,10 +251,11 @@ object IvfIndex {
     * index table already stores the normalized vectors, so repeated
     * queries are probe-only. */
   def of(spark: SparkSession, corpusKey: String, e: => DataFrame,
-      numCentroids: Int, iters: Int, quantScale: Double): Index = {
+      numCentroids: Int, iters: Int, quantScale: Double,
+      pq: Boolean = false): Index = {
     val key = graft.util.Scratch.sessionId(spark) + "|" + corpusKey
     cache.computeIfAbsent(key, _ => graft.util.BuildLog.timed(s"ivf:$corpusKey") {
-      build(spark, corpusKey, e, numCentroids, iters, quantScale, key)
+      build(spark, corpusKey, e, numCentroids, iters, quantScale, key, pq)
     })
   }
 
@@ -277,28 +292,31 @@ object IvfIndex {
     * must never leak into the shared of() instances; call
     * [[Index.drop]] when done). */
   def fresh(spark: SparkSession, corpusKey: String, e: DataFrame,
-      numCentroids: Int, iters: Int, quantScale: Double): Index =
+      numCentroids: Int, iters: Int, quantScale: Double,
+      pq: Boolean = false): Index =
     graft.util.BuildLog.timed(s"ivf-fresh:$corpusKey") {
       val k = s"$corpusKey#${freshSeq.incrementAndGet()}"
       build(spark, k, e, numCentroids, iters, quantScale,
-        Scratch.sessionId(spark) + "|" + k)
+        Scratch.sessionId(spark) + "|" + k, pq)
     }
 
   private def build(spark: SparkSession, corpusKey: String, e: DataFrame,
       numCentroids: Int, iters: Int, quantScale: Double,
-      cacheKey: String): Index = {
+      cacheKey: String, pq: Boolean = false): Index = {
     val cent = train(e, numCentroids, iters, quantScale)
+    val books = if (pq) Some(PqCodec.train(e)) else None
 
     // Session-scoped table name + scratch path (two sessions building
     // the same corpus never clobber each other — ADVICE r5).
     val tableName = Scratch.tableName(spark, "graft_ivf", corpusKey)
     spark.sql(s"DROP TABLE IF EXISTS $tableName")
     val idx = new Index(spark, tableName, 0, cacheKey,
-      cent, numCentroids, iters, quantScale)
+      cent, numCentroids, iters, quantScale, books)
     // One shuffle by cid so each bucket lands as a single file — the
     // writeBucketed idiom (see PersistedIndex).
     idx.writeBucketed(
-      withCodes(assign(e, cent).select(col("vec_id"), col("v"), col("cid"))),
+      withCodes(assign(e, cent).select(col("vec_id"), col("v"), col("cid")),
+        books),
       tableName, "cid", numCentroids, "overwrite")
     idx
   }
@@ -316,8 +334,17 @@ object IvfIndex {
     * [-127, 127] is exact in a double and exact again as tinyint, so
     * the stored codes are bit-identical to a recomputation (the DuckDB
     * oracle recomputes; compaction carries the stored bytes). */
-  private def withCodes(df: DataFrame): DataFrame =
-    df.withColumn("c",
+  private def withCodes(df: DataFrame, pqBooks: Option[DataFrame]): DataFrame = {
+    val sq8 = df.withColumn("c",
       org.apache.spark.sql.functions.transform(col("v"),
         x => floor(x * Sq8Scale + 0.5).cast("tinyint")))
+    // PQ codes (`pc`, array<tinyint> of PqCodec.M 4-bit ids) when the
+    // index carries codebooks: a pure codegen literal-argmin over the
+    // collected books — no extra job on the write path, so appends
+    // stay delta-sized. Stored ≡ recomputed (deterministic training +
+    // exact literal round trip), so the oracle keeps recomputing.
+    pqBooks.fold(sq8)(books =>
+      sq8.withColumn("pc",
+        PqCodec.codeColumn(col("v"), PqCodec.collectBooks(books))))
+  }
 }

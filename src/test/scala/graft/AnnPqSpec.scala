@@ -57,12 +57,42 @@ class AnnPqSpec extends SparkSuite {
     assert(recall >= 0.6, s"recall@10 $recall below the PQ pool-50 floor")
   }
 
-  test("stage-1 scoring has no shuffle join — code scan + broadcast LUTs only") {
+  test("stage 1: no shuffle join, reads ONLY the stored PQ codes — never the floats") {
+    // The codes are PERSISTED in the IVF vector table (pc column,
+    // derived once at build/append/retrain — the sq8 discipline), so
+    // the ADC pass scans 8 bytes/vector and joins only broadcast LUTs.
     val (cands, _) = graft.queries.AnnPq.pqCands(spark, d,
       col("vec_id") >= 20 && col("vec_id") < 25)
     val plan = cands.queryExecution.executedPlan.toString
     assert(!plan.contains("SortMergeJoin"), "PQ stage 1 must not shuffle-join")
     assert(!plan.contains("ShuffledHashJoin"), "PQ stage 1 must not shuffle-join")
     assert(plan.contains("BroadcastHashJoin"), "LUT joins should be broadcast")
+    assert(plan.contains("pc:array<tinyint>"),
+      s"stage 1 must read the persisted PQ code column:\n$plan")
+    assert(!plan.contains("v:array<double>"),
+      s"stage 1 must never read the float vector column:\n$plan")
+  }
+
+  test("composed ann_ivf_pq stage 1: bucket-pruned AND code-only scan") {
+    val (cands, _) = graft.queries.AnnPq.pqCands(spark, d,
+      col("vec_id") >= 25 && col("vec_id") < 30, prune = true)
+    val plan = cands.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"),
+      s"the ADC rank must scan only the probed IVF buckets:\n$plan")
+    assert(plan.contains("pc:array<tinyint>"),
+      s"stage 1 must read the persisted PQ code column:\n$plan")
+    assert(!plan.contains("v:array<double>"),
+      s"stage 1 must never read the float vector column:\n$plan")
+  }
+
+  test("composed ann_ivf_pq: K ranked rows per query, cosines non-increasing") {
+    val rows = SparkEntry.queries("ann_ivf_pq")(spark, d).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(25L, 26L, 27L, 28L, 29L))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(3)).toSeq.sorted == (1 to 10), s"ranks for $q")
+      val cos = rs.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+      assert(cos == cos.sorted.reverse, s"cosine order for $q")
+    }
   }
 }
