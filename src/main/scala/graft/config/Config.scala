@@ -132,7 +132,8 @@ final case class ScaleConfig(
     ivfRetrainBelowCos: Double = 0.0,
     embedActCos: Double = 0.9,
     sq8Cands: Int = 50,
-    ivfPairBucket: Int = 0)
+    ivfPairBucket: Int = 0,
+    pqCands: Int = 50)
 
 /** Engine configuration (config.py:60-86). `manifestPath` derives from
   * the project root + target dir exactly as the reference's property. */
@@ -227,7 +228,8 @@ object Config {
         ivfRetrainBelowCos = dbl(scaleSec, "ivf_retrain_below_cos", 0.0),
         embedActCos = dbl(scaleSec, "embed_act_cos", 0.9),
         sq8Cands = int(scaleSec, "sq8_cands", 50),
-        ivfPairBucket = int(scaleSec, "ivf_pair_bucket", 0)))
+        ivfPairBucket = int(scaleSec, "ivf_pair_bucket", 0),
+        pqCands = int(scaleSec, "pq_cands", 50)))
   }
 
   private def findUpward(start: Path): Option[Path] = {

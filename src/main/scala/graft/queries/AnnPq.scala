@@ -23,13 +23,14 @@ import graft.functions.{DotProduct, VectorOps}
   * of subspace dots, each entry integer-quantized (floor(dot·1e6 +
   * 0.5) as BIGINT) so the 16-term score sum is EXACT integer
   * arithmetic in any order (quantizing an approximation loses
-  * nothing — the rerank is exact-float anyway). The corpus is scored
-  * in one pass over the stored codes with 16 broadcast-hash LUT
-  * joins — no shuffle join, no float reads (both plan-pinned by
-  * AnnPqSpec) — keeping `Pool` candidates per query; stage 2 reranks
-  * only those with the exact float cosine via the candidate-id IN
-  * list (the sq8 idiom), so float bytes move for ~Pool rows per
-  * query, never the corpus.
+  * nothing — the rerank is exact-float anyway). The whole LUT rides
+  * each query row as one MAP column, so the corpus is scored in one
+  * pass over the stored codes with a single fused projection — 16
+  * map lookups + an integer sum per (vector, query); no shuffle
+  * join, no float reads (both plan-pinned by AnnPqSpec) — keeping
+  * `Pool` candidates per query; stage 2 reranks only those with the
+  * exact float cosine via the candidate-id IN list (the sq8 idiom),
+  * so float bytes move for ~Pool rows per query, never the corpus.
   *
   * The DuckDB oracle replays everything from the raw embeddings:
   * all 16 per-subspace k-means chains (deterministic — see
@@ -75,19 +76,40 @@ object AnnPq {
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
       .localCheckpoint()
 
-    // ADC lookup tables: queries × codebooks, integer-quantized parts.
-    val luts = (0 until M).map { m =>
-      q.crossJoin(broadcast(books.filter(col("sub") === m)))
-        .select(col("query_id"), col("cid").cast("int").as(s"code$m"),
-          floor(VectorOps.dot(PqCodec.subv(col("qv"), m), col("cv")) * QuantScale
-            + 0.5).cast("long").as(s"part$m"))
-    }
+    // ADC lookup table, ONE dense array per query indexed sub·K + cid,
+    // each part integer-quantized. The whole table rides the query
+    // row, so the corpus pass is a SINGLE fused projection — M O(1)
+    // array reads + an exact integer sum per (vector, query) — instead
+    // of M broadcast hash joins (the first cut; 68 s vs SQ8's 7 s at
+    // 128k vectors: 16 join-probe row materializations per pair lose
+    // to one codegen'd expression; a MAP column is no better — Spark's
+    // MapData lookup is a linear scan, 16×256 key comparisons per
+    // pair). Positional indexing REQUIRES a dense M×K codebook — a
+    // codebook that lost a centroid to an empty Lloyd cell would
+    // silently shift it — so density is guarded loudly first (the
+    // persisted-code write path already assumes it: PqCodec
+    // .collectBooks would hold a null cell).
+    require(books.count() == M.toLong * PqK,
+      s"PQ codebooks must be dense (M×K = ${M * PqK} centroids): an empty " +
+        "Lloyd cell broke the positional ADC indexing — retrain or reseed")
+    val lutArr = q.crossJoin(broadcast(books))
+      .select(col("query_id"),
+        (col("sub").cast("long") * PqK + col("cid")).as("lk"),
+        floor(VectorOps.dot(
+            slice(col("qv"), col("sub") * SubDim + 1, lit(SubDim)), col("cv"))
+          * QuantScale + 0.5).cast("long").as("part"))
+      .groupBy(col("query_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("lk"), col("part")))),
+        x => x.getField("part")).as("lut"))
 
-    val codeCols = (0 until M).map(m =>
-      element_at(col("pc"), m + 1).cast("int").as(s"code$m"))
+    // score = Σ_m lut[m·K + pc[m]] — exact integers, order-free.
+    val scoreExpr = expr((0 until M)
+      .map(m => s"element_at(lut, ${m * PqK} + CAST(pc[$m] AS INT) + 1)")
+      .mkString(" + "))
 
-    // The (vec_id, query_id, code0..15) scoring base. Unpruned: one
-    // scan of (vec_id, pc) — the 8-byte store — × the query-id
+    // The (vec_id, pc, query_id, lut) scoring base. Unpruned: one scan
+    // of (vec_id, pc) — the 8-byte store — × the per-query LUT
     // broadcast. Pruned (ann_ivf_pq): the ann_ivf probe selection
     // picks NProbe centroids per query, the literal cid IN list
     // bucket-PRUNES the scan (SelectedBucketsCount — a broadcast join
@@ -95,8 +117,8 @@ object AnnPq {
     // scoring to its own probed buckets. Either way: never the floats.
     val base =
       if (!prune)
-        idx.assigned.select(col("vec_id") +: codeCols: _*)
-          .crossJoin(broadcast(q.select(col("query_id"))))
+        idx.assigned.select(col("vec_id"), col("pc"))
+          .crossJoin(broadcast(lutArr))
       else {
         val wProbe = Window.partitionBy(col("query_id"))
           .orderBy(col("qcos").desc, col("cid"))
@@ -110,21 +132,17 @@ object AnnPq {
         val probedCids = probes.select(col("cid").cast("long")).distinct()
           .collect().map(_.getLong(0)).sorted
         idx.assigned.filter(col("cid").isin(probedCids.toIndexedSeq: _*))
-          .select(col("vec_id") +: col("cid") +: codeCols: _*)
+          .select(col("vec_id"), col("cid"), col("pc"))
           .join(broadcast(probes), Seq("cid"))
+          .join(broadcast(lutArr), Seq("query_id"))
           .drop("cid")
       }
 
     val wCand = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))
-    val cands = luts.zipWithIndex
-      .foldLeft(base) {
-        case (acc, (lut, m)) =>
-          acc.join(broadcast(lut), Seq("query_id", s"code$m"))
-      }
+    val cands = base
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        (0 until M).map(m => col(s"part$m")).reduce(_ + _).as("score"))
+      .select(col("query_id"), col("vec_id"), scoreExpr.as("score"))
       .withColumn("crank", row_number().over(wCand))
       .filter(col("crank") <= pool)
       .select(col("query_id"), col("vec_id"))

@@ -79,6 +79,19 @@ object ScaleOps {
       prune: Boolean = false): DataFrame =
     Ann.sq8TopKFor(s, d, cfg.scale.sq8Cands, prune)
 
+  /** PQ two-stage ANN at the configured rerank pool width
+    * (`[scale] pq_cands`, default 50 = the gate-pinned `ann_pq` pool):
+    * stage 1 ranks the persisted 4-bit code arrays (8 bytes/vector —
+    * the rung below SQ8 on the memory ladder) and keeps `pool`
+    * candidates per query, stage 2 reranks exact-float; `prune`
+    * composes the IVF bucket prune in front (the `ann_ivf_pq` stack).
+    * Recall-vs-pool priced next to SQ8 by [[graft.Sq8PoolSweep]]. */
+  def annPq(s: SparkSession, d: String, cfg: EngineConfig,
+      prune: Boolean = false): DataFrame =
+    AnnPq.pqTopKFor(s, d, cfg.scale.pqCands, prune,
+      org.apache.spark.sql.functions.col("vec_id") >= 20 &&
+        org.apache.spark.sql.functions.col("vec_id") < 25)
+
   /** The embed-stage cleaning ledger WITH the mid-tier discovery feed
     * (r12 VERDICT optional #8): the IVF pair route's 0.45–0.7 matches
     * — the tier sign-LSH physically cannot band, which the ledger

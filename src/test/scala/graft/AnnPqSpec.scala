@@ -66,7 +66,8 @@ class AnnPqSpec extends SparkSuite {
     val plan = cands.queryExecution.executedPlan.toString
     assert(!plan.contains("SortMergeJoin"), "PQ stage 1 must not shuffle-join")
     assert(!plan.contains("ShuffledHashJoin"), "PQ stage 1 must not shuffle-join")
-    assert(plan.contains("BroadcastHashJoin"), "LUT joins should be broadcast")
+    assert(plan.contains("Broadcast"),
+      "the per-query LUT must ride a broadcast, never a shuffle")
     assert(plan.contains("pc:array<tinyint>"),
       s"stage 1 must read the persisted PQ code column:\n$plan")
     assert(!plan.contains("v:array<double>"),

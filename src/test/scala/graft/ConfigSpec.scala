@@ -140,6 +140,7 @@ class ConfigSpec extends SparkSuite {
     assert(cfg.scale.ivfFitCheckEvery == 24)
     assert(cfg.scale.ivfRetrainBelowCos == 0.8)
     assert(cfg.scale.sq8Cands == 50)
+    assert(cfg.scale.pqCands == 50)
     assert(cfg.scale.ivfPairBucket == 512)
     assert(cfg.capsule.defaultTokenBudget == 10000)
   }

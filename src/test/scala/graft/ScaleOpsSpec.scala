@@ -137,4 +137,25 @@ class ScaleOpsSpec extends SparkSuite {
     assert(perQuery.nonEmpty && perQuery.forall(_ == 1L),
       s"pool=1 must cap the rerank pool at one candidate per query, got $perQuery")
   }
+
+  test("pq_cands reaches the PQ rerank pool") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+    // Default pool (50) ≡ the gate entry.
+    val dflt = Config.fromToml(Map.empty, java.nio.file.Paths.get("."))
+    assert(dflt.scale.pqCands == 50)
+    assert(rows(ScaleOps.annPq(spark, d, dflt)) ==
+      rows(SparkEntry.queries("ann_pq")(spark, d)),
+      "cfg-wired call at the default pool ≡ the gate query")
+    // Pool 1: at most one candidate per query survives to the rerank.
+    val root = Files.createTempDirectory("graft_scale_pq")
+    Files.writeString(root.resolve(Config.ConfigFilename),
+      "[scale]\npq_cands = 1\n")
+    val cfg1 = Config.load(root)
+    assert(cfg1.scale.pqCands == 1)
+    val perQuery = ScaleOps.annPq(spark, d, cfg1)
+      .groupBy("query_id").count().collect().map(_.getLong(1)).toSeq
+    assert(perQuery.nonEmpty && perQuery.forall(_ == 1L),
+      s"pool=1 must cap the PQ rerank pool at one candidate per query, got $perQuery")
+  }
 }
