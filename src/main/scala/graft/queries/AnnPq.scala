@@ -24,10 +24,11 @@ import graft.functions.{DotProduct, VectorOps}
   * 0.5) as BIGINT) so the 16-term score sum is EXACT integer
   * arithmetic in any order (quantizing an approximation loses
   * nothing — the rerank is exact-float anyway). The whole LUT rides
-  * each query row as one MAP column, so the corpus is scored in one
-  * pass over the stored codes with a single fused projection — 16
-  * map lookups + an integer sum per (vector, query); no shuffle
-  * join, no float reads (both plan-pinned by AnnPqSpec) — keeping
+  * each query row as one dense integer ARRAY column, so the corpus is
+  * scored in one pass over the stored codes with a single fused
+  * projection — 16 O(1) array reads + an integer sum per (vector,
+  * query); no shuffle join, no float reads (both plan-pinned by
+  * AnnPqSpec) — keeping
   * `Pool` candidates per query; stage 2 reranks only those with the
   * exact float cosine via the candidate-id IN list (the sq8 idiom),
   * so float bytes move for ~Pool rows per query, never the corpus.
@@ -58,11 +59,11 @@ object AnnPq {
     Ann.corpusIdx(s, d)
   }
 
-  /** Stage 1 (pre-checkpoint): per-query integer LUTs off the handle's
-    * codebooks, one pass over the STORED code column with M broadcast
-    * LUT joins, per-query top-Pool — exposed so AnnPqSpec can pin that
-    * the scoring pass contains no shuffle join and never reads the
-    * float column. Returns (candidates, queries). */
+  /** Stage 1 (pre-checkpoint): the per-query integer LUT array off the
+    * handle's codebooks, one fused pass over the STORED code column,
+    * per-query top-Pool — exposed so AnnPqSpec can pin that the
+    * scoring pass contains no shuffle join and never reads the float
+    * column. Returns (candidates, queries). */
   private[graft] def pqCands(s: SparkSession, d: String,
       queryPred: Column, prune: Boolean = false,
       pool: Int = Pool): (DataFrame, DataFrame) = {
@@ -84,14 +85,9 @@ object AnnPq {
     // 128k vectors: 16 join-probe row materializations per pair lose
     // to one codegen'd expression; a MAP column is no better — Spark's
     // MapData lookup is a linear scan, 16×256 key comparisons per
-    // pair). Positional indexing REQUIRES a dense M×K codebook — a
-    // codebook that lost a centroid to an empty Lloyd cell would
-    // silently shift it — so density is guarded loudly first (the
-    // persisted-code write path already assumes it: PqCodec
-    // .collectBooks would hold a null cell).
-    require(books.count() == M.toLong * PqK,
-      s"PQ codebooks must be dense (M×K = ${M * PqK} centroids): an empty " +
-        "Lloyd cell broke the positional ADC indexing — retrain or reseed")
+    // pair). Positional indexing REQUIRES a dense M×K codebook —
+    // guaranteed ONCE at train time (PqCodec.train fails loudly on an
+    // empty Lloyd cell), so no per-query re-check is needed here.
     val lutArr = q.crossJoin(broadcast(books))
       .select(col("query_id"),
         (col("sub").cast("long") * PqK + col("cid")).as("lk"),
@@ -178,9 +174,14 @@ object AnnPq {
   }
 
   /** [[pqTopK]] for the measurement mains ([[graft.Sq8PoolSweep]]
-    * prices the PQ routes on the same persisted geometry as SQ8). */
+    * prices the PQ routes on the same persisted geometry as SQ8) and
+    * [[ScaleOps.annPq]] — the default cohort IS the `ann_pq` gate's,
+    * stated once here so a future cohort re-shuffle can't desync a
+    * copy (the sq8TopKFor idiom). */
   private[graft] def pqTopKFor(s: SparkSession, d: String, pool: Int,
-      prune: Boolean, queryPred: Column): DataFrame =
+      prune: Boolean = false,
+      queryPred: Column =
+        col("vec_id") >= QLo && col("vec_id") < QHi): DataFrame =
     pqTopK(s, d, queryPred, prune, pool)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -289,13 +290,7 @@ object AnnPq {
          |  JOIN qids q ON q.query_id = pr.query_id
          |  JOIN pcode0 x0 ON x0.vec_id = ax.vec_id $codeJoinsOn""".stripMargin
     }
-    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
-       |e AS (SELECT vec_id,
-       |        list_transform(v0, x -> x / sqrt(
-       |          list_reduce(list_prepend(0.0::DOUBLE,
-       |            list_transform(generate_series(1, 64), i -> v0[i] * v0[i])),
-       |            (p,q) -> p + q))) AS v
-       |      FROM e0),
+    s"""WITH ${Ann.normCte},
        |qids AS (SELECT vec_id AS query_id, v AS qv FROM e
        |         WHERE vec_id >= $qLo AND vec_id < $qHi)$ivfChain,
        |$chains,

@@ -88,7 +88,20 @@ object PqCodec {
               .as("comp")))),
           x => x.getField("comp")).as("cv"))
     }
-    cent.localCheckpoint()
+    val out = cent.localCheckpoint()
+    // Density is a TRAIN-TIME invariant every consumer assumes: the
+    // write path's literal-argmin ([[codeColumn]] via [[collectBooks]])
+    // would NPE on a null cell and the ADC LUT's positional indexing
+    // would silently shift — and because the SHARED corpus index
+    // trains PQ, an unguarded empty cell would take down every ANN
+    // gate with a bare NPE. Checked ONCE here (the frame is immutable
+    // after training), never per query.
+    val n = out.count()
+    require(n == M.toLong * K,
+      s"PQ codebooks must be dense (M×K = ${M * K} centroids, got $n): an empty " +
+        "Lloyd cell (duplicate subspace seeds collapsing a cluster) breaks the " +
+        "positional ADC indexing and the code write path — reseed or drop pq")
+    out
   }
 
   /** Collect the trained codebooks to the driver — M×K×SubDim doubles
@@ -99,6 +112,12 @@ object PqCodec {
       out(r.getInt(0))(r.getLong(1).toInt) =
         r.getSeq[Double](2).toArray
     }
+    // Belt over train()'s braces: a null cell here would NPE deep in
+    // codegen construction with no actionable message.
+    for (m <- 0 until M; j <- 0 until K)
+      require(out(m)(j) != null,
+        s"PQ codebook cell (sub=$m, cid=$j) is missing — train() guarantees " +
+          "density, so this frame is not a trained codebook")
     out
   }
 

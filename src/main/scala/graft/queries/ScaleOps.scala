@@ -88,9 +88,7 @@ object ScaleOps {
     * Recall-vs-pool priced next to SQ8 by [[graft.Sq8PoolSweep]]. */
   def annPq(s: SparkSession, d: String, cfg: EngineConfig,
       prune: Boolean = false): DataFrame =
-    AnnPq.pqTopKFor(s, d, cfg.scale.pqCands, prune,
-      org.apache.spark.sql.functions.col("vec_id") >= 20 &&
-        org.apache.spark.sql.functions.col("vec_id") < 25)
+    AnnPq.pqTopKFor(s, d, cfg.scale.pqCands, prune)
 
   /** The embed-stage cleaning ledger WITH the mid-tier discovery feed
     * (r12 VERDICT optional #8): the IVF pair route's 0.45–0.7 matches

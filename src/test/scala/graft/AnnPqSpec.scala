@@ -2,9 +2,10 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** The product-quantization ANN contract (`ann_pq`): 4×16-dim
-  * subspace codebooks, integer-quantized ADC stage 1 over the 4-byte
-  * codes, exact-float rerank — and the whole stage-1 scoring pass
+/** The product-quantization ANN contract (`ann_pq`): 16 subspaces ×
+  * 4 dims with 16-centroid codebooks (16 4-bit codes/vector — 8
+  * packed bytes), integer-quantized ADC stage 1 over the STORED code
+  * column, exact-float rerank — and the whole stage-1 scoring pass
   * stays broadcast-only (no shuffle join anywhere in the plan). */
 class AnnPqSpec extends SparkSuite {
 
