@@ -42,10 +42,13 @@ object Verify {
       case c => c.toString
     } + "\""
     // A filtered run (SPARK_GRAFT_VERIFY_ONLY) into an outDir holding a
-    // prior full run MERGES its oracle entries into the existing file
-    // instead of overwriting it with only the subset — otherwise the
-    // remaining query parquet dirs silently lose their oracle rows
-    // (ADVICE r5). Unfiltered runs still rewrite from scratch.
+    // prior full run keeps the other queries' oracle entries alive
+    // (ADVICE r5) but REFRESHES every entry from the current build —
+    // the SQL map is free to compute, and a stale entry for a query
+    // whose oracle text changed (but whose Spark result didn't) would
+    // otherwise shadow the fix until the next full run (round 14: the
+    // MATERIALIZED-hint sweep changed ~30 oracles' text with zero
+    // Spark-side changes).
     val oraclePath = Paths.get(s"$outDir/oracle_sql.json")
     val prior: Map[String, String] =
       if (only.isDefined && Files.exists(oraclePath))
@@ -54,7 +57,6 @@ object Verify {
           .map { case (k, v) => k -> v.toString }
       else Map.empty
     val merged = prior ++ SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
     val json = merged
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(oraclePath, json)

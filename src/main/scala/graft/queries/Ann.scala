@@ -545,7 +545,7 @@ object Ann {
     * oracle trains on its cohort CTE while `e` holds ALL vectors). */
   private[queries] def kmeansIterCte(t: Int, src: String = "e"): String = {
     val prev = s"c${t - 1}"
-    s"""a$t AS (SELECT vec_id, v, cid FROM (
+    s"""a$t AS MATERIALIZED (SELECT vec_id, v, cid FROM (
        |    SELECT e.vec_id, e.v, c.cid,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |                         ORDER BY ${dotSql("e.v", "c.cv")} DESC, c.cid) AS rn
@@ -557,16 +557,20 @@ object Ann {
        |m$t AS (SELECT cid,
        |          list(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 ORDER BY dim) AS cv0
        |        FROM s$t GROUP BY cid),
-       |c$t AS (SELECT cid, list_transform(cv0, x -> x / sqrt(
+       |c$t AS MATERIALIZED (SELECT cid, list_transform(cv0, x -> x / sqrt(
        |          list_reduce(list_prepend(0.0::DOUBLE, list_transform(cv0, y -> y * y)),
        |            (p,q) -> p + q))) AS cv
        |        FROM m$t)""".stripMargin
   }
 
-  /** Shared normalization CTE (identical fp order to vecs()). */
+  /** Shared normalization CTE (identical fp order to vecs()).
+    * MATERIALIZED: `e` is referenced by every k-means seed/iteration/
+    * assignment CTE downstream — DuckDB would otherwise inline (and
+    * re-normalize the corpus) once per reference; see the
+    * [[Dedup.jaccardCtes]] note for the measured blow-up. */
   private[queries] val normCte =
     """e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
-      |e AS (SELECT vec_id,
+      |e AS MATERIALIZED (SELECT vec_id,
       |        list_transform(v0, x -> x / sqrt(
       |          list_reduce(list_prepend(0.0::DOUBLE,
       |            list_transform(generate_series(1, 64), i -> v0[i] * v0[i])),

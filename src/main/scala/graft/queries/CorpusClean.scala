@@ -543,7 +543,7 @@ object CorpusClean {
     * ALL normalized vectors is there to be REUSED). */
   private[queries] def evolveChainCtes(k: Int, withEmbed: Boolean = false): String = {
     val qualityCte =
-      """q AS (SELECT doc_id,
+      """q AS MATERIALIZED (SELECT doc_id,
         |        least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0) * 0.4
         |        + (1.0 - CAST(len(list_filter(string_split(text,' '),
         |            t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
@@ -551,7 +551,7 @@ object CorpusClean {
         |        + (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
         |            / CAST(length(text) AS DOUBLE)) * 0.3 AS quality_score
         |      FROM documents WHERE doc_id % 10 = 0),
-        |lg AS (SELECT doc_id, len(list_filter(string_split(text,' '),
+        |lg AS MATERIALIZED (SELECT doc_id, len(list_filter(string_split(text,' '),
         |         t -> t IN ('the','a','of','and','is'))) AS c_en
         |       FROM documents WHERE doc_id % 10 = 0)""".stripMargin
     val blocks = (0 until k).map { b =>
@@ -582,7 +582,7 @@ object CorpusClean {
          |    JOIN delta ON jp.x = delta.doc_id AND delta.batch = $b
          |    JOIN idx$b ix ON jp.y = ix.doc_id
          |    WHERE jp.jaccard >= ${Dedup.JaccardThreshold}) WHERE rn = 1),
-         |${embCtes}led$b AS (SELECT d.doc_id, CAST($b AS BIGINT) AS batch, q.quality_score,
+         |${embCtes}led$b AS MATERIALIZED (SELECT d.doc_id, CAST($b AS BIGINT) AS batch, q.quality_score,
          |    bb.dup_of, bb.jaccard, ${embLedCols}
          |    CASE WHEN e.is_exact_dup THEN 'exact_dup'
          |         WHEN bb.dup_of IS NOT NULL THEN 'near_dup'
@@ -594,20 +594,20 @@ object CorpusClean {
          |  JOIN q USING (doc_id)
          |  LEFT JOIN best$b bb USING (doc_id)
          |  ${embJoin}JOIN lg USING (doc_id)),
-         |idx${b + 1} AS (SELECT doc_id FROM idx$b UNION ALL
+         |idx${b + 1} AS MATERIALIZED (SELECT doc_id FROM idx$b UNION ALL
          |  SELECT doc_id FROM led$b WHERE reason = 'kept')""".stripMargin
     }
     val embPairCtes = if (!withEmbed) "" else s"${Dedup.embedEvolvePairCtes},\n"
     s"""${Dedup.jaccardCtes},
-       |jp AS (SELECT doc_a AS x, doc_b AS y, jaccard FROM j
+       |jp AS MATERIALIZED (SELECT doc_a AS x, doc_b AS y, jaccard FROM j
        |       UNION ALL SELECT doc_b, doc_a, jaccard FROM j),
-       |${embPairCtes}dig AS (SELECT doc_id,
+       |${embPairCtes}dig AS MATERIALIZED (SELECT doc_id,
        |          md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash
        |        FROM documents),
-       |delta AS (SELECT doc_id, (doc_id % ${10 * k}) // 10 AS batch
+       |delta AS MATERIALIZED (SELECT doc_id, (doc_id % ${10 * k}) // 10 AS batch
        |          FROM documents WHERE doc_id % 10 = 0),
        |$qualityCte,
-       |idx0 AS (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0),
+       |idx0 AS MATERIALIZED (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0),
        |${blocks.mkString(",\n")}""".stripMargin
   }
 }

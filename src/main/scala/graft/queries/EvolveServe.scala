@@ -264,34 +264,34 @@ object EvolveServe {
     val dot = Ann.dotSql _
     val norm =
       """en0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
-        |en AS (SELECT vec_id,
+        |en AS MATERIALIZED (SELECT vec_id,
         |        list_transform(v0, x -> x / sqrt(
         |          list_reduce(list_prepend(0.0::DOUBLE,
         |            list_transform(generate_series(1, 64), i -> v0[i] * v0[i])),
         |            (p,q) -> p + q))) AS v
         |      FROM en0),
-        |e AS (SELECT vec_id, v FROM en WHERE vec_id % 10 <> 0)""".stripMargin
+        |e AS MATERIALIZED (SELECT vec_id, v FROM en WHERE vec_id % 10 <> 0)""".stripMargin
     val ivfShared =
       s"""c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $NumCentroids),
          |${(1 to KMeansIters).map(t => Ann.kmeansIterCte(t)).mkString(",\n")},
-         |c AS (SELECT cid, cv FROM c$KMeansIters),
-         |acorp AS (SELECT vec_id, v, cid FROM (
+         |c AS MATERIALIZED (SELECT cid, cv FROM c$KMeansIters),
+         |acorp AS MATERIALIZED (SELECT vec_id, v, cid FROM (
          |    SELECT e.vec_id, e.v, c.cid,
          |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
          |                         ORDER BY ${dot("e.v", "c.cv")} DESC, c.cid) AS rn
          |    FROM e CROSS JOIN c) WHERE rn = 1),
-         |adelta AS (SELECT vec_id, v, cid, (vec_id % ${10 * k}) // 10 AS batch FROM (
+         |adelta AS MATERIALIZED (SELECT vec_id, v, cid, (vec_id % ${10 * k}) // 10 AS batch FROM (
          |    SELECT en.vec_id, en.v, c.cid,
          |      ROW_NUMBER() OVER (PARTITION BY en.vec_id
          |                         ORDER BY ${dot("en.v", "c.cv")} DESC, c.cid) AS rn
          |    FROM en CROSS JOIN c WHERE en.vec_id % 10 = 0) WHERE rn = 1),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE $AnnQueryPred),
-         |probes AS (SELECT query_id, qv, cid FROM (
+         |probes AS MATERIALIZED (SELECT query_id, qv, cid FROM (
          |    SELECT q.query_id, q.qv, c.cid,
          |      ROW_NUMBER() OVER (PARTITION BY q.query_id
          |                         ORDER BY ${dot("q.qv", "c.cv")} DESC, c.cid) AS rn
          |    FROM q CROSS JOIN c) WHERE rn <= 4),
-         |qt AS (SELECT unnest([$termsSqlList]) AS term)""".stripMargin
+         |qt AS MATERIALIZED (SELECT unnest([$termsSqlList]) AS term)""".stripMargin
     val perBatch = (0 until k).map { b =>
       s"""vis$b AS (SELECT vec_id, v, cid FROM acorp
          |  UNION ALL SELECT vec_id, v, cid FROM adelta WHERE batch <= $b),
@@ -308,7 +308,7 @@ object EvolveServe {
          |  WHERE doc_id % 10 <> 0 OR (doc_id % ${10 * k}) // 10 <= $b),
          |tok$b AS (SELECT doc_id, len(string_split(text,' ')) AS doclen,
          |               unnest(string_split(text,' ')) AS term FROM docs$b),
-         |post$b AS (SELECT doc_id, doclen, term, COUNT(*) AS tf FROM tok$b GROUP BY 1, 2, 3),
+         |post$b AS MATERIALIZED (SELECT doc_id, doclen, term, COUNT(*) AS tf FROM tok$b GROUP BY 1, 2, 3),
          |nn$b AS (SELECT COUNT(DISTINCT doc_id) AS n FROM post$b),
          |ad$b AS (SELECT AVG(doclen) AS avgdl FROM (SELECT DISTINCT doc_id, doclen FROM post$b)),
          |dft$b AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM post$b GROUP BY term),
@@ -352,27 +352,27 @@ object EvolveServe {
   private def cleanServeOracle(k: Int): String = {
     val dot = Ann.dotSql _
     val ivfShared =
-      s"""vcorp AS (SELECT vec_id, v FROM e WHERE vec_id % 10 <> 0),
+      s"""vcorp AS MATERIALIZED (SELECT vec_id, v FROM e WHERE vec_id % 10 <> 0),
          |c0 AS (SELECT vec_id AS cid, v AS cv FROM vcorp WHERE vec_id < $NumCentroids),
          |${(1 to KMeansIters).map(t => Ann.kmeansIterCte(t, "vcorp")).mkString(",\n")},
-         |c AS (SELECT cid, cv FROM c$KMeansIters),
-         |acorp AS (SELECT vec_id, v, cid FROM (
+         |c AS MATERIALIZED (SELECT cid, cv FROM c$KMeansIters),
+         |acorp AS MATERIALIZED (SELECT vec_id, v, cid FROM (
          |    SELECT x.vec_id, x.v, c.cid,
          |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
          |                         ORDER BY ${dot("x.v", "c.cv")} DESC, c.cid) AS rn
          |    FROM vcorp x CROSS JOIN c) WHERE rn = 1),
-         |adelta AS (SELECT vec_id, v, cid FROM (
+         |adelta AS MATERIALIZED (SELECT vec_id, v, cid FROM (
          |    SELECT x.vec_id, x.v, c.cid,
          |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
          |                         ORDER BY ${dot("x.v", "c.cv")} DESC, c.cid) AS rn
          |    FROM e x CROSS JOIN c WHERE x.vec_id % 10 = 0) WHERE rn = 1),
          |aq AS (SELECT vec_id AS query_id, v AS qv FROM vcorp WHERE $CleanServeAnnPred),
-         |probes AS (SELECT query_id, qv, cid FROM (
+         |probes AS MATERIALIZED (SELECT query_id, qv, cid FROM (
          |    SELECT aq.query_id, aq.qv, c.cid,
          |      ROW_NUMBER() OVER (PARTITION BY aq.query_id
          |                         ORDER BY ${dot("aq.qv", "c.cv")} DESC, c.cid) AS rn
          |    FROM aq CROSS JOIN c) WHERE rn <= 4),
-         |qt AS (SELECT unnest([$termsSqlList]) AS term)""".stripMargin
+         |qt AS MATERIALIZED (SELECT unnest([$termsSqlList]) AS term)""".stripMargin
     val perBatch = (0 until k).map { b =>
       s"""vis$b AS (SELECT a.vec_id, a.v, a.cid
          |  FROM (SELECT * FROM acorp UNION ALL SELECT * FROM adelta) a
@@ -390,7 +390,7 @@ object EvolveServe {
          |  JOIN idx${b + 1} i ON d.doc_id = i.doc_id),
          |stok$b AS (SELECT doc_id, len(string_split(text,' ')) AS doclen,
          |               unnest(string_split(text,' ')) AS term FROM docs$b),
-         |post$b AS (SELECT doc_id, doclen, term, COUNT(*) AS tf FROM stok$b GROUP BY 1, 2, 3),
+         |post$b AS MATERIALIZED (SELECT doc_id, doclen, term, COUNT(*) AS tf FROM stok$b GROUP BY 1, 2, 3),
          |nn$b AS (SELECT COUNT(DISTINCT doc_id) AS n FROM post$b),
          |ad$b AS (SELECT AVG(doclen) AS avgdl FROM (SELECT DISTINCT doc_id, doclen FROM post$b)),
          |dft$b AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM post$b GROUP BY term),

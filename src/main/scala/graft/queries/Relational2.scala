@@ -134,31 +134,18 @@ object Relational2 {
     // bounded by a single user's event count. Epoch-seconds output
     // (the a10/st_ house rule: raw timestamp columns don't round-trip
     // encodings portably; `CAST AS LONG` ≡ DuckDB floor(epoch())).
-    "j_asof_attrib" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .filter(col("event_type").isin("purchase", "click"))
-        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
-          when(col("event_type") === "purchase", lit(0)).otherwise(lit(1)).as("side"),
-          when(col("event_type") === "click", col("event_id")).as("c_id"),
-          when(col("event_type") === "click", col("ts")).as("c_ts"),
-          when(col("event_type") === "click", col("value")).as("c_value"))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("side"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ev.select(col("event_id"), col("user_id"), col("ts"), col("value"), col("side"),
-          last(col("c_id"), ignoreNulls = true).over(w).as("click_id"),
-          last(col("c_ts"), ignoreNulls = true).over(w).as("click_ts"),
-          last(col("c_value"), ignoreNulls = true).over(w).as("click_value"))
-        .filter(col("side") === 0)
-        .select(col("event_id").as("purchase_id"), col("user_id"),
-          col("ts").cast("long").as("purchase_ts_s"),
-          col("value").as("purchase_value"),
-          col("click_id"),
-          col("click_ts").cast("long").as("click_ts_s"),
-          (col("ts").cast("long") - col("click_ts").cast("long")).as("gap_s"),
-          (col("value") - col("click_value")).as("value_delta"))
-        .orderBy(col("purchase_id"))
-    }),
+    "j_asof_attrib" -> ((s, d) => asofAttrib(s, d, lookbackS = None)),
+
+    // Bounded-lookback as-of join: real attribution always carries a
+    // window (here 24 h) — a purchase whose most recent prior click is
+    // older than the bound stays UNattributed (all click fields NULL).
+    // Same single-shuffle union+window plan; the bound is one filter
+    // on the carried struct, applied AFTER the carry (the most recent
+    // prior click either qualifies or the purchase is unattributed —
+    // an older in-window click never resurrects it, which is the as-of
+    // semantics: nearest-prior, then bound).
+    "j_asof_attrib_win" -> ((s, d) =>
+      asofAttrib(s, d, lookbackS = Some(24L * 3600))),
 
     // PIVOT: order counts status × priority — Spark's dedicated
     // RelationalGroupedDataset.pivot with a pinned value list (required
@@ -299,6 +286,80 @@ object Relational2 {
     })
   )
 
+  /** The as-of attribution body shared by `j_asof_attrib` (unbounded)
+    * and `j_asof_attrib_win` (lookback-bounded). The three attributed
+    * fields ride ONE carried struct (r13 ADVICE: three independent
+    * last(ignoreNulls) windows could mix fields across click rows if
+    * any field were NULL on a click row — the struct is null exactly
+    * on non-click rows, so id/ts/value always come from the same
+    * click). `lookbackS = Some(T)` null-outs the attribution when the
+    * nearest prior click is older than T seconds. */
+  private def asofAttrib(s: SparkSession, d: String,
+      lookbackS: Option[Long]): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        when(col("event_type") === "purchase", lit(0)).otherwise(lit(1)).as("side"),
+        when(col("event_type") === "click",
+          struct(col("event_id").as("c_id"), col("ts").as("c_ts"),
+            col("value").as("c_value"))).as("clk"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = ev
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"), col("side"),
+        last(col("clk"), ignoreNulls = true).over(w).as("clk"))
+      .filter(col("side") === 0)
+    val bounded = lookbackS match {
+      case Some(t) => carried.select(
+        col("event_id"), col("user_id"), col("ts"), col("value"),
+        when(col("ts").cast("long") - col("clk.c_ts").cast("long") <= t,
+          col("clk")).as("clk"))
+      case None => carried
+    }
+    bounded
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").cast("long").as("purchase_ts_s"),
+        col("value").as("purchase_value"),
+        col("clk.c_id").as("click_id"),
+        col("clk.c_ts").cast("long").as("click_ts_s"),
+        (col("ts").cast("long") - col("clk.c_ts").cast("long")).as("gap_s"),
+        (col("value") - col("clk.c_value")).as("value_delta"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** The as-of oracle, mirroring [[asofAttrib]]'s struct carry: one
+    * LAST_VALUE(struct IGNORE NULLS) — the struct is null exactly on
+    * non-click rows — unpacked after the optional lookback filter. */
+  private def asofOracle(lookbackS: Option[Long]): String = {
+    val bound = lookbackS
+      .map(t => s"CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - " +
+        s"CAST(floor(epoch((clk0).c_ts)) AS BIGINT) <= $t THEN clk0 END")
+      .getOrElse("clk0")
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, ts, value,
+       |    CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS side,
+       |    CASE WHEN event_type = 'click' THEN
+       |      struct_pack(c_id := event_id, c_ts := ts, c_value := value) END AS clk
+       |  FROM events WHERE event_type IN ('purchase', 'click')),
+       |f AS (
+       |  SELECT event_id, user_id, ts, value, side,
+       |    LAST_VALUE(clk IGNORE NULLS) OVER w AS clk0
+       |  FROM ev
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |g AS (SELECT event_id, user_id, ts, value, $bound AS clk
+       |      FROM f WHERE side = 0)
+       |SELECT event_id AS purchase_id, user_id,
+       |  CAST(floor(epoch(ts)) AS BIGINT) AS purchase_ts_s,
+       |  value AS purchase_value,
+       |  (clk).c_id AS click_id,
+       |  CAST(floor(epoch((clk).c_ts)) AS BIGINT) AS click_ts_s,
+       |  CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch((clk).c_ts)) AS BIGINT) AS gap_s,
+       |  value - (clk).c_value AS value_delta
+       |FROM g ORDER BY purchase_id""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "a_rollup" ->
       """SELECT l_returnflag, l_linestatus,
@@ -361,30 +422,8 @@ object Relational2 {
         |FROM orders WHERE o_custkey < 200
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
-    "j_asof_attrib" ->
-      """WITH ev AS (
-        |  SELECT event_id, user_id, ts, value,
-        |    CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS side,
-        |    CASE WHEN event_type = 'click' THEN event_id END AS c_id,
-        |    CASE WHEN event_type = 'click' THEN ts END AS c_ts,
-        |    CASE WHEN event_type = 'click' THEN value END AS c_value
-        |  FROM events WHERE event_type IN ('purchase', 'click')),
-        |f AS (
-        |  SELECT event_id, user_id, ts, value, side,
-        |    LAST_VALUE(c_id IGNORE NULLS) OVER w AS click_id,
-        |    LAST_VALUE(c_ts IGNORE NULLS) OVER w AS click_ts,
-        |    LAST_VALUE(c_value IGNORE NULLS) OVER w AS click_value
-        |  FROM ev
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
-        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |SELECT event_id AS purchase_id, user_id,
-        |  CAST(floor(epoch(ts)) AS BIGINT) AS purchase_ts_s,
-        |  value AS purchase_value,
-        |  click_id,
-        |  CAST(floor(epoch(click_ts)) AS BIGINT) AS click_ts_s,
-        |  CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(click_ts)) AS BIGINT) AS gap_s,
-        |  value - click_value AS value_delta
-        |FROM f WHERE side = 0 ORDER BY purchase_id""".stripMargin,
+    "j_asof_attrib" -> asofOracle(lookbackS = None),
+    "j_asof_attrib_win" -> asofOracle(lookbackS = Some(24L * 3600)),
     "a_pivot" ->
       """SELECT o_orderstatus,
         |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1,
