@@ -99,22 +99,32 @@ object Sq8PoolSweep {
           topSet(Ann.sq8TopKFor(spark, d, pool, prune = true, queryPred)))
         // The PQ routes (round 13) priced on the same geometry: stage 1
         // reads 8 stored bytes/vector instead of SQ8's 64 — the recall
-        // delta vs SQ8 at each pool is the cost of that 8×.
+        // delta vs SQ8 at each pool is the cost of that 8×. Round 14
+        // adds the RESIDUAL route (codes v − centroid at the same 8
+        // bytes — the fixed-pool recall answer).
         val (pqFlat, pqFlatSec) = swept(
-          topSet(graft.queries.AnnPq.pqTopKFor(spark, d, pool, prune = false, queryPred)))
+          topSet(graft.queries.AnnPq.pqTopKFor(spark, d, pool, prune = false,
+            queryPred = queryPred)))
         val (pqIvf, pqIvfSec) = swept(
-          topSet(graft.queries.AnnPq.pqTopKFor(spark, d, pool, prune = true, queryPred)))
+          topSet(graft.queries.AnnPq.pqTopKFor(spark, d, pool, prune = true,
+            queryPred = queryPred)))
+        val (pqr, pqrSec) = swept(
+          topSet(graft.queries.AnnPq.pqTopKFor(spark, d, pool, prune = true,
+            residual = true, queryPred = queryPred)))
         val rFlat = (flat & truth).size.toDouble / truthN
         val rIvf = (ivf & truth).size.toDouble / truthN
         val rPq = (pqFlat & truth).size.toDouble / truthN
         val rPqIvf = (pqIvf & truth).size.toDouble / truthN
+        val rPqr = (pqr & truth).size.toDouble / truthN
         System.err.println(s"[sq8] $d pool=$pool recall=${f(rFlat)} " +
           s"(${f(flatSec)}s) recall_ivf=${f(rIvf)} (${f(ivfSec)}s) " +
-          s"recall_pq=${f(rPq)} (${f(pqFlatSec)}s) recall_ivf_pq=${f(rPqIvf)} (${f(pqIvfSec)}s)")
+          s"recall_pq=${f(rPq)} (${f(pqFlatSec)}s) recall_ivf_pq=${f(rPqIvf)} (${f(pqIvfSec)}s) " +
+          s"recall_ivf_pqr=${f(rPqr)} (${f(pqrSec)}s)")
         s""""$pool":{"recall":${f(rFlat)},"sec":${f(flatSec)},""" +
           s""""recall_ivf":${f(rIvf)},"sec_ivf":${f(ivfSec)},""" +
           s""""recall_pq":${f(rPq)},"sec_pq":${f(pqFlatSec)},""" +
-          s""""recall_ivf_pq":${f(rPqIvf)},"sec_ivf_pq":${f(pqIvfSec)}}"""
+          s""""recall_ivf_pq":${f(rPqIvf)},"sec_ivf_pq":${f(pqIvfSec)},""" +
+          s""""recall_ivf_pqr":${f(rPqr)},"sec_ivf_pqr":${f(pqrSec)}}"""
       }.mkString("{", ",", "}")
       done = done :+
         s""""$d":{"vectors":$nVecs,"truth_sec":${f(truthSec)},"by_pool":$poolRows}"""

@@ -9,14 +9,15 @@ import graft.functions.{DotProduct, VectorOps}
 /** Product-quantization ANN (`ann_pq`) — the rung BELOW SQ8 on the
   * quantized-serving memory ladder: where SQ8 keeps one int8 PER
   * DIMENSION (64 bytes/vector), PQ keeps one 4-bit centroid id per
-  * 4-dim subspace — 16 codes, 8 packed bytes/vector, 8× smaller than
-  * SQ8 and 64× smaller than the float64 vectors: the shape a 100 TB
-  * vector store serves from when even int8 codes don't fit the
-  * serving fleet's RAM. Geometry, training discipline, and the
-  * measured subspace-sizing rationale live in [[PqCodec]]; the codes
-  * are PERSISTED in the IVF vector table (`pc` column, derived once
-  * at build/append/retrain — never at query time) and the codebooks
-  * ride the index handle like the IVF centroids.
+  * 4-dim subspace — 16 codes packed into ONE BIGINT (8 bytes/vector,
+  * 8× smaller than SQ8 and 64× smaller than the float64 vectors): the
+  * shape a 100 TB vector store serves from when even int8 codes don't
+  * fit the serving fleet's RAM. Geometry, training discipline, and the
+  * measured subspace-sizing rationale live in [[PqCodec]]; the code
+  * words are PERSISTED in the IVF vector table (`pc` plain / `prc`
+  * residual, derived once at build/append/retrain — never at query
+  * time) and the codebooks ride the index handle like the IVF
+  * centroids.
   *
   * Query shape: stage 1 is ADC (asymmetric distance computation) —
   * the query side stays exact-float: a 16×16 per-query lookup table
@@ -25,20 +26,32 @@ import graft.functions.{DotProduct, VectorOps}
   * arithmetic in any order (quantizing an approximation loses
   * nothing — the rerank is exact-float anyway). The whole LUT rides
   * each query row as one dense integer ARRAY column, so the corpus is
-  * scored in one pass over the stored codes with a single fused
-  * projection — 16 O(1) array reads + an integer sum per (vector,
-  * query); no shuffle join, no float reads (both plan-pinned by
-  * AnnPqSpec) — keeping
-  * `Pool` candidates per query; stage 2 reranks only those with the
-  * exact float cosine via the candidate-id IN list (the sq8 idiom),
-  * so float bytes move for ~Pool rows per query, never the corpus.
+  * scored in one pass over the stored code words with a single fused
+  * projection — 16 shift-and-mask code extractions + O(1) array reads
+  * + an integer sum per (vector, query); no shuffle join, no float
+  * reads (both plan-pinned by AnnPqSpec) — keeping `Pool` candidates
+  * per query; stage 2 reranks only those with the exact float cosine
+  * via the candidate-id IN list (the sq8 idiom), so float bytes move
+  * for ~Pool rows per query, never the corpus.
   *
-  * The DuckDB oracle replays everything from the raw embeddings:
+  * `ann_ivf_pqr` (round 14) is the RESIDUAL-coded production rung —
+  * the standard answer (Jégou et al. 2011 §IV) to the measured
+  * fixed-pool recall decay of plain PQ (0.70 @ 2k → 0.36 @ 128k at
+  * pool 50, BENCH_sq8.json): code r = v − centroid(cid) instead of v.
+  * Residual magnitudes are a fraction of vector magnitudes, so the
+  * same 16×4-bit budget quantizes far more finely, and
+  * dot(q, v) = dot(q, c_cid) + dot(q, r) splits into an exact
+  * per-(query, probed-centroid) term — already computed by the probe
+  * selection — plus the residual ADC sum: both integer-quantized, so
+  * the composed score stays exact integer arithmetic.
+  *
+  * The DuckDB oracles replay everything from the raw embeddings:
   * all 16 per-subspace k-means chains (deterministic — see
-  * [[PqCodec]]), code assignment (stored ≡ recomputed), the
-  * integer-quantized LUT, the exact integer score sum, and the
-  * fold-exact rerank. Query cohort 4N ≤ vec_id < 5N (20–24) — its
-  * own, disjoint from every other ANN gate's.
+  * [[PqCodec]]), code assignment (stored ≡ recomputed — the packed
+  * BIGINT is just a layout), the integer-quantized LUT, the exact
+  * integer score sum, and the fold-exact rerank. Query cohorts are
+  * disjoint per gate: `ann_pq` [20, 25), `ann_ivf_pq` [25, 30),
+  * `ann_ivf_pqr` [30, 35).
   */
 object AnnPq {
 
@@ -53,42 +66,41 @@ object AnnPq {
   private val QHi = 25
   private val QLo2 = 25 // ann_ivf_pq query cohort [25, 30)
   private val QHi2 = 30
+  private val QLo3 = 30 // ann_ivf_pqr query cohort [30, 35)
+  private val QHi3 = 35
 
   private def corpusIdx(s: SparkSession, d: String): IvfIndex.Index = {
     DotProduct.register(s)
     Ann.corpusIdx(s, d)
   }
 
-  /** Stage 1 (pre-checkpoint): the per-query integer LUT array off the
-    * handle's codebooks, one fused pass over the STORED code column,
-    * per-query top-Pool — exposed so AnnPqSpec can pin that the
-    * scoring pass contains no shuffle join and never reads the float
-    * column. Returns (candidates, queries). */
-  private[graft] def pqCands(s: SparkSession, d: String,
-      queryPred: Column, prune: Boolean = false,
-      pool: Int = Pool): (DataFrame, DataFrame) = {
-    val idx = corpusIdx(s, d)
-    val books = idx.pqBooks.getOrElse(sys.error(
-      "the corpus ANN index must carry PQ codebooks (Ann.corpusIdx builds pq = true)"))
+  private def booksOf(idx: IvfIndex.Index): IvfIndex.Books =
+    idx.pqBooks.getOrElse(sys.error(
+      "the corpus ANN index must carry PQ codebooks (Ann.corpusIdx builds " +
+        "pq = true; a degenerate corpus degrades the build to pq-less — " +
+        "see IvfIndex.trainBooks)"))
 
-    // Queries read their floats back from the index table (doubles
-    // round-trip parquet exactly) and checkpoint — queries × 1 rows.
-    val q = idx.assigned.filter(queryPred)
+  /** Checkpointed query frame: floats read back from the index table
+    * (doubles round-trip parquet exactly) — queries × 1 rows. */
+  private def queryFrame(idx: IvfIndex.Index, queryPred: Column): DataFrame =
+    idx.assigned.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
       .localCheckpoint()
 
-    // ADC lookup table, ONE dense array per query indexed sub·K + cid,
-    // each part integer-quantized. The whole table rides the query
-    // row, so the corpus pass is a SINGLE fused projection — M O(1)
-    // array reads + an exact integer sum per (vector, query) — instead
-    // of M broadcast hash joins (the first cut; 68 s vs SQ8's 7 s at
-    // 128k vectors: 16 join-probe row materializations per pair lose
-    // to one codegen'd expression; a MAP column is no better — Spark's
-    // MapData lookup is a linear scan, 16×256 key comparisons per
-    // pair). Positional indexing REQUIRES a dense M×K codebook —
-    // guaranteed ONCE at train time (PqCodec.train fails loudly on an
-    // empty Lloyd cell), so no per-query re-check is needed here.
-    val lutArr = q.crossJoin(broadcast(books))
+  /** ADC lookup table over `books`, ONE dense array per query indexed
+    * sub·K + cid, each part integer-quantized. The whole table rides
+    * the query row, so the corpus pass is a SINGLE fused projection —
+    * M shift-and-masks + array reads + an exact integer sum per
+    * (vector, query) — instead of M broadcast hash joins (the first
+    * cut; 68 s vs SQ8's 7 s at 128k vectors: 16 join-probe row
+    * materializations per pair lose to one codegen'd expression; a MAP
+    * column is no better — Spark's MapData lookup is a linear scan,
+    * 16×256 key comparisons per pair). Positional indexing REQUIRES a
+    * dense M×K codebook — guaranteed ONCE at train time
+    * (PqCodec.train fails loudly on an empty Lloyd cell), so no
+    * per-query re-check is needed here. */
+  private def lutFrame(q: DataFrame, books: DataFrame): DataFrame =
+    q.crossJoin(broadcast(books))
       .select(col("query_id"),
         (col("sub").cast("long") * PqK + col("cid")).as("lk"),
         floor(VectorOps.dot(
@@ -99,46 +111,80 @@ object AnnPq {
         array_sort(collect_list(struct(col("lk"), col("part")))),
         x => x.getField("part")).as("lut"))
 
-    // score = Σ_m lut[m·K + pc[m]] — exact integers, order-free.
-    val scoreExpr = expr((0 until M)
-      .map(m => s"element_at(lut, ${m * PqK} + CAST(pc[$m] AS INT) + 1)")
-      .mkString(" + "))
+  /** score = Σ_m lut[m·K + code_m(pcCol)] — exact integers, order-free;
+    * code m unpacks from the stored BIGINT word with shift-and-mask
+    * (all inside whole-stage codegen). */
+  private def adcScore(pcCol: String): Column = expr((0 until M)
+    .map(m => s"element_at(lut, ${m * PqK} + ${PqCodec.unpackSql(pcCol, m)} + 1)")
+    .mkString(" + "))
 
-    // The (vec_id, pc, query_id, lut) scoring base. Unpruned: one scan
-    // of (vec_id, pc) — the 8-byte store — × the per-query LUT
-    // broadcast. Pruned (ann_ivf_pq): the ann_ivf probe selection
-    // picks NProbe centroids per query, the literal cid IN list
-    // bucket-PRUNES the scan (SelectedBucketsCount — a broadcast join
-    // never prunes), and the probes broadcast restricts each query's
-    // scoring to its own probed buckets. Either way: never the floats.
-    val base =
-      if (!prune)
+  /** Top-NProbe probed centroids per query, CARRYING the exact query ×
+    * centroid dot — both the prune set and (integer-quantized, as
+    * `qc`) the residual route's dot(q, c_cid) score term. */
+  private def probeFrame(q: DataFrame, idx: IvfIndex.Index): DataFrame = {
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("cid"))
+    q.crossJoin(broadcast(idx.centroids))
+      .select(col("query_id"), col("cid"),
+        expr("graft_dot(qv, cv)").as("qcos"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= Ann.NProbe)
+      .select(col("query_id"), col("cid"),
+        floor(col("qcos") * QuantScale + 0.5).cast("long").as("qc"))
+      .localCheckpoint()
+  }
+
+  /** The literal probed-cid IN list — bucket-PRUNES the assigned scan
+    * (SelectedBucketsCount; a broadcast join never prunes). */
+  private def probedCidFilter(probes: DataFrame): Column = {
+    val cids = probes.select(col("cid").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    col("cid").isin(cids.toIndexedSeq: _*)
+  }
+
+  /** Stage 1 (pre-checkpoint): the per-query integer LUT array off the
+    * handle's codebooks, one fused pass over the STORED code column,
+    * per-query top-Pool — exposed so AnnPqSpec can pin that the
+    * scoring pass contains no shuffle join and never reads the float
+    * column. Returns (candidates, queries). `mode`: Plain scans the
+    * whole code store; Pruned composes the ann_ivf probe selection in
+    * front; Residual additionally scores dot(q,c_cid) + residual ADC
+    * off the `prc` words. */
+  private[graft] def pqCands(s: SparkSession, d: String,
+      queryPred: Column, prune: Boolean = false,
+      pool: Int = Pool, residual: Boolean = false): (DataFrame, DataFrame) = {
+    val idx = corpusIdx(s, d)
+    val books = booksOf(idx)
+    val q = queryFrame(idx, queryPred)
+    val lutArr = lutFrame(q, if (residual) books.residual else books.plain)
+
+    // The (vec_id, code-word, query_id, lut) scoring base. Unpruned:
+    // one scan of (vec_id, pc) — the 8-byte store — × the per-query
+    // LUT broadcast. Pruned: the probe selection picks NProbe
+    // centroids per query, the literal cid IN list bucket-PRUNES the
+    // scan, and the probes broadcast restricts each query's scoring to
+    // its own probed buckets. Either way: never the floats.
+    val scored =
+      if (!prune && !residual)
         idx.assigned.select(col("vec_id"), col("pc"))
           .crossJoin(broadcast(lutArr))
+          .select(col("query_id"), col("vec_id"), adcScore("pc").as("score"))
       else {
-        val wProbe = Window.partitionBy(col("query_id"))
-          .orderBy(col("qcos").desc, col("cid"))
-        val probes = q.crossJoin(broadcast(idx.centroids))
-          .select(col("query_id"), col("cid"),
-            expr("graft_dot(qv, cv)").as("qcos"))
-          .withColumn("rn", row_number().over(wProbe))
-          .filter(col("rn") <= Ann.NProbe)
-          .select(col("query_id"), col("cid"))
-          .localCheckpoint()
-        val probedCids = probes.select(col("cid").cast("long")).distinct()
-          .collect().map(_.getLong(0)).sorted
-        idx.assigned.filter(col("cid").isin(probedCids.toIndexedSeq: _*))
-          .select(col("vec_id"), col("cid"), col("pc"))
+        val probes = probeFrame(q, idx)
+        val codeCol = if (residual) "prc" else "pc"
+        val base = idx.assigned.filter(probedCidFilter(probes))
+          .select(col("vec_id"), col("cid"), col(codeCol))
           .join(broadcast(probes), Seq("cid"))
           .join(broadcast(lutArr), Seq("query_id"))
-          .drop("cid")
+        val scoreCol =
+          if (residual) col("qc") + adcScore(codeCol) else adcScore(codeCol)
+        base.select(col("query_id"), col("vec_id"), scoreCol.as("score"))
       }
 
     val wCand = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))
-    val cands = base
+    val cands = scored
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), scoreExpr.as("score"))
       .withColumn("crank", row_number().over(wCand))
       .filter(col("crank") <= pool)
       .select(col("query_id"), col("vec_id"))
@@ -146,12 +192,12 @@ object AnnPq {
   }
 
   /** The two-stage PQ top-K over `queryPred`'s cohort — shared by the
-    * gate and [[AnnPqSpec]]'s recall check. */
+    * gates and [[AnnPqSpec]]'s recall checks. */
   private[graft] def pqTopK(s: SparkSession, d: String,
       queryPred: Column, prune: Boolean = false,
-      pool: Int = Pool): DataFrame = {
+      pool: Int = Pool, residual: Boolean = false): DataFrame = {
     val idx = corpusIdx(s, d)
-    val (cands0, q) = pqCands(s, d, queryPred, prune, pool)
+    val (cands0, q) = pqCands(s, d, queryPred, prune, pool, residual)
     val cands = cands0.localCheckpoint()
 
     // Stage 2: exact rerank — float vectors attached for the collected
@@ -179,10 +225,10 @@ object AnnPq {
     * stated once here so a future cohort re-shuffle can't desync a
     * copy (the sq8TopKFor idiom). */
   private[graft] def pqTopKFor(s: SparkSession, d: String, pool: Int,
-      prune: Boolean = false,
+      prune: Boolean = false, residual: Boolean = false,
       queryPred: Column =
         col("vec_id") >= QLo && col("vec_id") < QHi): DataFrame =
-    pqTopK(s, d, queryPred, prune, pool)
+    pqTopK(s, d, queryPred, prune, pool, residual)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_pq" -> ((s, d) =>
@@ -191,7 +237,7 @@ object AnnPq {
     // The composed IVF+PQ production stack — the PQ twin of
     // ann_ivf_sq8: IVF bucket-prune (literal cid IN list, so the scan
     // reads only nprobe/centroids of the corpus off disk), the 4-bit
-    // ADC rank within the probed buckets (stored codes, broadcast
+    // ADC rank within the probed buckets (stored code words, broadcast
     // LUTs), then the exact float rerank over the candidate IN list.
     // Each stage is already-gated machinery (ann_ivf's probe
     // selection; ann_pq's integer ADC and fold rerank), so the oracle
@@ -199,7 +245,14 @@ object AnnPq {
     // its own, like every ANN gate.
     "ann_ivf_pq" -> ((s, d) =>
       pqTopK(s, d, col("vec_id") >= QLo2 && col("vec_id") < QHi2,
-        prune = true)))
+        prune = true)),
+
+    // RESIDUAL IVF-PQ — same probe/prune/rerank plan as ann_ivf_pq
+    // with the residual code words and the dot(q, c_cid) + residual
+    // ADC composed score. Query cohort 30≤vec_id<35.
+    "ann_ivf_pqr" -> ((s, d) =>
+      pqTopK(s, d, col("vec_id") >= QLo3 && col("vec_id") < QHi3,
+        prune = true, residual = true)))
 
   // ---------------------------------------------------------------- oracle
 
@@ -212,73 +265,89 @@ object AnnPq {
   private def dotSubSql(a: String, ao: Int, b: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, $SubDim), i -> $a[${ao} + i] * $b[i])), (x,y) -> x + y)"
 
-  /** The per-subspace chain: seed → PqIters × (assign, quantized mean)
-    * → final codes + query LUT. Prefix p{m}; subvectors are indexed in
-    * place off `e.v` (no slice materialization). */
-  private def subChain(m: Int): String = {
+  /** The per-subspace chain over source CTE `src` (vec_id, v — the
+    * normalized vectors for plain PQ, the residuals for pqr):
+    * seed → PqIters × (assign, quantized mean) → final codes + query
+    * LUT (always over the RAW query vector — ADC decodes in data
+    * space). Prefix p{m}; subvectors are indexed in place off
+    * `$src.v` (no slice materialization). MATERIALIZED hints on the
+    * multiply-referenced chain links (see Dedup.jaccardCtes). */
+  private def subChain(m: Int, src: String = "e"): String = {
     val o = m * SubDim
     val seed =
       s"""p${m}c0 AS (SELECT vec_id AS cid,
          |    list_transform(generate_series(1, $SubDim), i -> v[$o + i]) AS cv
-         |  FROM e WHERE vec_id < $PqK)""".stripMargin
+         |  FROM $src WHERE vec_id < $PqK)""".stripMargin
     val iters = (1 to PqIters).map { t =>
-      s"""p${m}a$t AS (SELECT vec_id, cid FROM (
+      s"""p${m}a$t AS MATERIALIZED (SELECT vec_id, cid FROM (
          |    SELECT e.vec_id, c.cid,
          |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
          |                         ORDER BY ${l2Sql("e.v", o, "c.cv")} ASC, c.cid) AS rn
-         |    FROM e CROSS JOIN p${m}c${t - 1} c) WHERE rn = 1),
+         |    FROM $src AS e CROSS JOIN p${m}c${t - 1} c) WHERE rn = 1),
          |p${m}s$t AS (SELECT a.cid, i AS dim,
          |          SUM(CAST(floor(e.v[$o + i] * ${QuantScale.toLong}.0 + 0.5) AS BIGINT)) AS sq,
          |          COUNT(*) AS n
-         |        FROM p${m}a$t a JOIN e USING (vec_id)
+         |        FROM p${m}a$t a JOIN $src AS e USING (vec_id)
          |        CROSS JOIN generate_series(1, $SubDim) t(i) GROUP BY a.cid, i),
-         |p${m}c$t AS (SELECT cid,
+         |p${m}c$t AS MATERIALIZED (SELECT cid,
          |          list(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / ${QuantScale.toLong}.0 ORDER BY dim) AS cv
          |        FROM p${m}s$t GROUP BY cid)""".stripMargin
     }.mkString(",\n")
     val finals =
-      s"""pcode$m AS (SELECT vec_id, cid AS code$m FROM (
+      s"""pcode$m AS MATERIALIZED (SELECT vec_id, cid AS code$m FROM (
          |    SELECT e.vec_id, c.cid,
          |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
          |                         ORDER BY ${l2Sql("e.v", o, "c.cv")} ASC, c.cid) AS rn
-         |    FROM e CROSS JOIN p${m}c$PqIters c) WHERE rn = 1),
-         |plut$m AS (SELECT q.query_id, c.cid,
+         |    FROM $src AS e CROSS JOIN p${m}c$PqIters c) WHERE rn = 1),
+         |plut$m AS MATERIALIZED (SELECT q.query_id, c.cid,
          |    CAST(floor(${dotSubSql("q.qv", o, "c.cv")} * ${QuantScale.toLong}.0 + 0.5) AS BIGINT) AS part
          |  FROM qids q CROSS JOIN p${m}c$PqIters c)""".stripMargin
     Seq(seed, iters, finals).mkString(",\n")
   }
 
+  /** The ann_ivf probe chain (same-seed spherical k-means + top-NProbe
+    * probe selection carrying the quantized query×centroid dot). */
+  private def ivfChainSql: String =
+    s"""c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < ${Ann.NumCentroids}),
+       |${(1 to Ann.KMeansIters).map(t => Ann.kmeansIterCte(t)).mkString(",\n")},
+       |c AS MATERIALIZED (SELECT cid, cv FROM c${Ann.KMeansIters}),
+       |ivfassigned AS MATERIALIZED (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                         ORDER BY ${Ann.dotSql("e.v", "c.cv")} DESC, c.cid) AS rn
+       |    FROM e CROSS JOIN c) WHERE rn = 1),
+       |probes AS MATERIALIZED (
+       |  SELECT query_id, cid, CAST(floor(qcos * ${QuantScale.toLong}.0 + 0.5) AS BIGINT) AS qc
+       |  FROM (
+       |    SELECT q.query_id, c.cid, ${Ann.dotSql("q.qv", "c.cv")} AS qcos,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |                         ORDER BY ${Ann.dotSql("q.qv", "c.cv")} DESC, c.cid) AS rn
+       |    FROM qids q CROSS JOIN c) WHERE rn <= ${Ann.NProbe})""".stripMargin
+
   /** The full two-stage PQ oracle over cohort [qLo, qHi); `prune`
-    * composes the ann_ivf probe chain (same-seed spherical k-means +
-    * top-NProbe probe selection) in front of the ADC scoring, exactly
-    * as the Spark route restricts scoring to the probed buckets. */
-  private def pqOracle(qLo: Int, qHi: Int, prune: Boolean): String = {
-    val chains = (0 until M).map(subChain).mkString(",\n")
-    val codeJoins = (1 until M)
-      .map(m => s"JOIN pcode$m x$m USING (vec_id)").mkString(" ")
+    * composes the ann_ivf probe chain in front of the ADC scoring,
+    * exactly as the Spark route restricts scoring to the probed
+    * buckets; `residual` trains/codes over the residual CTE and adds
+    * the quantized dot(q, c_cid) probe term to the score. */
+  private def pqOracle(qLo: Int, qHi: Int, prune: Boolean,
+      residual: Boolean = false): String = {
+    val src = if (residual) "res" else "e"
+    val chains = (0 until M).map(m => subChain(m, src)).mkString(",\n")
     val lutJoins = (0 until M)
       .map(m => s"JOIN plut$m l$m ON l$m.query_id = q.query_id AND l$m.cid = x$m.code$m")
       .mkString("\n  ")
-    val scoreSum = (0 until M).map(m => s"l$m.part").mkString(" + ")
-    val ivfChain = if (!prune) "" else
+    val adcSum = (0 until M).map(m => s"l$m.part").mkString(" + ")
+    val scoreSum = if (residual) s"pr.qc + $adcSum" else adcSum
+    val ivfChain = if (!prune) "" else s",\n$ivfChainSql"
+    val resCte = if (!residual) "" else
       s""",
-         |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < ${Ann.NumCentroids}),
-         |${(1 to Ann.KMeansIters).map(t => Ann.kmeansIterCte(t)).mkString(",\n")},
-         |c AS (SELECT cid, cv FROM c${Ann.KMeansIters}),
-         |ivfassigned AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT e.vec_id, c.cid,
-         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |                         ORDER BY ${Ann.dotSql("e.v", "c.cv")} DESC, c.cid) AS rn
-         |    FROM e CROSS JOIN c) WHERE rn = 1),
-         |probes AS (
-         |  SELECT query_id, cid FROM (
-         |    SELECT q.query_id, c.cid,
-         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
-         |                         ORDER BY ${Ann.dotSql("q.qv", "c.cv")} DESC, c.cid) AS rn
-         |    FROM qids q CROSS JOIN c) WHERE rn <= ${Ann.NProbe})""".stripMargin
+         |res AS MATERIALIZED (SELECT a.vec_id,
+         |    list_transform(generate_series(1, 64), i -> e.v[i] - c.cv[i]) AS v
+         |  FROM ivfassigned a JOIN e USING (vec_id) JOIN c ON a.cid = c.cid)""".stripMargin
     val scoredFrom = if (!prune)
-      s"""  FROM pcode0 x0 $codeJoins
+      s"""  FROM pcode0 x0 ${(1 until M)
+          .map(m => s"JOIN pcode$m x$m USING (vec_id)").mkString(" ")}
          |  CROSS JOIN qids q""".stripMargin
     else {
       // Explicit ON joins: USING(vec_id) is ambiguous once ax is in
@@ -291,8 +360,8 @@ object AnnPq {
          |  JOIN pcode0 x0 ON x0.vec_id = ax.vec_id $codeJoinsOn""".stripMargin
     }
     s"""WITH ${Ann.normCte},
-       |qids AS (SELECT vec_id AS query_id, v AS qv FROM e
-       |         WHERE vec_id >= $qLo AND vec_id < $qHi)$ivfChain,
+       |qids AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM e
+       |         WHERE vec_id >= $qLo AND vec_id < $qHi)$ivfChain$resCte,
        |$chains,
        |scored AS (
        |  SELECT q.query_id, x0.vec_id, $scoreSum AS score
@@ -318,5 +387,6 @@ object AnnPq {
 
   def oracles: Map[String, String] = Map(
     "ann_pq" -> pqOracle(QLo, QHi, prune = false),
-    "ann_ivf_pq" -> pqOracle(QLo2, QHi2, prune = true))
+    "ann_ivf_pq" -> pqOracle(QLo2, QHi2, prune = true),
+    "ann_ivf_pqr" -> pqOracle(QLo3, QHi3, prune = true, residual = true))
 }

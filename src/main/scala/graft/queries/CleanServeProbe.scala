@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Stage budget for the composed clean+serve closure (r13 VERDICT #2:
+  * `pipe_incr_clean_serve` cost 58.1 s p50 at sf0.1 — 30% of the whole
+  * 120-query bench — with no scan/shuffle anti-pattern in the plan, so
+  * the suspicion is JOB COUNT: 5 branch probes+appends + 2 serve
+  * answers + eager checkpoints per batch). This main itemizes ONE
+  * batch (delta/3, the gate's K=3 shape) stage by stage on fresh
+  * branches, then prices the whole gate, so the optimization work has
+  * a measured target instead of a guess.
+  *
+  *   SPARK_GRAFT_SF_DIR=<dir> sbt "runMain graft.queries.CleanServeProbe"
+  *
+  * Prints one JSON line (`CLEAN_SERVE_BUDGET.json` via shell
+  * redirection). Protocol: p50 of SPARK_GRAFT_PROBE_ROUNDS (default 3)
+  * fully-materialized gate rounds, per-round orphan unpersist (the
+  * Bench discipline); the stage budget is a diagnostic decomposition
+  * of one batch, not a sum.
+  */
+object CleanServeProbe {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_PROBE_ROUNDS", "3").toInt
+    val spark = Tables.configure(SparkSession.builder())
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def mat(df: DataFrame): Long = df.queryExecution.toRdd.count()
+    def timeOnce[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = body; (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // Untimed: all five shared base indexes (the bench-setup shape).
+    val (_, buildSec) = timeOnce {
+      graft.SparkEntry.benchSetup(spark, sfDir, Set("pipe_incr_clean_serve"))
+    }
+
+    // Stage budget for ONE batch (batch 0 of K=3) on fresh branches.
+    val budgetJson = {
+      val mhB = Dedup.incrIndex(spark, sfDir).branch()
+      val dgB = Dedup.digestIndex(spark, sfDir).branch()
+      val emB = Dedup.embedIndex(spark, sfDir).branch()
+      var poB = EvolveServe.servePostings(spark, sfDir).branch()
+      val ivB = EvolveServe.serveIvf(spark, sfDir).branch()
+      try {
+        graft.util.CheckpointHygiene.scoped(spark, blocking = true) {
+          val batch = Tables.documents(spark, sfDir)
+            .filter(pmod(col("doc_id"), lit(30)) === 0).localCheckpoint()
+          val nDocs = batch.count()
+          val batchVecs = Tables.embeddings(spark, sfDir)
+            .filter(pmod(col("vec_id"), lit(30)) === 0)
+            .select(col("vec_id"), col("embedding")).localCheckpoint()
+          val (ledger, ledgerSec) = timeOnce {
+            CorpusClean.incrLedger(spark, batch, dgB, mhB,
+              Some((emB, batchVecs))).localCheckpoint()
+          }
+          val acceptedIds = ledger.filter(col("keep")).select(col("doc_id"))
+          val (accepted, accSec) = timeOnce {
+            batch.join(acceptedIds, "doc_id")
+              .select(col("doc_id"), col("text")).localCheckpoint()
+          }
+          val nKept = accepted.count()
+          val (acceptedVecs, accVecSec) = timeOnce {
+            batchVecs.join(acceptedIds.select(col("doc_id").as("vec_id")),
+              Seq("vec_id"), "left_semi").localCheckpoint()
+          }
+          val (_, mhAppSec) = timeOnce { mhB.append(accepted) }
+          val (_, dgAppSec) = timeOnce { dgB.append(accepted) }
+          val (_, emAppSec) = timeOnce { emB.append(acceptedVecs) }
+          val (_, poAppSec) = timeOnce {
+            poB = poB.append(accepted, "doc_id", "text")
+          }
+          val (_, ivAppSec) = timeOnce {
+            ivB.append(acceptedVecs
+              .select(col("vec_id"), col("embedding").cast("array<double>").as("v0"))
+              .withColumn("nrm",
+                sqrt(graft.functions.VectorOps.norm2(col("v0"))))
+              .select(col("vec_id"),
+                transform(col("v0"), x => x / col("nrm")).as("v")))
+          }
+          val (_, answerSec) = timeOnce {
+            mat(EvolveServe.serveAnswers(0, poB, ivB,
+              EvolveServe.CleanServeAnnPred))
+          }
+          System.err.println(s"[clean-serve-probe] docs=$nDocs kept=$nKept " +
+            s"ledger=${f(ledgerSec)} accept=${f(accSec)}+${f(accVecSec)} " +
+            s"appends mh=${f(mhAppSec)} dg=${f(dgAppSec)} em=${f(emAppSec)} " +
+            s"po=${f(poAppSec)} iv=${f(ivAppSec)} answers=${f(answerSec)}")
+          s"""{"batch_docs":$nDocs,"accepted_docs":$nKept,""" +
+            s""""ledger_sec":${f(ledgerSec)},""" +
+            s""""accepted_checkpoint_sec":${f(accSec)},""" +
+            s""""accepted_vecs_checkpoint_sec":${f(accVecSec)},""" +
+            s""""minhash_append_sec":${f(mhAppSec)},""" +
+            s""""digest_append_sec":${f(dgAppSec)},""" +
+            s""""embed_append_sec":${f(emAppSec)},""" +
+            s""""postings_append_sec":${f(poAppSec)},""" +
+            s""""ivf_append_sec":${f(ivAppSec)},""" +
+            s""""serve_answers_sec":${f(answerSec)}}"""
+        }
+      } finally { poB.drop(); ivB.drop(); mhB.drop(); dgB.drop(); emB.drop() }
+    }
+
+    // Whole-gate p50 (the bench row this probe explains).
+    val times = (0 until rounds).map { _ =>
+      graft.util.CheckpointHygiene.scoped(spark, blocking = true) {
+        timeOnce { mat(graft.SparkEntry.queries("pipe_incr_clean_serve")(
+          spark, sfDir)) }._2
+      }
+    }.sorted
+    val p50 = times(times.length / 2)
+    System.err.println(s"[clean-serve-probe] gate p50=${f(p50)} max=${f(times.last)}")
+
+    println(s"""{"metric":"clean_serve_budget","sf":"$sfDir",""" +
+      s""""shared_index_build_sec":${f(buildSec)},"rounds":$rounds,""" +
+      s""""gate_p50_sec":${f(p50)},"gate_max_sec":${f(times.last)},""" +
+      s""""batch_stage_budget":$budgetJson,""" +
+      s""""protocol":"one-batch (delta/3) stage decomposition on fresh branches + p50 of $rounds fully-materialized gate rounds, per-round orphan unpersist, local[$cpus]"}""")
+    spark.stop()
+  }
+
+  private def f(v: Double) = f"$v%.3f"
+}

@@ -88,17 +88,28 @@ object Dedup {
 
   /** Ground-truth pair CTE chain (ends with CTE `j`), shared by the
     * pair oracles, the recursive-closure clustering oracle, and the
-    * evolving-corpus replay oracle ([[CorpusClean]]). */
+    * evolving-corpus replay oracle ([[CorpusClean]]).
+    *
+    * MATERIALIZED hints (round 14, here and on every multiply-
+    * referenced oracle CTE below): DuckDB INLINES a CTE at each
+    * reference site by default, so a chain like the K-batch evolve
+    * closure — where idx{b} is referenced ~5× per batch and itself
+    * chains on `j` — re-evaluated this whole shingle-overlap chain
+    * combinatorially many times. Measured on the r13 artifacts at
+    * sf0.01: the `pipe_incr_clean_serve` oracle alone cost 765 s of
+    * the 801 s total DuckDB replay (the reason the driver's t2 gate
+    * hit its wall cap and wrote `{}`); with the hints it costs 1.2 s,
+    * bit-identical result. */
   private[queries] val jaccardCtes =
     """tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, s FROM (
+      |sh AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM (
       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ts)-2),
       |                                       i -> array_to_string(ts[i:i+2],' '))) AS s
       |  FROM tok)),
-      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |cnt AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       |ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS overlap
       |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-      |j AS (SELECT doc_a, doc_b,
+      |j AS MATERIALIZED (SELECT doc_a, doc_b,
       |        CAST(overlap AS DOUBLE) / CAST(ca.n + cb.n - overlap AS DOUBLE) AS jaccard
       |      FROM ov JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id)""".stripMargin
 
@@ -585,25 +596,11 @@ object Dedup {
     * into its `64 / bandBits` sign-band keys, cap hot keys, self-join
     * on (band, key). Split out so the knee probe can count the
     * pre-verify volume — the cost driver — without paying the verify. */
-  private def embedLshCands(e: DataFrame, cap: Int, bandBits: Int): DataFrame = {
-    require(bandBits >= 1 && bandBits <= 62 && 64 % bandBits == 0,
-      s"bandBits must divide 64 and fit a long key (got $bandBits)")
-    val groups = 64 / bandBits
-    def bandKey(lo: Int): Column = (0 until bandBits)
-      .map(b => when(element_at(col("v"), lo + b + 1) > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    val bands = capHotBands(
-      e.select(col("vec_id"),
-        explode(array((0 until groups).map(g =>
-          struct(lit(g).as("band"), bandKey(g * bandBits).as("key"))): _*)).as("bk"))
-        .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key")),
-      cap, "band", "key")
-    bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-      .distinct()
-  }
+  private def embedLshCands(e: DataFrame, cap: Int, bandBits: Int): DataFrame =
+    // Single-probe = rotation 0 of the multiprobe kernel (identity
+    // re-tiling (1, 0)): graft_bands's pk injectively packs (band,
+    // key), so capping/joining on pk ≡ the former (band, key) pair.
+    embedLshCandsMulti(e, cap, bandBits, rotations = 1)
 
   /** Exact-cosine verification of embedding candidate pairs. */
   private def embedVerify(cands: DataFrame, e: DataFrame): DataFrame =
@@ -667,11 +664,7 @@ object Dedup {
     * nothing can be compensated with more rotations instead of
     * narrower keys (frontier measured in `BENCH_embed_bands.json`,
     * reachable via `graft.toml [scale] embed_rotations`). */
-  private[graft] val EmbedRotations = Vector(
-    (1, 0), (5, 17), (9, 33), (13, 49),
-    (3, 7), (7, 11), (11, 23), (15, 29),
-    (19, 37), (21, 41), (23, 43), (25, 47),
-    (27, 53), (29, 59), (31, 61), (35, 5))
+  private[graft] val EmbedRotations = graft.functions.BandKeys.Rotations
 
   /** MULTI-PROBE banded embedding pair discovery — the recall knob
     * sign-LSH needs at a loose cosine threshold (§9.10): one probe of
@@ -727,33 +720,23 @@ object Dedup {
 
   private def embedLshCandsMulti(e: DataFrame, cap: Int, bandBits: Int,
       rotations: Int): DataFrame = {
-    require(bandBits >= 1 && bandBits <= 62 && 64 % bandBits == 0,
-      s"bandBits must divide 64 and fit a long key (got $bandBits)")
+    require(bandBits >= 1 && bandBits <= 48 && 64 % bandBits == 0,
+      s"bandBits must divide 64 and leave header room in a long key (got $bandBits)")
     require(rotations >= 1 && rotations <= EmbedRotations.size,
       s"rotations in [1, ${EmbedRotations.size}] (got $rotations)")
-    val groups = 64 / bandBits
-    def bandKey(a: Int, b: Int, lo: Int): Column = (0 until bandBits)
-      .map { bb =>
-        val src = (a * (lo + bb) + b) % 64
-        when(element_at(col("v"), src + 1) > 0, lit(1L << bb)).otherwise(lit(0L))
-      }
-      .reduce(_ + _)
-    val keys = for {
-      r <- 0 until rotations
-      g <- 0 until groups
-    } yield {
-      val (a, b) = EmbedRotations(r)
-      struct(lit(r).as("rot"), lit(g).as("band"),
-        bandKey(a, b, g * bandBits).as("key"))
-    }
+    // One graft_bands kernel call per vector (codegen at ANY geometry —
+    // the former case-when×(rotations·groups·bandBits) column formula
+    // blew Janino's 64 KB method limit past ~R=4×16-bit and fell back
+    // to interpreted); pk packs (rot, band, key) injectively, so the
+    // cap and the self-join on pk are exactly the former three-column
+    // semantics.
+    graft.functions.BandKeys.register(e.sparkSession)
     val bands = capHotBands(
-      e.select(col("vec_id"), explode(array(keys: _*)).as("bk"))
-        .select(col("vec_id"), col("bk.rot").as("rot"),
-          col("bk.band").as("band"), col("bk.key").as("key")),
-      cap, "rot", "band", "key")
+      e.select(col("vec_id"),
+        explode(expr(s"graft_bands(v, $bandBits, $rotations)")).as("pk")),
+      cap, "pk")
     bands.as("x").join(bands.as("y"),
-        col("x.rot") === col("y.rot") && col("x.band") === col("y.band") &&
-          col("x.key") === col("y.key") && col("x.vec_id") < col("y.vec_id"))
+        col("x.pk") === col("y.pk") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
   }
@@ -1190,7 +1173,7 @@ object Dedup {
     * engines, so LSH's partial recall cancels out exactly. */
   private[queries] lazy val embedIncrBestCtes: String =
     s"""$embNormCte,
-       |eu AS ($embMultiprobeUnionSql),
+       |eu AS MATERIALIZED ($embMultiprobeUnionSql),
        |ec AS (SELECT DISTINCT x.vec_id AS vec_id, y.vec_id AS dup_of
        |      FROM eu x JOIN eu y
        |        ON x.rot = y.rot AND x.band = y.band AND x.key = y.key
@@ -1227,14 +1210,14 @@ object Dedup {
     * restriction cannot be baked in here). */
   private[queries] lazy val embedEvolvePairCtes: String =
     s"""$embNormCte,
-       |eu AS ($embMultiprobeUnionSql),
+       |eu AS MATERIALIZED ($embMultiprobeUnionSql),
        |ejc AS (SELECT DISTINCT x.vec_id AS vec_id, y.vec_id AS dup_of
        |      FROM eu x JOIN eu y
        |        ON x.rot = y.rot AND x.band = y.band AND x.key = y.key
        |       AND x.vec_id % 10 = 0 AND x.vec_id <> y.vec_id),
        |ejp0 AS (SELECT ejc.vec_id, ejc.dup_of, ${embDotSql("a.v", "b.v")} AS cosine
        |      FROM ejc JOIN e a ON ejc.vec_id = a.vec_id JOIN e b ON ejc.dup_of = b.vec_id),
-       |ejpairs AS (SELECT vec_id, dup_of, cosine FROM ejp0
+       |ejpairs AS MATERIALIZED (SELECT vec_id, dup_of, cosine FROM ejp0
        |           WHERE cosine >= $EmbedCosineThreshold)""".stripMargin
 
   /** Banded-LSH pair CTE chain (ends with CTE `p` carrying
@@ -1242,7 +1225,7 @@ object Dedup {
     * clustering oracle. */
   private lazy val embLshCtes =
     s"""$embNormCte,
-       |u AS (${(0 until 8).map(g =>
+       |u AS MATERIALIZED (${(0 until 8).map(g =>
            s"SELECT vec_id, $g AS band, ${embBandSql(g * 8)} AS key FROM e")
            .mkString("\n      UNION ALL\n      ")}),
        |c AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
@@ -1255,7 +1238,7 @@ object Dedup {
     * (identical fp order to [[normalizedVecs]]). */
   private val embNormCte =
     """e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
-      |e AS (SELECT vec_id,
+      |e AS MATERIALIZED (SELECT vec_id,
       |        list_transform(v0, x -> x / sqrt(
       |          list_reduce(list_prepend(0.0::DOUBLE,
       |            list_transform(generate_series(1, 64), i -> v0[i] * v0[i])),

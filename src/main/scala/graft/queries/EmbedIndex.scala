@@ -113,7 +113,7 @@ object EmbedIndex {
       val normed = EmbedIndex.normalized(delta).localCheckpoint(false)
       val deltaBands = normed
         .select(col("vec_id"),
-          explode(array(EmbedIndex.packedKeyCols(bandBits, rotations): _*)).as("pk"))
+          explode(EmbedIndex.packedKeys(spark, bandBits, rotations)).as("pk"))
         .localCheckpoint(false)
 
       // Corpus rows of colliding keys only — count-gated broadcast of
@@ -199,7 +199,7 @@ object EmbedIndex {
         vecsTable, "vec_id", EmbedIndex.NumBuckets, "append")
       writeBucketed(
         normed.select(col("vec_id"),
-          explode(array(EmbedIndex.packedKeyCols(bandBits, rotations): _*)).as("pk")),
+          explode(EmbedIndex.packedKeys(spark, bandBits, rotations)).as("pk")),
         tableName, "pk", EmbedIndex.NumBuckets, "append")
       // [scale] compact_every_appends cadence — base tables only
       if (parentIndex.isEmpty && IndexMaintenance.appendTick(baseName)) compact()
@@ -217,11 +217,25 @@ object EmbedIndex {
       .select(col("vec_id"), transform(col("v0"), x => x / col("nrm")).as("v"))
 
   /** The `rotations × 64/bandBits` PACKED sign-band keys of normalized
-    * vector column `v`: pk = (rotation·groups + band) << bandBits | key,
-    * where key is [[Dedup.embedLshPairsMulti]]'s affine-rotated sign
-    * packing exactly — the packing is injective in (rotation, band,
-    * key), so pk collisions ⟺ multiprobe band collisions. */
-  private[queries] def packedKeyCols(bandBits: Int, rotations: Int): Seq[Column] = {
+    * vector column `v` as ONE codegen kernel call (`graft_bands`,
+    * [[graft.functions.BandKeys]]): pk = (rotation·groups + band)
+    * << bandBits | key, where key is [[Dedup.embedLshPairsMulti]]'s
+    * affine-rotated sign packing exactly — the packing is injective in
+    * (rotation, band, key), so pk collisions ⟺ multiprobe band
+    * collisions. Registers the function on `spark` (idempotent) so the
+    * returned `expr` resolves. */
+  private[queries] def packedKeys(spark: SparkSession, bandBits: Int,
+      rotations: Int): Column = {
+    graft.functions.BandKeys.register(spark)
+    expr(s"graft_bands(v, $bandBits, $rotations)")
+  }
+
+  /** The packed-key COLUMN FORMULA `graft_bands` replaced — kept as
+    * the parity reference BandKeysSpec pins the kernel against (and
+    * the shape the r13 Verify log showed blowing Janino's 64 KB
+    * method limit at production geometry, disabling codegen on every
+    * embed-band stage). Not used on any production path. */
+  private[graft] def packedKeyCols(bandBits: Int, rotations: Int): Seq[Column] = {
     require(bandBits >= 1 && bandBits <= 48 && 64 % bandBits == 0,
       s"bandBits must divide 64 and leave header room in a long key (got $bandBits)")
     require(rotations >= 1 && rotations <= Dedup.EmbedRotations.size,
@@ -274,7 +288,8 @@ object EmbedIndex {
     val normed = normalized(corpus).localCheckpoint()
     val idx = new Index(spark, tableName, 0, cacheKey, bandBits, rotations)
     idx.writeBucketed(
-      normed.select(col("vec_id"), explode(array(packedKeyCols(bandBits, rotations): _*)).as("pk")),
+      normed.select(col("vec_id"),
+        explode(packedKeys(spark, bandBits, rotations)).as("pk")),
       tableName, "pk", NumBuckets, "overwrite")
     idx.writeBucketed(normed.select(col("vec_id"), col("v")),
       vecsTable, "vec_id", NumBuckets, "overwrite")

@@ -52,14 +52,18 @@ object IvfIndex {
       private[graft] val cacheKey: String,
       val centroids: DataFrame,
       numCentroids: Int, trainIters: Int, trainQuant: Double,
-      /** PQ codebooks (sub, cid, cv) when the index was built with
-        * `pq = true` — generation state exactly like [[centroids]]:
-        * frozen across appends (deltas are coded under the trained
-        * books), carried by branches/snapshots/compaction, replaced
-        * only by [[retrain]]. The corpus-shared ANN index enables
-        * this; per-invocation `fresh()` pipelines default off so
-        * their priced closures don't pay an unused training pass. */
-      private[graft] val pqBooks: Option[DataFrame] = None,
+      /** PQ codebooks when the index was built with `pq = true` —
+        * PLAIN books (sub, cid, cv) trained on the vectors and
+        * RESIDUAL books trained on v − centroid(v) (the r13 fixed-pool
+        * recall answer: residual magnitudes are a fraction of vector
+        * magnitudes, so the same 16×4-bit budget codes them much more
+        * finely). Generation state exactly like [[centroids]]: frozen
+        * across appends (deltas are coded under the trained books),
+        * carried by branches/snapshots/compaction, replaced only by
+        * [[retrain]]. The corpus-shared ANN index enables this;
+        * per-invocation `fresh()` pipelines default off so their
+        * priced closures don't pay an unused training pass. */
+      private[graft] val pqBooks: Option[IvfIndex.Books] = None,
       private[graft] val parentIndex: Option[Index] = None)
     extends PersistedIndex[Index] {
 
@@ -114,7 +118,7 @@ object IvfIndex {
       // the centroid argmax when the guard trips — the
       // contract-violation path, not the hot path.
       val assignedDelta = withCodes(assign(e2, centroids)
-          .select(col("vec_id"), col("v"), col("cid")), pqBooks)
+          .select(col("vec_id"), col("v"), col("cid")), pqBooks, centroids)
         .localCheckpoint()
       val clashes = assigned.select(col("vec_id"))
         .join(broadcast(assignedDelta.select(col("vec_id"))), "vec_id").limit(1).count()
@@ -170,16 +174,20 @@ object IvfIndex {
       graft.util.BuildLog.timed(s"ivf-retrain:$baseName") {
         val e = assigned.select(col("vec_id"), col("v"))
         val cent = IvfIndex.train(e, numCentroids, iters, quantScale)
+        // Checkpoint the reassignment only when PQ retrains too (the
+        // residual training pass re-reads it; a plain retrain uses it
+        // once, in the write).
+        val reassigned0 = assign(e, cent).select(col("vec_id"), col("v"), col("cid"))
+        val reassigned =
+          if (pqBooks.isDefined) reassigned0.localCheckpoint() else reassigned0
         // PQ codebooks are generation state like the centroids: a
-        // pq-enabled index retrains them over the same union corpus
-        // (seed rule unchanged), so retrain ≡ fresh-build holds for
-        // the stored code column too.
-        val books = pqBooks.map(_ => PqCodec.train(e))
+        // pq-enabled index retrains them (plain AND residual) over the
+        // same union corpus (seed rule unchanged), so retrain ≡
+        // fresh-build holds for the stored code columns too.
+        val books = pqBooks.flatMap(_ => trainBooks(reassigned, cent))
         val next = s"${baseName}_g${generation + 1}"
         spark.sql(s"DROP TABLE IF EXISTS $next")
-        writeBucketed(
-          withCodes(assign(e, cent).select(col("vec_id"), col("v"), col("cid")),
-            books),
+        writeBucketed(withCodes(reassigned, books, cent),
           next, "cid", numCentroids, "overwrite")
         spark.sql(s"DROP TABLE IF EXISTS $tableName")
         Scratch.delete(tableName)
@@ -253,9 +261,15 @@ object IvfIndex {
   def of(spark: SparkSession, corpusKey: String, e: => DataFrame,
       numCentroids: Int, iters: Int, quantScale: Double,
       pq: Boolean = false): Index = {
-    val key = graft.util.Scratch.sessionId(spark) + "|" + corpusKey
-    cache.computeIfAbsent(key, _ => graft.util.BuildLog.timed(s"ivf:$corpusKey") {
-      build(spark, corpusKey, e, numCentroids, iters, quantScale, key, pq)
+    // The pq flag is PART of the identity (r13 ADVICE: with a plain
+    // corpusKey key, whichever caller resolved first won — a later
+    // pq=true request against a cached pq-less index would fail at
+    // query time). Distinct keys ⇒ distinct tables, so a pq and a
+    // non-pq index of the same corpus coexist without clobbering.
+    val pqKey = if (pq) s"$corpusKey|pq" else corpusKey
+    val key = graft.util.Scratch.sessionId(spark) + "|" + pqKey
+    cache.computeIfAbsent(key, _ => graft.util.BuildLog.timed(s"ivf:$pqKey") {
+      build(spark, pqKey, e, numCentroids, iters, quantScale, key, pq)
     })
   }
 
@@ -304,7 +318,9 @@ object IvfIndex {
       numCentroids: Int, iters: Int, quantScale: Double,
       cacheKey: String, pq: Boolean = false): Index = {
     val cent = train(e, numCentroids, iters, quantScale)
-    val books = if (pq) Some(PqCodec.train(e)) else None
+    val assigned0 = assign(e, cent).select(col("vec_id"), col("v"), col("cid"))
+    val assignedF = if (pq) assigned0.localCheckpoint() else assigned0
+    val books = if (pq) trainBooks(assignedF, cent) else None
 
     // Session-scoped table name + scratch path (two sessions building
     // the same corpus never clobber each other — ADVICE r5).
@@ -314,11 +330,51 @@ object IvfIndex {
       cent, numCentroids, iters, quantScale, books)
     // One shuffle by cid so each bucket lands as a single file — the
     // writeBucketed idiom (see PersistedIndex).
-    idx.writeBucketed(
-      withCodes(assign(e, cent).select(col("vec_id"), col("v"), col("cid")),
-        books),
+    idx.writeBucketed(withCodes(assignedF, books, cent),
       tableName, "cid", numCentroids, "overwrite")
     idx
+  }
+
+  /** PQ codebooks of an index: plain books over the vectors AND
+    * residual books over v − centroid(cid). GRACEFUL on a degenerate
+    * corpus (r13 ADVICE: the dense-codebook require aborted the SHARED
+    * index build, failing every ANN gate when only the PQ gates need
+    * books): an empty Lloyd cell downgrades to `None` with a warning —
+    * the index builds and serves IVF/SQ8 normally, and only a PQ query
+    * hits [[AnnPq]]'s actionable error. */
+  private def trainBooks(assignedF: DataFrame,
+      cent: DataFrame): Option[Books] =
+    try {
+      val plain = PqCodec.train(assignedF.select(col("vec_id"), col("v")))
+      val residual = PqCodec.train(
+        assignedF.select(col("vec_id"),
+          PqCodec.residualCol(col("v"), col("cid"), collectCentroids(cent))
+            .as("v")))
+      Some(Books(plain, residual))
+    } catch {
+      case e: IllegalArgumentException =>
+        System.err.println(s"[ivf] PQ codebook training degraded to pq-less " +
+          s"index (only ann_pq-family queries fail): ${e.getMessage}")
+        None
+    }
+
+  /** PLAIN + RESIDUAL PQ codebooks — one value so the two can never
+    * desync across branch/snapshot/retrain plumbing. */
+  final case class Books(plain: DataFrame, residual: DataFrame)
+
+  /** Centroids as a dense cid-indexed matrix for the literal residual
+    * transform (cids are dense 0..n-1 by the seed rule vec_id <
+    * numCentroids, preserved by retrain). */
+  private[graft] def collectCentroids(cent: DataFrame): Array[Array[Double]] = {
+    val rows = cent.select(col("cid"), col("cv")).collect()
+    require(rows.nonEmpty, "no centroids")
+    val out = new Array[Array[Double]](rows.map(_.getLong(0).toInt).max + 1)
+    rows.foreach(r => out(r.getLong(0).toInt) = r.getSeq[Double](1).toArray)
+    out.zipWithIndex.foreach { case (v, i) =>
+      require(v != null, s"centroid cid=$i missing — the positional residual " +
+        "lookup needs dense cids (the full-corpus seed rule gives 0..n-1; a " +
+        "cohort-filtered corpus does not and cannot train residual PQ)") }
+    out
   }
 
   /** SQ8 quantization scale: vectors are L2-normalized (components ∈
@@ -327,24 +383,35 @@ object IvfIndex {
     * code derivation in [[Ann]]. */
   private[graft] val Sq8Scale = 127.0
 
-  /** Append the persisted int8 code column to assigned rows — the ONE
+  /** Append the persisted code columns to assigned rows — the ONE
     * transform every write path (build / append / retrain) runs, so
-    * the 8×-smaller code store exists the moment the vector lands and
-    * is never re-derived at query time. floor(v·127 + 0.5) ∈
+    * the quantized stores exist the moment the vector lands and are
+    * never re-derived at query time. floor(v·127 + 0.5) ∈
     * [-127, 127] is exact in a double and exact again as tinyint, so
     * the stored codes are bit-identical to a recomputation (the DuckDB
-    * oracle recomputes; compaction carries the stored bytes). */
-  private def withCodes(df: DataFrame, pqBooks: Option[DataFrame]): DataFrame = {
+    * oracle recomputes; compaction carries the stored bytes).
+    *
+    * PQ columns when the index carries codebooks: `pc` = the PACKED
+    * 16×4-bit plain-book code word ([[PqCodec.codeLong]] — one BIGINT,
+    * 8 stored bytes; the r13 array<tinyint> form paid parquet array
+    * framing on 16 elements), `prc` = the packed RESIDUAL-book code
+    * word over v − centroid(cid) (literal centroid lookup — the
+    * codebook-argmin idiom; no join, no extra job, so appends stay
+    * delta-sized). Stored ≡ recomputed (deterministic training + exact
+    * literal round trip), so the oracle keeps recomputing. */
+  private def withCodes(df: DataFrame, pqBooks: Option[Books],
+      cent: DataFrame): DataFrame = {
     val sq8 = df.withColumn("c",
       org.apache.spark.sql.functions.transform(col("v"),
         x => floor(x * Sq8Scale + 0.5).cast("tinyint")))
-    // PQ codes (`pc`, array<tinyint> of PqCodec.M 4-bit ids) when the
-    // index carries codebooks: a pure codegen literal-argmin over the
-    // collected books — no extra job on the write path, so appends
-    // stay delta-sized. Stored ≡ recomputed (deterministic training +
-    // exact literal round trip), so the oracle keeps recomputing.
-    pqBooks.fold(sq8)(books =>
-      sq8.withColumn("pc",
-        PqCodec.codeColumn(col("v"), PqCodec.collectBooks(books))))
+    pqBooks.fold(sq8) { books =>
+      val rv = PqCodec.residualCol(col("v"), col("cid"),
+        collectCentroids(cent))
+      sq8
+        .withColumn("pc",
+          PqCodec.codeLong(col("v"), PqCodec.collectBooks(books.plain)))
+        .withColumn("prc",
+          PqCodec.codeLong(rv, PqCodec.collectBooks(books.residual)))
+    }
   }
 }

@@ -121,28 +121,63 @@ object PqCodec {
     out
   }
 
-  /** The per-row code array as a pure codegen expression over literal
-    * centroids — the write-path transform (build / append / retrain):
-    * no explode, no join, no extra job; each row computes M argmins
-    * over K literal centroids. Exactness: the literal doubles are the
-    * collected trained values (exact round trip), each squared
+  /** The per-subspace argmin code (BIGINT in [0, K)) as a pure codegen
+    * expression over literal centroids. Exactness: the literal doubles
+    * are the collected trained values (exact round trip), each squared
     * distance sums left-to-right in subvector order (d1+d2+d3+d4 ≡
     * the fold — IEEE: 0.0+d1 == d1), and `array_position(ds,
     * array_min(ds))` returns the FIRST minimum ⇒ lowest cid on ties,
-    * the oracle's (dist asc, cid asc). Codes ∈ [0, K) fit tinyint. */
-  def codeColumn(v: Column, books: Array[Array[Array[Double]]]): Column = {
-    val perSub = (0 until M).map { m =>
-      val o = m * SubDim
-      val dists = (0 until K).map { j =>
-        val cv = books(m)(j)
-        (0 until SubDim).map { i =>
-          val d = element_at(v, o + i + 1) - lit(cv(i))
-          d * d
-        }.reduce(_ + _)
-      }
-      val ds = array(dists: _*)
-      (array_position(ds, array_min(ds)) - 1).cast("tinyint")
+    * the oracle's (dist asc, cid asc). */
+  private def subCode(v: Column, books: Array[Array[Array[Double]]],
+      m: Int): Column = {
+    val o = m * SubDim
+    val dists = (0 until K).map { j =>
+      val cv = books(m)(j)
+      (0 until SubDim).map { i =>
+        val d = element_at(v, o + i + 1) - lit(cv(i))
+        d * d
+      }.reduce(_ + _)
     }
-    array(perSub: _*)
+    val ds = array(dists: _*)
+    array_position(ds, array_min(ds)) - 1
+  }
+
+  /** The per-row code ARRAY form (`array<tinyint>`, 16 elements) —
+    * kept as the parity reference PqCodecSpec pins [[codeLong]]
+    * against; the stored column is the packed long. */
+  def codeColumn(v: Column, books: Array[Array[Array[Double]]]): Column =
+    array((0 until M).map(m => subCode(v, books, m).cast("tinyint")): _*)
+
+  /** The PACKED per-row code word — the write-path transform (build /
+    * append / retrain): all M 4-bit codes in ONE BIGINT, code m in
+    * bits [4m, 4m+4) (M·log₂K = 16·4 = 64 bits exactly fills a long).
+    * 8 stored bytes per vector where the r13 `array<tinyint>` form
+    * paid parquet's per-element array overhead on 16 elements (r13
+    * open item #3 — a BINARY column was the other candidate, but a
+    * plain BIGINT is strictly better: fixed 8 bytes, no array/blob
+    * framing, and the ADC read is a codegen'd shift-and-mask instead
+    * of byte slicing). No explode, no join, no extra job; each row
+    * computes M argmins over K literal centroids. */
+  def codeLong(v: Column, books: Array[Array[Array[Double]]]): Column = {
+    require(M * 4 <= 64 && K <= 16,
+      s"packed codes need M·4 ≤ 64 bits and 4-bit ids (M=$M, K=$K)")
+    (0 until M).map(m => shiftleft(subCode(v, books, m), 4 * m))
+      .reduce(_ + _) // disjoint bit ranges: + ≡ OR
+  }
+
+  /** ADC read of code m from the packed word: `(pc >> 4m) & 15` —
+    * stays inside whole-stage codegen. */
+  def unpackSql(pcCol: String, m: Int): String =
+    s"CAST((($pcCol >> ${4 * m}) & 15) AS INT)"
+
+  /** The residual frame a residual-coded IVF-PQ trains/codes on:
+    * rv = v − centroid(cid), with the centroid values as LITERALS
+    * (same idiom as the codebook argmin — no join on the write path;
+    * `cents(cid)` is the trained centroid of bucket cid). Returned as
+    * (vec_id, v) so [[train]]/[[codeLong]] apply unchanged. */
+  def residualCol(v: Column, cid: Column,
+      cents: Array[Array[Double]]): Column = {
+    val centArr = array(cents.map(cv => array(cv.map(lit): _*)): _*)
+    zip_with(v, element_at(centArr, cid.cast("int") + 1), (x, c) => x - c)
   }
 }

@@ -69,8 +69,8 @@ class AnnPqSpec extends SparkSuite {
     assert(!plan.contains("ShuffledHashJoin"), "PQ stage 1 must not shuffle-join")
     assert(plan.contains("Broadcast"),
       "the per-query LUT must ride a broadcast, never a shuffle")
-    assert(plan.contains("pc:array<tinyint>"),
-      s"stage 1 must read the persisted PQ code column:\n$plan")
+    assert(plan.contains("pc:bigint"),
+      s"stage 1 must read the persisted packed PQ code word:\n$plan")
     assert(!plan.contains("v:array<double>"),
       s"stage 1 must never read the float vector column:\n$plan")
   }
@@ -81,8 +81,8 @@ class AnnPqSpec extends SparkSuite {
     val plan = cands.queryExecution.executedPlan.toString
     assert(plan.contains("SelectedBucketsCount"),
       s"the ADC rank must scan only the probed IVF buckets:\n$plan")
-    assert(plan.contains("pc:array<tinyint>"),
-      s"stage 1 must read the persisted PQ code column:\n$plan")
+    assert(plan.contains("pc:bigint"),
+      s"stage 1 must read the persisted packed PQ code word:\n$plan")
     assert(!plan.contains("v:array<double>"),
       s"stage 1 must never read the float vector column:\n$plan")
   }
@@ -95,6 +95,51 @@ class AnnPqSpec extends SparkSuite {
       assert(rs.map(_.getInt(3)).toSeq.sorted == (1 to 10), s"ranks for $q")
       val cos = rs.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
       assert(cos == cos.sorted.reverse, s"cosine order for $q")
+    }
+  }
+
+  test("residual ann_ivf_pqr: K ranked rows per query, reads only the prc words") {
+    val rows = SparkEntry.queries("ann_ivf_pqr")(spark, d).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(30L, 31L, 32L, 33L, 34L))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(3)).toSeq.sorted == (1 to 10), s"ranks for $q")
+      val cos = rs.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+      assert(cos == cos.sorted.reverse, s"cosine order for $q")
+      assert(!rs.exists(_.getLong(1) == q), "query never its own neighbor")
+    }
+    val (cands, _) = graft.queries.AnnPq.pqCands(spark, d,
+      col("vec_id") >= 30 && col("vec_id") < 35, prune = true, residual = true)
+    val plan = cands.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"),
+      s"the residual ADC rank must scan only the probed IVF buckets:\n$plan")
+    assert(plan.contains("prc:bigint"),
+      s"stage 1 must read the persisted residual code word:\n$plan")
+    assert(!plan.contains("v:array<double>"),
+      s"stage 1 must never read the float vector column:\n$plan")
+  }
+
+  test("packed code word ≡ the array form (codeLong vs codeColumn, both books)") {
+    import graft.queries.{IvfIndex, PqCodec}
+    graft.functions.DotProduct.register(spark)
+    val idx = graft.queries.Ann.corpusIdx(spark, d)
+    val books = idx.pqBooks.get
+    for (b <- Seq(books.plain, books.residual)) {
+      val lit = PqCodec.collectBooks(b)
+      val rows = idx.assigned
+        .select(
+          PqCodec.codeLong(col("v"), lit).as("word"),
+          PqCodec.codeColumn(col("v"), lit).as("arr"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val word = r.getLong(0)
+        val arr = r.getSeq[Byte](1)
+        (0 until PqCodec.M).foreach { m =>
+          assert(((word >> (4 * m)) & 15) == arr(m).toLong,
+            s"code $m mismatch: word=$word arr=$arr")
+        }
+      }
     }
   }
 }

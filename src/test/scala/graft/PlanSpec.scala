@@ -43,6 +43,18 @@ class PlanSpec extends SparkSuite {
       if (q == "ann_bruteforce" || q == "ann_lsh")
         assert(!p.contains("Scan ExistingRDD"),
           s"$q must not rebuild a checkpointed normalization frame:\n$p")
+      // ann_sq8 keeps exactly its two INTENDED tiny checkpoints — the
+      // query frame and the queries×pool candidate set — each
+      // referenced at most twice in the fused final plan (4 scan
+      // OCCURRENCES today). A 5th occurrence would be a corpus-sized
+      // normalization frame creeping back (r13 ADVICE: the blanket
+      // exemption tolerated any RDD scan here).
+      if (q == "ann_sq8") {
+        val rddScans = "Scan ExistingRDD".r.findAllIn(p).size
+        assert(rddScans <= 4,
+          s"$q must carry only its 2 tiny checkpoints (≤4 scan references), " +
+            s"found $rddScans:\n$p")
+      }
     }
   }
 
