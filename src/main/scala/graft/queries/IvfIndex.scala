@@ -405,13 +405,21 @@ object IvfIndex {
       org.apache.spark.sql.functions.transform(col("v"),
         x => floor(x * Sq8Scale + 0.5).cast("tinyint")))
     pqBooks.fold(sq8) { books =>
-      val rv = PqCodec.residualCol(col("v"), col("cid"),
-        collectCentroids(cent))
+      // The residual is BOUND to a real column before the codebook
+      // argmin: codeLong references its input M×K×SubDim (=1024)
+      // times, and inlining the zip_with-over-1024-literal-centroids
+      // expression at each reference built a ~10⁶-node tree that
+      // serialized as a 65-72 MiB task binary per write stage
+      // (CollapseProject keeps the split because the alias is complex
+      // and multiply-referenced).
       sq8
         .withColumn("pc",
           PqCodec.codeLong(col("v"), PqCodec.collectBooks(books.plain)))
+        .withColumn("rv", PqCodec.residualCol(col("v"), col("cid"),
+          collectCentroids(cent)))
         .withColumn("prc",
-          PqCodec.codeLong(rv, PqCodec.collectBooks(books.residual)))
+          PqCodec.codeLong(col("rv"), PqCodec.collectBooks(books.residual)))
+        .drop("rv")
     }
   }
 }
