@@ -133,7 +133,8 @@ final case class ScaleConfig(
     embedActCos: Double = 0.9,
     sq8Cands: Int = 50,
     ivfPairBucket: Int = 0,
-    pqCands: Int = 50)
+    pqCands: Int = 50,
+    pqWide: Boolean = true)
 
 /** Engine configuration (config.py:60-86). `manifestPath` derives from
   * the project root + target dir exactly as the reference's property. */
@@ -229,7 +230,8 @@ object Config {
         embedActCos = dbl(scaleSec, "embed_act_cos", 0.9),
         sq8Cands = int(scaleSec, "sq8_cands", 50),
         ivfPairBucket = int(scaleSec, "ivf_pair_bucket", 0),
-        pqCands = int(scaleSec, "pq_cands", 50)))
+        pqCands = int(scaleSec, "pq_cands", 50),
+        pqWide = bool(scaleSec, "pq_wide", dflt = true)))
   }
 
   private def findUpward(start: Path): Option[Path] = {

@@ -57,9 +57,8 @@ object AnnPq {
 
   private val K = 10
   private val Pool = 50 // stage-1 candidates per query, the sq8 width
-  private val M = PqCodec.M
-  private val SubDim = PqCodec.SubDim
-  private val PqK = PqCodec.K
+  private val G16 = PqCodec.G16
+  private val G8 = PqCodec.G8
   private val PqIters = PqCodec.Iters
   private val QuantScale = PqCodec.QuantScale
   private val QLo = 20 // ann_pq query cohort [20, 25)
@@ -68,6 +67,8 @@ object AnnPq {
   private val QHi2 = 30
   private val QLo3 = 30 // ann_ivf_pqr query cohort [30, 35)
   private val QHi3 = 35
+  private val QLo4 = 35 // ann_pq_w8 query cohort [35, 40)
+  private val QHi4 = 40
 
   private def corpusIdx(s: SparkSession, d: String): IvfIndex.Index = {
     DotProduct.register(s)
@@ -99,12 +100,14 @@ object AnnPq {
     * dense M×K codebook — guaranteed ONCE at train time
     * (PqCodec.train fails loudly on an empty Lloyd cell), so no
     * per-query re-check is needed here. */
-  private def lutFrame(q: DataFrame, books: DataFrame): DataFrame =
+  private def lutFrame(q: DataFrame, books: DataFrame,
+      geom: PqCodec.PqGeom = G16): DataFrame =
     q.crossJoin(broadcast(books))
       .select(col("query_id"),
-        (col("sub").cast("long") * PqK + col("cid")).as("lk"),
+        (col("sub").cast("long") * geom.k + col("cid")).as("lk"),
         floor(VectorOps.dot(
-            slice(col("qv"), col("sub") * SubDim + 1, lit(SubDim)), col("cv"))
+            slice(col("qv"), col("sub") * geom.subDim + 1, lit(geom.subDim)),
+            col("cv"))
           * QuantScale + 0.5).cast("long").as("part"))
       .groupBy(col("query_id"))
       .agg(transform(
@@ -114,9 +117,10 @@ object AnnPq {
   /** score = Σ_m lut[m·K + code_m(pcCol)] — exact integers, order-free;
     * code m unpacks from the stored BIGINT word with shift-and-mask
     * (all inside whole-stage codegen). */
-  private def adcScore(pcCol: String): Column = expr((0 until M)
-    .map(m => s"element_at(lut, ${m * PqK} + ${PqCodec.unpackSql(pcCol, m)} + 1)")
-    .mkString(" + "))
+  private def adcScore(pcCol: String, geom: PqCodec.PqGeom = G16): Column =
+    expr((0 until geom.m)
+      .map(m => s"element_at(lut, ${m * geom.k} + ${geom.unpackSql(pcCol, m)} + 1)")
+      .mkString(" + "))
 
   /** Top-NProbe probed centroids per query, CARRYING the exact query ×
     * centroid dot — both the prune set and (integer-quantized, as
@@ -152,11 +156,18 @@ object AnnPq {
     * off the `prc` words. */
   private[graft] def pqCands(s: SparkSession, d: String,
       queryPred: Column, prune: Boolean = false,
-      pool: Int = Pool, residual: Boolean = false): (DataFrame, DataFrame) = {
+      pool: Int = Pool, residual: Boolean = false,
+      wide: Boolean = false): (DataFrame, DataFrame) = {
+    require(!(wide && (prune || residual)),
+      "the wide-codebook rung is gated unpruned (its recall story is the " +
+        "whole-corpus ADC rank; compose IVF in front the ann_ivf_pq way if needed)")
     val idx = corpusIdx(s, d)
     val books = booksOf(idx)
+    val geom = if (wide) G8 else G16
     val q = queryFrame(idx, queryPred)
-    val lutArr = lutFrame(q, if (residual) books.residual else books.plain)
+    val lutArr = lutFrame(q,
+      if (residual) books.residual else if (wide) books.wide else books.plain,
+      geom)
 
     // The (vec_id, code-word, query_id, lut) scoring base. Unpruned:
     // one scan of (vec_id, pc) — the 8-byte store — × the per-query
@@ -165,11 +176,13 @@ object AnnPq {
     // scan, and the probes broadcast restricts each query's scoring to
     // its own probed buckets. Either way: never the floats.
     val scored =
-      if (!prune && !residual)
-        idx.assigned.select(col("vec_id"), col("pc"))
+      if (!prune && !residual) {
+        val codeCol = if (wide) "pw" else "pc"
+        idx.assigned.select(col("vec_id"), col(codeCol))
           .crossJoin(broadcast(lutArr))
-          .select(col("query_id"), col("vec_id"), adcScore("pc").as("score"))
-      else {
+          .select(col("query_id"), col("vec_id"),
+            adcScore(codeCol, geom).as("score"))
+      } else {
         val probes = probeFrame(q, idx)
         val codeCol = if (residual) "prc" else "pc"
         val base = idx.assigned.filter(probedCidFilter(probes))
@@ -195,9 +208,10 @@ object AnnPq {
     * gates and [[AnnPqSpec]]'s recall checks. */
   private[graft] def pqTopK(s: SparkSession, d: String,
       queryPred: Column, prune: Boolean = false,
-      pool: Int = Pool, residual: Boolean = false): DataFrame = {
+      pool: Int = Pool, residual: Boolean = false,
+      wide: Boolean = false): DataFrame = {
     val idx = corpusIdx(s, d)
-    val (cands0, q) = pqCands(s, d, queryPred, prune, pool, residual)
+    val (cands0, q) = pqCands(s, d, queryPred, prune, pool, residual, wide)
     val cands = cands0.localCheckpoint()
 
     // Stage 2: exact rerank — float vectors attached for the collected
@@ -226,9 +240,10 @@ object AnnPq {
     * copy (the sq8TopKFor idiom). */
   private[graft] def pqTopKFor(s: SparkSession, d: String, pool: Int,
       prune: Boolean = false, residual: Boolean = false,
+      wide: Boolean = false,
       queryPred: Column =
         col("vec_id") >= QLo && col("vec_id") < QHi): DataFrame =
-    pqTopK(s, d, queryPred, prune, pool, residual)
+    pqTopK(s, d, queryPred, prune, pool, residual, wide)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_pq" -> ((s, d) =>
@@ -252,18 +267,29 @@ object AnnPq {
     // ADC composed score. Query cohort 30≤vec_id<35.
     "ann_ivf_pqr" -> ((s, d) =>
       pqTopK(s, d, col("vec_id") >= QLo3 && col("vec_id") < QHi3,
-        prune = true, residual = true)))
+        prune = true, residual = true)),
+
+    // WIDE-codebook PQ (G8: 8 subspaces x 256 centroids, 8-bit codes —
+    // the SAME 8-byte budget as G16) — the measured recall rung on the
+    // near-random corpus: fixed pool 50 at 128k recalls 0.43 vs G16's
+    // 0.36 and residual-G16's 0.20 (BENCH_sq8.json; fewer, finer
+    // codebooks quantize unclustered data better, and residuals there
+    // carry MORE energy than the vectors — see the header note).
+    // Unpruned like ann_pq; its own cohort 35<=vec_id<40.
+    "ann_pq_w8" -> ((s, d) =>
+      pqTopK(s, d, col("vec_id") >= QLo4 && col("vec_id") < QHi4,
+        wide = true)))
 
   // ---------------------------------------------------------------- oracle
 
-  /** DuckDB fold over `SubDim`-dim subspace slices at offset `o`
+  /** DuckDB fold over subDim-dim subspace slices at offset `o`
     * (1-based component o+i): same per-element op and left-to-right
     * order as the Spark folds. */
-  private def l2Sql(a: String, ao: Int, b: String): String =
-    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, $SubDim), i -> ($a[${ao} + i] - $b[i]) * ($a[${ao} + i] - $b[i]))), (x,y) -> x + y)"
+  private def l2Sql(a: String, ao: Int, b: String, sd: Int): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, $sd), i -> ($a[${ao} + i] - $b[i]) * ($a[${ao} + i] - $b[i]))), (x,y) -> x + y)"
 
-  private def dotSubSql(a: String, ao: Int, b: String): String =
-    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, $SubDim), i -> $a[${ao} + i] * $b[i])), (x,y) -> x + y)"
+  private def dotSubSql(a: String, ao: Int, b: String, sd: Int): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, $sd), i -> $a[${ao} + i] * $b[i])), (x,y) -> x + y)"
 
   /** The per-subspace chain over source CTE `src` (vec_id, v — the
     * normalized vectors for plain PQ, the residuals for pqr):
@@ -272,23 +298,25 @@ object AnnPq {
     * space). Prefix p{m}; subvectors are indexed in place off
     * `$src.v` (no slice materialization). MATERIALIZED hints on the
     * multiply-referenced chain links (see Dedup.jaccardCtes). */
-  private def subChain(m: Int, src: String = "e"): String = {
-    val o = m * SubDim
+  private def subChain(m: Int, src: String = "e",
+      geom: PqCodec.PqGeom = G16): String = {
+    val o = m * geom.subDim
+    val sd = geom.subDim
     val seed =
       s"""p${m}c0 AS (SELECT vec_id AS cid,
-         |    list_transform(generate_series(1, $SubDim), i -> v[$o + i]) AS cv
-         |  FROM $src WHERE vec_id < $PqK)""".stripMargin
+         |    list_transform(generate_series(1, $sd), i -> v[$o + i]) AS cv
+         |  FROM $src WHERE vec_id < ${geom.k})""".stripMargin
     val iters = (1 to PqIters).map { t =>
       s"""p${m}a$t AS MATERIALIZED (SELECT vec_id, cid FROM (
          |    SELECT e.vec_id, c.cid,
          |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |                         ORDER BY ${l2Sql("e.v", o, "c.cv")} ASC, c.cid) AS rn
+         |                         ORDER BY ${l2Sql("e.v", o, "c.cv", sd)} ASC, c.cid) AS rn
          |    FROM $src AS e CROSS JOIN p${m}c${t - 1} c) WHERE rn = 1),
          |p${m}s$t AS (SELECT a.cid, i AS dim,
          |          SUM(CAST(floor(e.v[$o + i] * ${QuantScale.toLong}.0 + 0.5) AS BIGINT)) AS sq,
          |          COUNT(*) AS n
          |        FROM p${m}a$t a JOIN $src AS e USING (vec_id)
-         |        CROSS JOIN generate_series(1, $SubDim) t(i) GROUP BY a.cid, i),
+         |        CROSS JOIN generate_series(1, $sd) t(i) GROUP BY a.cid, i),
          |p${m}c$t AS MATERIALIZED (SELECT cid,
          |          list(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / ${QuantScale.toLong}.0 ORDER BY dim) AS cv
          |        FROM p${m}s$t GROUP BY cid)""".stripMargin
@@ -297,10 +325,10 @@ object AnnPq {
       s"""pcode$m AS MATERIALIZED (SELECT vec_id, cid AS code$m FROM (
          |    SELECT e.vec_id, c.cid,
          |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |                         ORDER BY ${l2Sql("e.v", o, "c.cv")} ASC, c.cid) AS rn
+         |                         ORDER BY ${l2Sql("e.v", o, "c.cv", sd)} ASC, c.cid) AS rn
          |    FROM $src AS e CROSS JOIN p${m}c$PqIters c) WHERE rn = 1),
          |plut$m AS MATERIALIZED (SELECT q.query_id, c.cid,
-         |    CAST(floor(${dotSubSql("q.qv", o, "c.cv")} * ${QuantScale.toLong}.0 + 0.5) AS BIGINT) AS part
+         |    CAST(floor(${dotSubSql("q.qv", o, "c.cv", sd)} * ${QuantScale.toLong}.0 + 0.5) AS BIGINT) AS part
          |  FROM qids q CROSS JOIN p${m}c$PqIters c)""".stripMargin
     Seq(seed, iters, finals).mkString(",\n")
   }
@@ -331,9 +359,11 @@ object AnnPq {
     * buckets; `residual` trains/codes over the residual CTE and adds
     * the quantized dot(q, c_cid) probe term to the score. */
   private def pqOracle(qLo: Int, qHi: Int, prune: Boolean,
-      residual: Boolean = false): String = {
+      residual: Boolean = false,
+      geom: PqCodec.PqGeom = G16): String = {
+    val M = geom.m
     val src = if (residual) "res" else "e"
-    val chains = (0 until M).map(m => subChain(m, src)).mkString(",\n")
+    val chains = (0 until M).map(m => subChain(m, src, geom)).mkString(",\n")
     val lutJoins = (0 until M)
       .map(m => s"JOIN plut$m l$m ON l$m.query_id = q.query_id AND l$m.cid = x$m.code$m")
       .mkString("\n  ")
@@ -388,5 +418,6 @@ object AnnPq {
   def oracles: Map[String, String] = Map(
     "ann_pq" -> pqOracle(QLo, QHi, prune = false),
     "ann_ivf_pq" -> pqOracle(QLo2, QHi2, prune = true),
-    "ann_ivf_pqr" -> pqOracle(QLo3, QHi3, prune = true, residual = true))
+    "ann_ivf_pqr" -> pqOracle(QLo3, QHi3, prune = true, residual = true),
+    "ann_pq_w8" -> pqOracle(QLo4, QHi4, prune = false, geom = G8))
 }

@@ -345,12 +345,14 @@ object IvfIndex {
   private def trainBooks(assignedF: DataFrame,
       cent: DataFrame): Option[Books] =
     try {
-      val plain = PqCodec.train(assignedF.select(col("vec_id"), col("v")))
+      val vecs = assignedF.select(col("vec_id"), col("v"))
+      val plain = PqCodec.train(vecs)
       val residual = PqCodec.train(
         assignedF.select(col("vec_id"),
           PqCodec.residualCol(col("v"), col("cid"), collectCentroids(cent))
             .as("v")))
-      Some(Books(plain, residual))
+      val wide = PqCodec.train(vecs, PqCodec.G8)
+      Some(Books(plain, residual, wide))
     } catch {
       case e: IllegalArgumentException =>
         System.err.println(s"[ivf] PQ codebook training degraded to pq-less " +
@@ -358,9 +360,12 @@ object IvfIndex {
         None
     }
 
-  /** PLAIN + RESIDUAL PQ codebooks — one value so the two can never
-    * desync across branch/snapshot/retrain plumbing. */
-  final case class Books(plain: DataFrame, residual: DataFrame)
+  /** The three PQ codebook sets — G16 PLAIN, G16 RESIDUAL (over
+    * v − centroid(cid)), G8 WIDE (the same-budget recall rung) — one
+    * value so they can never desync across branch/snapshot/retrain
+    * plumbing. */
+  final case class Books(plain: DataFrame, residual: DataFrame,
+      wide: DataFrame)
 
   /** Centroids as a dense cid-indexed matrix for the literal residual
     * transform (cids are dense 0..n-1 by the seed rule vec_id <
@@ -391,34 +396,35 @@ object IvfIndex {
     * the stored codes are bit-identical to a recomputation (the DuckDB
     * oracle recomputes; compaction carries the stored bytes).
     *
-    * PQ columns when the index carries codebooks: `pc` = the PACKED
-    * 16×4-bit plain-book code word ([[PqCodec.codeLong]] — one BIGINT,
-    * 8 stored bytes; the r13 array<tinyint> form paid parquet array
-    * framing on 16 elements), `prc` = the packed RESIDUAL-book code
-    * word over v − centroid(cid) (literal centroid lookup — the
-    * codebook-argmin idiom; no join, no extra job, so appends stay
-    * delta-sized). Stored ≡ recomputed (deterministic training + exact
-    * literal round trip), so the oracle keeps recomputing. */
+    * PQ columns when the index carries codebooks — all three via the
+    * [[PqEncode]] codegen kernel (books ride as reference objects;
+    * no join, no extra job, so appends stay delta-sized): `pc` = the
+    * packed G16 plain word (one BIGINT, 8 stored bytes; the r13
+    * array<tinyint> form paid parquet array framing on 16 elements),
+    * `prc` = the packed G16 RESIDUAL word over v − centroid(cid),
+    * `pw` = the packed G8 WIDE word. Stored ≡ recomputed
+    * (deterministic training + exact literal round trip), so the
+    * oracle keeps recomputing. */
   private def withCodes(df: DataFrame, pqBooks: Option[Books],
       cent: DataFrame): DataFrame = {
     val sq8 = df.withColumn("c",
       org.apache.spark.sql.functions.transform(col("v"),
         x => floor(x * Sq8Scale + 0.5).cast("tinyint")))
     pqBooks.fold(sq8) { books =>
-      // The residual is BOUND to a real column before the codebook
-      // argmin: codeLong references its input M×K×SubDim (=1024)
-      // times, and inlining the zip_with-over-1024-literal-centroids
-      // expression at each reference built a ~10⁶-node tree that
-      // serialized as a 65-72 MiB task binary per write stage
-      // (CollapseProject keeps the split because the alias is complex
-      // and multiply-referenced).
+      // The residual is BOUND to a real column before encoding (the
+      // kernel reads each element; an earlier literal-argmin form
+      // inlined the zip_with-over-1024-literal-centroids expression
+      // 1024× and serialized 65-72 MiB task binaries per write stage).
       sq8
         .withColumn("pc",
-          PqCodec.codeLong(col("v"), PqCodec.collectBooks(books.plain)))
+          PqCodec.encode(col("v"), PqCodec.collectBooks(books.plain)))
+        .withColumn("pw",
+          PqCodec.encode(col("v"),
+            PqCodec.collectBooks(books.wide, PqCodec.G8), PqCodec.G8))
         .withColumn("rv", PqCodec.residualCol(col("v"), col("cid"),
           collectCentroids(cent)))
         .withColumn("prc",
-          PqCodec.codeLong(col("rv"), PqCodec.collectBooks(books.residual)))
+          PqCodec.encode(col("rv"), PqCodec.collectBooks(books.residual)))
         .drop("rv")
     }
   }

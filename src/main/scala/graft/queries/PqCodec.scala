@@ -1,21 +1,34 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Product-quantization codec shared by [[IvfIndex]] (which trains the
-  * codebooks at build/retrain and stores the per-vector code array in
-  * the bucketed table) and [[AnnPq]] (which serves ADC queries off the
-  * stored codes). Public Jégou/Douze/Schmid 2011 scheme.
+  * codebooks at build/retrain and stores the per-vector packed code
+  * words in the bucketed table) and [[AnnPq]] (which serves ADC
+  * queries off the stored words). Public Jégou/Douze/Schmid 2011
+  * scheme.
   *
-  * Geometry: M=16 contiguous 4-dim subspaces over the 64-dim
-  * normalized vectors, K=16 centroids per subspace ⇒ one 4-bit code
-  * per subspace, 16 codes/vector (`array<tinyint>` in the table; 8
-  * packed bytes in principle — 8× smaller than the int8 SQ8 codes,
-  * 64× smaller than the float64 vectors). Sizing measured in round 13:
-  * 16×4/K16 at rerank pool 50 recalls 0.84 of the exact top-10 on the
-  * synthetic near-random corpus (PQ's worst case), vs 0.42–0.66 for
-  * the coarser 4×16 / 8×8 splits at the same pool.
+  * TWO committed geometries over the 64-dim normalized vectors, both
+  * 8 stored bytes/vector (8× smaller than the int8 SQ8 codes, 64×
+  * smaller than float64):
+  *
+  *   - [[G16]] — 16 subspaces × 4 dims, K=16 (4-bit codes): the r13
+  *     gate geometry; cheapest to train (16 tiny codebooks).
+  *   - [[G8]] — 8 subspaces × 8 dims, K=256 (8-bit codes): the
+  *     measured RECALL rung at the same byte budget — recall@10 at
+  *     pool 50 on the 128k near-random corpus is 0.43 vs G16's 0.36
+  *     (BENCH_sq8.json; numpy cross-check in round 14). Fewer, finer
+  *     codebooks beat more, coarser ones on data with no cluster
+  *     structure — and also beat RESIDUAL coding there (see
+  *     [[AnnPq]]: at 16 coarse centroids the corpus fits cos ≈ 0.23,
+  *     so residuals carry MORE energy (|r| ≈ 1.24) than the vectors
+  *     and quantize worse).
   *
   * Determinism (the house k-means discipline, so the DuckDB oracle
   * replays training and code assignment bit-for-bit):
@@ -28,156 +41,242 @@ import org.apache.spark.sql.functions._
   *    NO normalization (codebooks live in subvector space, not on the
   *    sphere).
   *
-  * All M subspaces train JOINTLY in one (vec_id, sub, sv) frame — a
-  * single chain of ~3 jobs per Lloyd iteration instead of 16
-  * independent per-subspace chains (the round-13 ann_pq gate trained
-  * per-sub per-query and paid ~17 s in scheduling overhead at sf0.1;
-  * the joint build amortized into the index is the fix).
+  * Training (round 14): per Lloyd iteration the CURRENT books ride
+  * the [[PqEncode]] kernel as a plain driver-side array (one codegen
+  * scan assigns all M subspaces at once), and the quantized component
+  * sums collect to the driver (M×K×SubDim rows — 1 k/16 k values).
+  * This replaced the joined long-form formulation because K=256 made
+  * the n×M×K assignment join and the literal-argmin column formula
+  * (M×K×SubDim case terms) infeasible; the kernel is bit-equal to
+  * both (AnnPqSpec parity pins word ≡ [[codeColumn]]).
   */
 object PqCodec {
 
-  val M = 16 // subspaces
-  val SubDim = 4 // dims per subspace (16 × 4 = 64)
-  val K = 16 // centroids per subspace codebook (4-bit codes)
+  /** One PQ geometry: m subspaces × subDim dims, k centroids per
+    * codebook, codes packed `bits` apart into one BIGINT word. */
+  final case class PqGeom(m: Int, subDim: Int, k: Int, bits: Int) {
+    require(m * subDim == 64, s"subspaces must tile the 64 dims (got $m×$subDim)")
+    require(k <= (1 << bits) && m * bits <= 64,
+      s"codes must pack into one long (m=$m bits=$bits k=$k)")
+    /** ADC read of code `sub` from packed-word column `pcCol` —
+      * codegen shift-and-mask. */
+    def unpackSql(pcCol: String, sub: Int): String =
+      s"CAST((($pcCol >> ${bits * sub}) & ${(1 << bits) - 1}) AS INT)"
+  }
+
+  /** The r13 gate geometry: 16×4-dim, 16-centroid codebooks. */
+  val G16: PqGeom = PqGeom(16, 4, 16, 4)
+  /** The wide-codebook recall rung: 8×8-dim, 256-centroid codebooks. */
+  val G8: PqGeom = PqGeom(8, 8, 256, 8)
+
+  // G16 aliases — the ann_pq/ann_ivf_pq/ann_ivf_pqr gate constants.
+  val M = G16.m
+  val SubDim = G16.subDim
+  val K = G16.k
   val Iters = 2 // Lloyd iterations (the IvfIndex cadence)
   val QuantScale = 1000000.0 // integer-quantization grid (means + LUT)
 
-  /** Subvector m (0-based) of a 64-dim array column. */
-  def subv(v: Column, m: Int): Column = slice(v, m * SubDim + 1, SubDim)
+  /** Subvector `sub` (0-based) of a 64-dim array column. */
+  def subv(v: Column, sub: Int, geom: PqGeom = G16): Column =
+    slice(v, sub * geom.subDim + 1, geom.subDim)
 
-  /** Left-to-right squared-Euclidean fold — mirrored by the oracle's
-    * `list_reduce(list_prepend(0.0, ...))`. */
-  def l2d(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+  /** Train all `geom.m` codebooks: returns the checkpointed
+    * (sub, cid, cv) frame — m×k rows, broadcast-sized. Throws
+    * IllegalArgumentException on a degenerate corpus (missing seed
+    * ids or an empty Lloyd cell) — [[IvfIndex]] catches it and
+    * degrades the build to pq-less. */
+  def train(e: DataFrame, geom: PqGeom = G16): DataFrame = {
+    val spark = e.sparkSession
+    val eC = e.localCheckpoint()
 
-  /** The long-form (vec_id, sub, sv) frame: every vector exploded into
-    * its M subvectors. */
-  private def longForm(e: DataFrame): DataFrame =
-    e.select(col("vec_id"), posexplode(array((0 until M).map(m =>
-        subv(col("v"), m)): _*)).as(Seq("sub", "sv")))
-
-  /** Nearest-centroid (Euclidean) assignment of the long-form frame to
-    * same-subspace centroids; max_by over (−dist, −cid) ≡ the oracle's
-    * ROW_NUMBER (dist asc, cid asc) — the IvfIndex.assign idiom, so the
-    * shuffle moves n×M rows, not n×M×K. */
-  private def assignLong(es: DataFrame, cent: DataFrame): DataFrame =
-    es.join(broadcast(cent), Seq("sub"))
-      .select(col("vec_id"), col("sub"), col("sv"), col("cid"),
-        l2d(col("sv"), col("cv")).as("dist"))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(max_by(col("cid"), struct(-col("dist"), -col("cid"))).as("cid"),
-        any_value(col("sv")).as("sv"))
-
-  /** Train all M codebooks jointly: returns the checkpointed
-    * (sub, cid, cv) frame — M×K rows, broadcast-sized. */
-  def train(e: DataFrame): DataFrame = {
-    val es = longForm(e).localCheckpoint()
-    var cent = es.filter(col("vec_id") < K)
-      .select(col("sub"), col("vec_id").as("cid"), col("sv").as("cv"))
-    for (_ <- 1 to Iters) {
-      cent = assignLong(es, cent)
-        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("dim", "val")))
-        .groupBy(col("sub"), col("cid"), col("dim"))
-        .agg(sum(floor(col("val") * QuantScale + 0.5)).as("sq"),
-          count(lit(1)).as("n"))
-        .groupBy(col("sub"), col("cid"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("dim"),
-            (col("sq").cast("double") / col("n").cast("double") / QuantScale)
-              .as("comp")))),
-          x => x.getField("comp")).as("cv"))
+    // Seeds: subvectors of vec_id < k, cid = vec_id — collected in
+    // order so books(sub)(cid) is positional.
+    val seedRows = eC.filter(col("vec_id") < geom.k)
+      .select(col("vec_id"), col("v")).collect()
+    require(seedRows.length == geom.k,
+      s"PQ seeds need all vec_id < ${geom.k} present (got ${seedRows.length}): " +
+        "a cohort-filtered corpus cannot train this geometry — reseed or drop pq")
+    var books = Array.ofDim[Array[Double]](geom.m, geom.k)
+    seedRows.foreach { r =>
+      val cid = r.getLong(0).toInt
+      val v = r.getSeq[Double](1).toArray
+      for (m <- 0 until geom.m)
+        books(m)(cid) = java.util.Arrays.copyOfRange(
+          v, m * geom.subDim, (m + 1) * geom.subDim)
     }
-    val out = cent.localCheckpoint()
-    // Density is a TRAIN-TIME invariant every consumer assumes: the
-    // write path's literal-argmin ([[codeColumn]] via [[collectBooks]])
-    // would NPE on a null cell and the ADC LUT's positional indexing
-    // would silently shift — and because the SHARED corpus index
-    // trains PQ, an unguarded empty cell would take down every ANN
-    // gate with a bare NPE. Checked ONCE here (the frame is immutable
-    // after training), never per query.
-    val n = out.count()
-    require(n == M.toLong * K,
-      s"PQ codebooks must be dense (M×K = ${M * K} centroids, got $n): an empty " +
-        "Lloyd cell (duplicate subspace seeds collapsing a cluster) breaks the " +
-        "positional ADC indexing and the code write path — reseed or drop pq")
-    out
+
+    // Lloyd: assign with the CURRENT books via the codegen kernel (one
+    // scan, all subspaces), then integer-quantized component means.
+    for (_ <- 1 to Iters) {
+      val mask = lit((1L << geom.bits) - 1)
+      val subs = (0 until geom.m).map { m =>
+        struct(lit(m).as("sub"),
+          shiftright(col("w"), geom.bits * m).bitwiseAND(mask).as("cid"),
+          subv(col("v"), m, geom).as("sv"))
+      }
+      val stats = eC
+        .select(col("v"), encode(col("v"), books, geom).as("w"))
+        .select(explode(array(subs: _*)).as("s"))
+        .select(col("s.sub").as("sub"), col("s.cid").as("cid"),
+          posexplode(col("s.sv")).as(Seq("dim", "va")))
+        .groupBy(col("sub"), col("cid"), col("dim"))
+        .agg(sum(floor(col("va") * QuantScale + 0.5)).as("sq"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = Array.ofDim[Array[Double]](geom.m, geom.k)
+      stats.groupBy(r => (r.getInt(0), r.getLong(1).toInt)).foreach {
+        case ((sub, cid), rows) =>
+          val cv = new Array[Double](geom.subDim)
+          rows.foreach { r =>
+            cv(r.getInt(2)) =
+              r.getLong(3).toDouble / r.getLong(4).toDouble / QuantScale
+          }
+          next(sub)(cid) = cv
+      }
+      // Density is a TRAIN-TIME invariant every consumer assumes: the
+      // positional ADC LUT and the kernel's dense book array both
+      // break on an empty Lloyd cell (duplicate seeds collapsing a
+      // cluster). Checked per iteration; the SHARED corpus index
+      // catches this upstream and degrades to pq-less.
+      for (m <- 0 until geom.m; j <- 0 until geom.k)
+        require(next(m)(j) != null,
+          s"PQ codebooks must be dense: empty Lloyd cell (sub=$m, cid=$j) — " +
+            "reseed or drop pq")
+      books = next
+    }
+
+    import scala.jdk.CollectionConverters._
+    val rows = (for (m <- 0 until geom.m; c <- 0 until geom.k)
+      yield org.apache.spark.sql.Row(m, c.toLong, books(m)(c).toSeq)).asJava
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sub",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("cid", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cv",
+        ArrayType(DoubleType, containsNull = false), nullable = false)))
+    spark.createDataFrame(rows, schema).localCheckpoint()
   }
 
-  /** Collect the trained codebooks to the driver — M×K×SubDim doubles
-    * (tiny) — for [[codeColumn]]'s literal codegen expression. */
-  def collectBooks(books: DataFrame): Array[Array[Array[Double]]] = {
-    val out = Array.ofDim[Array[Double]](M, K)
+  /** Collect the trained codebooks to the driver — m×k×subDim doubles
+    * (≤ 16 k values) — for the [[PqEncode]] kernel. */
+  def collectBooks(books: DataFrame, geom: PqGeom = G16): Array[Array[Array[Double]]] = {
+    val out = Array.ofDim[Array[Double]](geom.m, geom.k)
     books.select(col("sub"), col("cid"), col("cv")).collect().foreach { r =>
-      out(r.getInt(0))(r.getLong(1).toInt) =
-        r.getSeq[Double](2).toArray
+      out(r.getInt(0))(r.getLong(1).toInt) = r.getSeq[Double](2).toArray
     }
-    // Belt over train()'s braces: a null cell here would NPE deep in
-    // codegen construction with no actionable message.
-    for (m <- 0 until M; j <- 0 until K)
+    for (m <- 0 until geom.m; j <- 0 until geom.k)
       require(out(m)(j) != null,
         s"PQ codebook cell (sub=$m, cid=$j) is missing — train() guarantees " +
           "density, so this frame is not a trained codebook")
     out
   }
 
-  /** The per-subspace argmin code (BIGINT in [0, K)) as a pure codegen
-    * expression over literal centroids. Exactness: the literal doubles
-    * are the collected trained values (exact round trip), each squared
-    * distance sums left-to-right in subvector order (d1+d2+d3+d4 ≡
-    * the fold — IEEE: 0.0+d1 == d1), and `array_position(ds,
-    * array_min(ds))` returns the FIRST minimum ⇒ lowest cid on ties,
-    * the oracle's (dist asc, cid asc). */
-  private def subCode(v: Column, books: Array[Array[Array[Double]]],
-      m: Int): Column = {
-    val o = m * SubDim
-    val dists = (0 until K).map { j =>
-      val cv = books(m)(j)
-      (0 until SubDim).map { i =>
-        val d = element_at(v, o + i + 1) - lit(cv(i))
-        d * d
-      }.reduce(_ + _)
+  /** The packed code word as the [[PqEncode]] codegen kernel — the
+    * write-path transform (build / append / retrain) and the training
+    * loop's assignment step. All m codes in ONE BIGINT, code `sub` in
+    * bits [bits·sub, bits·(sub+1)): fixed 8 stored bytes with no
+    * parquet array framing, shift-and-mask ADC reads. */
+  def encode(v: Column, books: Array[Array[Array[Double]]],
+      geom: PqGeom = G16): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      PqEncode(org.apache.spark.sql.graft.ColumnBridge.expression(v), books,
+        geom.bits))
+
+  /** The per-row code ARRAY form (`array<int>`) via the column
+    * formula the kernel replaced — kept ONLY as the parity reference
+    * AnnPqSpec pins [[encode]] against (literal-argmin: K×subDim case
+    * terms per subspace — infeasible to compile at K=256, which is
+    * why the kernel exists). Same exactness contract: left-to-right
+    * squared-distance folds, first-minimum ties ≡ (dist asc, cid
+    * asc). */
+  def codeColumn(v: Column, books: Array[Array[Array[Double]]],
+      geom: PqGeom = G16): Column = {
+    val perSub = (0 until geom.m).map { m =>
+      val o = m * geom.subDim
+      val dists = (0 until geom.k).map { j =>
+        val cv = books(m)(j)
+        (0 until geom.subDim).map { i =>
+          val d = element_at(v, o + i + 1) - lit(cv(i))
+          d * d
+        }.reduce(_ + _)
+      }
+      val ds = array(dists: _*)
+      (array_position(ds, array_min(ds)) - 1).cast("int")
     }
-    val ds = array(dists: _*)
-    array_position(ds, array_min(ds)) - 1
+    array(perSub: _*)
   }
 
-  /** The per-row code ARRAY form (`array<tinyint>`, 16 elements) —
-    * kept as the parity reference PqCodecSpec pins [[codeLong]]
-    * against; the stored column is the packed long. */
-  def codeColumn(v: Column, books: Array[Array[Array[Double]]]): Column =
-    array((0 until M).map(m => subCode(v, books, m).cast("tinyint")): _*)
-
-  /** The PACKED per-row code word — the write-path transform (build /
-    * append / retrain): all M 4-bit codes in ONE BIGINT, code m in
-    * bits [4m, 4m+4) (M·log₂K = 16·4 = 64 bits exactly fills a long).
-    * 8 stored bytes per vector where the r13 `array<tinyint>` form
-    * paid parquet's per-element array overhead on 16 elements (r13
-    * open item #3 — a BINARY column was the other candidate, but a
-    * plain BIGINT is strictly better: fixed 8 bytes, no array/blob
-    * framing, and the ADC read is a codegen'd shift-and-mask instead
-    * of byte slicing). No explode, no join, no extra job; each row
-    * computes M argmins over K literal centroids. */
-  def codeLong(v: Column, books: Array[Array[Array[Double]]]): Column = {
-    require(M * 4 <= 64 && K <= 16,
-      s"packed codes need M·4 ≤ 64 bits and 4-bit ids (M=$M, K=$K)")
-    (0 until M).map(m => shiftleft(subCode(v, books, m), 4 * m))
-      .reduce(_ + _) // disjoint bit ranges: + ≡ OR
+  /** Nearest-codebook-entry word — called from generated code and
+    * [[PqEncode.nullSafeEval]]. Subspace widths derive from the book
+    * shapes; first strict minimum ≡ (dist asc, cid asc); the fold is
+    * acc=0.0 then += d² in index order, IEEE-identical to the
+    * column/oracle folds. */
+  def encodeWord(v: ArrayData, books: Array[Array[Array[Double]]],
+      bits: Int): Long = {
+    var word = 0L
+    var o = 0
+    var m = 0
+    while (m < books.length) {
+      val bk = books(m)
+      val sd = bk(0).length
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var j = 0
+      while (j < bk.length) {
+        val c = bk(j)
+        var acc = 0.0
+        var i = 0
+        while (i < sd) { val d = v.getDouble(o + i) - c(i); acc += d * d; i += 1 }
+        if (acc < bestD) { bestD = acc; best = j }
+        j += 1
+      }
+      word |= best.toLong << (bits * m)
+      o += sd
+      m += 1
+    }
+    word
   }
-
-  /** ADC read of code m from the packed word: `(pc >> 4m) & 15` —
-    * stays inside whole-stage codegen. */
-  def unpackSql(pcCol: String, m: Int): String =
-    s"CAST((($pcCol >> ${4 * m}) & 15) AS INT)"
 
   /** The residual frame a residual-coded IVF-PQ trains/codes on:
     * rv = v − centroid(cid), with the centroid values as LITERALS
-    * (same idiom as the codebook argmin — no join on the write path;
-    * `cents(cid)` is the trained centroid of bucket cid). Returned as
-    * (vec_id, v) so [[train]]/[[codeLong]] apply unchanged. */
+    * (`cents(cid)` is the trained centroid of bucket cid). Returned as
+    * (vec_id, v) so [[train]]/[[encode]] apply unchanged. Callers must
+    * BIND the result to a column before feeding [[encode]]'s
+    * reference sites (see IvfIndex.withCodes). */
   def residualCol(v: Column, cid: Column,
       cents: Array[Array[Double]]): Column = {
     val centArr = array(cents.map(cv => array(cv.map(lit): _*)): _*)
     zip_with(v, element_at(centArr, cid.cast("int") + 1), (x, c) => x - c)
   }
+}
+
+/** Native codegen expression wrapping [[PqCodec.encodeWord]]: the
+  * packed PQ code word of a 64-dim double-array column under
+  * driver-side codebooks (carried as a reference object — NOT
+  * generated source, so the generated method stays tiny at any K;
+  * the literal-argmin formula this replaced built K×subDim case terms
+  * per subspace). */
+case class PqEncode(child: Expression,
+    books: Array[Array[Array[Double]]], bits: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_pq_encode needs an array<double> input, got $t")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_pq_encode"
+
+  override def nullSafeEval(input: Any): Any =
+    PqCodec.encodeWord(input.asInstanceOf[ArrayData], books, bits)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("pqBooks", books, "double[][][]")
+      s"${ev.value} = graft.queries.PqCodec.encodeWord($c, $ref, $bits);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
 }

@@ -81,14 +81,19 @@ object ScaleOps {
 
   /** PQ two-stage ANN at the configured rerank pool width
     * (`[scale] pq_cands`, default 50 = the gate-pinned `ann_pq` pool):
-    * stage 1 ranks the persisted 4-bit code arrays (8 bytes/vector —
+    * stage 1 ranks the persisted packed code words (8 bytes/vector —
     * the rung below SQ8 on the memory ladder) and keeps `pool`
     * candidates per query, stage 2 reranks exact-float; `prune`
     * composes the IVF bucket prune in front (the `ann_ivf_pq` stack).
+    * `[scale] pq_wide` (default true) serves off the G8 wide-codebook
+    * words — the measured recall rung at the same 8 bytes (0.43 vs
+    * 0.36 @ 128k pool 50, BENCH_sq8.json); the pruned stack stays on
+    * G16 (the wide route's recall story is the whole-corpus rank).
     * Recall-vs-pool priced next to SQ8 by [[graft.Sq8PoolSweep]]. */
   def annPq(s: SparkSession, d: String, cfg: EngineConfig,
       prune: Boolean = false): DataFrame =
-    AnnPq.pqTopKFor(s, d, cfg.scale.pqCands, prune)
+    AnnPq.pqTopKFor(s, d, cfg.scale.pqCands, prune,
+      wide = cfg.scale.pqWide && !prune)
 
   /** The embed-stage cleaning ledger WITH the mid-tier discovery feed
     * (r12 VERDICT optional #8): the IVF pair route's 0.45–0.7 matches

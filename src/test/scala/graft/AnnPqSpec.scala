@@ -119,27 +119,55 @@ class AnnPqSpec extends SparkSuite {
       s"stage 1 must never read the float vector column:\n$plan")
   }
 
-  test("packed code word ≡ the array form (codeLong vs codeColumn, both books)") {
-    import graft.queries.{IvfIndex, PqCodec}
+  test("packed code word ≡ the array formula (encode kernel vs codeColumn, all books)") {
+    import graft.queries.PqCodec
     graft.functions.DotProduct.register(spark)
     val idx = graft.queries.Ann.corpusIdx(spark, d)
     val books = idx.pqBooks.get
-    for (b <- Seq(books.plain, books.residual)) {
-      val lit = PqCodec.collectBooks(b)
+    // (books, geometry, stored column) triples — the residual word is
+    // checked against the STORED prc (its input column is the bound
+    // residual, not v, so the formula reference replays off the store).
+    for ((b, geom, stored) <- Seq(
+        (books.plain, PqCodec.G16, "pc"),
+        (books.wide, PqCodec.G8, "pw"))) {
+      val lit = PqCodec.collectBooks(b, geom)
       val rows = idx.assigned
         .select(
-          PqCodec.codeLong(col("v"), lit).as("word"),
-          PqCodec.codeColumn(col("v"), lit).as("arr"))
+          PqCodec.encode(col("v"), lit, geom).as("word"),
+          PqCodec.codeColumn(col("v"), lit, geom).as("arr"),
+          col(stored))
         .collect()
       assert(rows.nonEmpty)
+      val mask = (1L << geom.bits) - 1
       rows.foreach { r =>
         val word = r.getLong(0)
-        val arr = r.getSeq[Byte](1)
-        (0 until PqCodec.M).foreach { m =>
-          assert(((word >> (4 * m)) & 15) == arr(m).toLong,
-            s"code $m mismatch: word=$word arr=$arr")
+        val arr = r.getSeq[Int](1)
+        (0 until geom.m).foreach { m =>
+          assert(((word >> (geom.bits * m)) & mask) == arr(m).toLong,
+            s"code $m mismatch at $geom: word=$word arr=$arr")
         }
+        assert(word == r.getLong(2), s"stored $stored word differs from recompute")
       }
     }
+  }
+
+  test("wide-codebook ann_pq_w8: K ranked rows per query off the stored pw words") {
+    val rows = SparkEntry.queries("ann_pq_w8")(spark, d).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(35L, 36L, 37L, 38L, 39L))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(3)).toSeq.sorted == (1 to 10), s"ranks for $q")
+      val cos = rs.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+      assert(cos == cos.sorted.reverse, s"cosine order for $q")
+    }
+    val (cands, _) = graft.queries.AnnPq.pqCands(spark, d,
+      col("vec_id") >= 35 && col("vec_id") < 40, wide = true)
+    val plan = cands.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "wide PQ stage 1 must not shuffle-join")
+    assert(plan.contains("pw:bigint"),
+      s"stage 1 must read the persisted wide code word:\n$plan")
+    assert(!plan.contains("v:array<double>"),
+      s"stage 1 must never read the float vector column:\n$plan")
   }
 }

@@ -141,6 +141,7 @@ class ConfigSpec extends SparkSuite {
     assert(cfg.scale.ivfRetrainBelowCos == 0.8)
     assert(cfg.scale.sq8Cands == 50)
     assert(cfg.scale.pqCands == 50)
+    assert(cfg.scale.pqWide, "the preset serves the measured G8 recall rung")
     assert(cfg.scale.ivfPairBucket == 512)
     assert(cfg.capsule.defaultTokenBudget == 10000)
   }

@@ -141,12 +141,19 @@ class ScaleOpsSpec extends SparkSuite {
   test("pq_cands reaches the PQ rerank pool") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
-    // Default pool (50) ≡ the gate entry.
+    // Default = wide (G8) at pool 50 ≡ the wide route on the gate
+    // cohort; pq_wide = false reproduces the G16 gate exactly.
     val dflt = Config.fromToml(Map.empty, java.nio.file.Paths.get("."))
-    assert(dflt.scale.pqCands == 50)
+    assert(dflt.scale.pqCands == 50 && dflt.scale.pqWide)
     assert(rows(ScaleOps.annPq(spark, d, dflt)) ==
+      rows(graft.queries.AnnPq.pqTopKFor(spark, d, 50, wide = true)),
+      "cfg-wired default ≡ the wide route at the default pool")
+    val narrowRoot = Files.createTempDirectory("graft_scale_pqw")
+    Files.writeString(narrowRoot.resolve(Config.ConfigFilename),
+      "[scale]\npq_wide = false\n")
+    assert(rows(ScaleOps.annPq(spark, d, Config.load(narrowRoot))) ==
       rows(SparkEntry.queries("ann_pq")(spark, d)),
-      "cfg-wired call at the default pool ≡ the gate query")
+      "pq_wide = false at the default pool ≡ the G16 gate query")
     // Pool 1: at most one candidate per query survives to the rerank.
     val root = Files.createTempDirectory("graft_scale_pq")
     Files.writeString(root.resolve(Config.ConfigFilename),
