@@ -21,19 +21,37 @@ set -u
 cd "$(dirname "$0")/.."
 out="${SPARK_GRAFT_BENCH_OUT:-bench_out.json}"
 
+# The stale file is removed BEFORE the guard so a refusal can never
+# leave a previous strike's artifact in place for an unconditional
+# downstream `cp` to promote (the r14 chain bug: BENCH_LOCAL.json
+# ended up a byte-copy of the x10 BENCH_sf1.json).
+rm -f "$out" "$out.short"
+
 if [ "${SPARK_GRAFT_BENCH_REQUIRE_QUIET:-0}" = "1" ]; then
   max_load="${SPARK_GRAFT_BENCH_MAX_LOAD:-4.0}"
-  load1="$(cut -d' ' -f1 /proc/loadavg 2>/dev/null || echo -1)"
-  jvms="$(pgrep -c -f java 2>/dev/null || echo 0)"
-  busy="$(awk -v l="$load1" -v m="$max_load" 'BEGIN{print (l>m)?1:0}')"
-  if [ "$jvms" -gt 0 ] || [ "$busy" = "1" ]; then
-    echo "[bench] REFUSING to strike: box not quiet (loadavg1=$load1, java procs=$jvms, max_load=$max_load)" >&2
-    echo '{"metric":"total","value":null,"error":"quiet-box guard: loadavg1='"$load1"' java_procs='"$jvms"'"}'
-    exit 1
-  fi
+  # Bounded wait-until-quiet loop (r14 VERDICT task 1c): poll every
+  # 15 s up to SPARK_GRAFT_BENCH_WAIT_QUIET seconds (default 0 = one
+  # immediate check) so a guarded strike at the end of a loaded round
+  # RUNS instead of being skipped.
+  wait_budget="${SPARK_GRAFT_BENCH_WAIT_QUIET:-0}"
+  waited=0
+  while :; do
+    load1="$(cut -d' ' -f1 /proc/loadavg 2>/dev/null || echo -1)"
+    jvms="$(pgrep -c -f java 2>/dev/null || echo 0)"
+    busy="$(awk -v l="$load1" -v m="$max_load" 'BEGIN{print (l>m)?1:0}')"
+    if [ "$jvms" -eq 0 ] && [ "$busy" != "1" ]; then break; fi
+    if [ "$waited" -ge "$wait_budget" ]; then
+      echo "[bench] REFUSING to strike: box not quiet after ${waited}s (loadavg1=$load1, java procs=$jvms, max_load=$max_load)" >&2
+      # Write the refusal INTO the artifact so any downstream cp
+      # promotes an explicit refusal record, never stale numbers.
+      echo '{"metric":"total","value":null,"error":"quiet-box guard: loadavg1='"$load1"' java_procs='"$jvms"' waited='"$waited"'s"}' | tee "$out"
+      exit 1
+    fi
+    echo "[bench] waiting for quiet box (loadavg1=$load1, java procs=$jvms; ${waited}/${wait_budget}s)" >&2
+    sleep 15
+    waited=$((waited + 15))
+  done
 fi
-
-rm -f "$out"
 sbt -batch "runMain graft.Bench" 1>&2
 rc=$?
 if [ -f "$out" ]; then
