@@ -37,7 +37,10 @@ if [ "${SPARK_GRAFT_BENCH_REQUIRE_QUIET:-0}" = "1" ]; then
   waited=0
   while :; do
     load1="$(cut -d' ' -f1 /proc/loadavg 2>/dev/null || echo -1)"
-    jvms="$(pgrep -c -f java 2>/dev/null || echo 0)"
+    # pgrep -c prints "0" AND exits 1 on no match — an `|| echo 0`
+    # fallback would yield "0\n0" and break the numeric test.
+    jvms="$(pgrep -c -f java 2>/dev/null | head -1)"
+    jvms="${jvms:-0}"
     busy="$(awk -v l="$load1" -v m="$max_load" 'BEGIN{print (l>m)?1:0}')"
     if [ "$jvms" -eq 0 ] && [ "$busy" != "1" ]; then break; fi
     if [ "$waited" -ge "$wait_budget" ]; then
