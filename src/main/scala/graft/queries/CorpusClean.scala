@@ -196,7 +196,46 @@ object CorpusClean {
   private[graft] def incrLedger(s: SparkSession, delta: DataFrame,
       dg: DigestIndex.Index, mh: MinhashIndex.Index,
       em: Option[(EmbedIndex.Index, DataFrame)] = None,
-      embedActCos: Double = Dedup.EmbedActThreshold): DataFrame = {
+      embedActCos: Double = Dedup.EmbedActThreshold): DataFrame =
+    incrLedgerDerived(s, deriveBatch(s, delta),
+      em.map { case (ei, vecs) => (ei, ei.deriveRows(vecs)) },
+      dg, mh, embedActCos)
+
+  /** ONE scan over the batch text deriving everything every ledger
+    * stage and every subsequent accepted-rows append needs —
+    * (doc_id, content_hash, sig, hs, quality_score, c_en), lazily
+    * checkpointed (the pre-derived-delta contract, r14 VERDICT #3).
+    * Before this, each batch paid the text scan up to FIVE times: the
+    * digest probe, the minhash probe, the quality/language stage, and
+    * the digest + minhash appends each re-derived their columns;
+    * evolving pipelines now derive once and hand filtered views to
+    * [[DigestIndex.Index.appendDerived]] /
+    * [[MinhashIndex.Index.appendDerived]]. */
+  private[graft] def deriveBatch(s: SparkSession, batch: DataFrame): DataFrame = {
+    graft.functions.MinhashSig.register(s)
+    val (quality, enCount) = qualityCols
+    batch.select(col("doc_id"),
+        contentHash.as("content_hash"),
+        expr("graft_minhash(text)").as("sig"),
+        expr("graft_shingles(text)").as("hs"),
+        quality.as("quality_score"), enCount.as("c_en"))
+      .localCheckpoint(false)
+  }
+
+  /** [[incrLedger]] over a pre-derived batch ([[deriveBatch]] rows;
+    * `emDerived` carries [[EmbedIndex.Index.deriveRows]] (vec_id, v)
+    * rows) — the standing-pipeline entry point where the caller keeps
+    * the derived frames to feed the post-verdict appends. */
+  private[graft] def incrLedgerDerived(s: SparkSession, derived: DataFrame,
+      emDerived: Option[(EmbedIndex.Index, DataFrame)],
+      dg: DigestIndex.Index, mh: MinhashIndex.Index,
+      embedActCos: Double = Dedup.EmbedActThreshold,
+      assumeSmallDelta: Boolean = false): DataFrame = {
+    // assumeSmallDelta: the standing-pipeline loops assert their
+    // per-batch delta ≪ corpus, skipping all three probes' count-gate
+    // jobs (a wrong assertion risks an oversized broadcast, never
+    // wrong rows — the probes' key sets stay what they were).
+    val hint = if (assumeSmallDelta) Some(true) else None
     // 1. exact dedup: digest-index membership probe + within-batch
     // first-id-keeps (delta-sized min-agg + join — the d_exact_dedup
     // skew discipline; DigestIndexSpec pins probe ≡ recompute). The
@@ -204,7 +243,7 @@ object CorpusClean {
     // the verdict join both consume it, and an unmaterialized probe
     // re-runs its corpus-bucket membership join per consumer (+2 s at
     // ×10, measured round 9).
-    val probedDigests = dg.probe(delta.select(col("doc_id"), col("text")))
+    val probedDigests = dg.probeDerived(derived, smallDeltaHint = hint)
       .localCheckpoint(false)
     val batchKeepers = probedDigests.groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("keeper_id"))
@@ -215,18 +254,16 @@ object CorpusClean {
     // 2. near-dup probe against the persisted corpus index (unsorted:
     // the verdicts feed the ledger join below, so the gate-facing
     // probe's global doc_id sort would plan a wasted range exchange)
-    val probed = mh.probeRows(delta.select(col("doc_id"), col("text")))
+    val probed = mh.probeDerived(derived, smallDeltaHint = hint)
       .select(col("doc_id"), col("dup_of"), col("jaccard"))
 
-    // 3+4. quality + language on the delta only
-    val (quality, enCount) = qualityCols
-
-    val base = delta
-      .select(col("doc_id"), quality.as("quality_score"), enCount.as("c_en"))
+    // 3+4. quality + language signals ride the derived scan
+    val base = derived
+      .select(col("doc_id"), col("quality_score"), col("c_en"))
       .join(exact, "doc_id")
       .join(probed, Seq("doc_id"), "left")
 
-    em match {
+    emDerived match {
       case None =>
         base
           .withColumn("reason",
@@ -238,7 +275,7 @@ object CorpusClean {
           .select(col("doc_id"), round(col("quality_score"), 9).as("quality_score"),
             col("dup_of"), col("jaccard"),
             col("reason"), (col("reason") === "kept").as("keep"))
-      case Some((ei, deltaVecs)) =>
+      case Some((ei, deltaVecRows)) =>
         // 2b. embedding near-dup probe against the persisted sign-band
         // index — same unsorted composing shape as the MinHash stage;
         // docs without a vector simply never match the left join.
@@ -248,7 +285,7 @@ object CorpusClean {
         // the best among ≥0.9 matches — and the tier below it is one
         // sign-LSH cannot recall at production width (the r11 weak
         // row; see the constant's doc and SURVEY §9.12).
-        val emb = ei.probeRows(deltaVecs)
+        val emb = ei.probeDerived(deltaVecRows, smallDeltaHint = hint)
           .filter(col("cosine") >= embedActCos)
           .select(col("vec_id").as("doc_id"), col("dup_of").as("emb_dup_of"),
             col("cosine").as("emb_cosine"))
@@ -317,20 +354,34 @@ object CorpusClean {
               pmod(col("vec_id"), lit(10L * k)) === lit(10L * b))
             .select(col("vec_id"), col("embedding"))
         }
-        val ledger = incrLedger(s, batch, dg, mh, em.zip(batchVecs))
+        // Derive ONCE per batch (deriveBatch / deriveRows checkpoints);
+        // the ledger probes AND the accepted-rows appends below read
+        // the same derived frames — no re-derivation per stage (r14
+        // VERDICT #3, the per-batch job-floor cut).
+        val derived = deriveBatch(s, batch)
+        val emPair = em.zip(batchVecs).map { case (ei, vecs) =>
+          (ei, ei.deriveRows(vecs))
+        }
+        // assumeSmallDelta/assumeDisjoint: each batch is delta/k-sized
+        // (≪ corpus by construction) and its ids are PROVABLY disjoint
+        // from the indexed cohort — the corpus indexes stand over
+        // doc_id ≢ 0 (mod 10), every batch is ≡ 0 (mod 10k·b+10), and
+        // batches are mutually distinct residues — so the count gates
+        // and the per-batch corpus-id guard scans are skipped (r14
+        // VERDICT #3, the job-floor cut).
+        val ledger = incrLedgerDerived(s, derived, emPair, dg, mh,
+            assumeSmallDelta = true)
           .withColumn("batch", lit(b.toLong))
           .localCheckpoint() // eager: materialize BEFORE the appends
         val acceptedIds = ledger.filter(col("keep")).select(col("doc_id"))
-        val accepted = batch
-          .join(acceptedIds, "doc_id")
-          .select(col("doc_id"), col("text"))
+        val acceptedDerived = derived.join(acceptedIds, Seq("doc_id"), "left_semi")
         // Append EVERY batch (the standing pipeline keeps the index
         // current for the next day's delta too, not just intra-run).
-        mh.append(accepted)
-        dg.append(accepted)
-        em.zip(batchVecs).foreach { case (ei, vecs) =>
-          ei.append(vecs.join(acceptedIds.select(col("doc_id").as("vec_id")),
-            Seq("vec_id"), "left_semi"))
+        mh.appendDerived(acceptedDerived, assumeDisjoint = true)
+        dg.appendDerived(acceptedDerived, assumeDisjoint = true)
+        emPair.foreach { case (ei, rows) =>
+          ei.appendDerived(rows.join(acceptedIds.select(col("doc_id").as("vec_id")),
+            Seq("vec_id"), "left_semi"), assumeDisjoint = true)
         }
         ledger
       }

@@ -80,14 +80,36 @@ object DigestIndex {
       * Within-batch duplicate handling stays with the caller (first-id
       * keeps is batch policy, not index state). */
     def probe(delta: DataFrame,
-        broadcastMaxKeys: Long = DigestIndex.ProbeBroadcastMaxKeys): DataFrame = {
-      assertCurrent()
-      val hashed = delta
+        broadcastMaxKeys: Long = DigestIndex.ProbeBroadcastMaxKeys): DataFrame =
+      probeDerived(deriveRows(delta), broadcastMaxKeys)
+
+    /** The delta's derived rows — (doc_id, content_hash), lazily
+      * checkpointed so the digest computes ONCE however many consumers
+      * read it. The pre-derived-delta contract (r14 VERDICT #3): a
+      * standing pipeline derives each batch once and hands the SAME
+      * frame to [[probeDerived]] and (filtered to accepted ids) to
+      * [[appendDerived]], instead of re-paying the md5+normalization
+      * scan in each. */
+    private[graft] def deriveRows(delta: DataFrame): DataFrame =
+      delta
         .select(col("doc_id"), TextHash.contentDigest(col("text")).as("content_hash"))
         .localCheckpoint(false)
+
+    /** [[probe]] over pre-derived rows — any frame carrying
+      * (doc_id, content_hash); extra columns are ignored. The caller
+      * owns the frame's materialization discipline (checkpointed
+      * delta-sized rows, the [[deriveRows]] shape). */
+    private[graft] def probeDerived(derived: DataFrame,
+        broadcastMaxKeys: Long = DigestIndex.ProbeBroadcastMaxKeys,
+        smallDeltaHint: Option[Boolean] = None): DataFrame = {
+      assertCurrent()
+      val hashed = derived.select(col("doc_id"), col("content_hash"))
       val deltaKeys = hashed.select(col("content_hash")).distinct()
         .localCheckpoint(false)
-      val smallDelta = deltaKeys.count() <= broadcastMaxKeys
+      // smallDeltaHint: the caller asserts delta ≪ corpus (a standing
+      // pipeline's per-batch delta) so the count-gate JOB is skipped —
+      // a wrong hint risks an oversized broadcast, never wrong rows.
+      val smallDelta = smallDeltaHint.getOrElse(deltaKeys.count() <= broadcastMaxKeys)
       val keyed = if (smallDelta) broadcast(deltaKeys) else deltaKeys.hint("shuffle_hash")
       // Corpus rows of colliding digests only — the corpus table scans
       // in place (bucketed, no exchange); output is ≤ delta-sized.
@@ -105,21 +127,30 @@ object DigestIndex {
       * ids — enforced by a broadcast semi-probe guard, the
       * [[MinhashIndex.Index.append]] contract; duplicate CONTENT is of
       * course allowed — that is what the index detects). */
-    def append(newDocs: DataFrame): Index = {
+    def append(newDocs: DataFrame): Index =
+      appendDerived(deriveRows(newDocs))
+
+    /** [[append]] over pre-derived rows (the [[deriveRows]] /
+      * [[probeDerived]] contract) — skips the digest re-derivation
+      * when the caller already derived the batch for its probe. The
+      * frame may carry extra columns (ignored) and may be a filtered
+      * view of a checkpointed derivation (the accepted-ids semi-join
+      * is cheap over materialized blocks). */
+    private[graft] def appendDerived(derived: DataFrame,
+        assumeDisjoint: Boolean = false): Index = {
       assertCurrent()
-      // ONE delta materialization for guard + write (round 12: the
-      // former deltaIds checkpoint scanned the delta once for the
-      // guard and the write scanned it AGAIN for the digests; hashing
-      // before the guard wastes only the digest column when the guard
-      // trips — the contract-violation path, not the hot path).
-      val hashed = newDocs
-        .select(col("doc_id"), TextHash.contentDigest(col("text")).as("content_hash"))
-        .localCheckpoint()
-      val clashes = digests.select(col("doc_id"))
-        .join(broadcast(hashed.select(col("doc_id"))), "doc_id").limit(1).count()
-      require(clashes == 0,
-        s"append violates the disjointness contract: delta contains doc_ids already in " +
-          s"$tableName — rebuild or compact to reconcile")
+      val hashed = derived.select(col("doc_id"), col("content_hash"))
+      // assumeDisjoint: the caller PROVES id disjointness structurally
+      // (the evolve loops' delta cohort is doc_id ≡ 0 mod 10 against a
+      // ≢ 0 corpus cohort) and skips the guard — which is a per-batch
+      // corpus-id-column scan, the appends' job floor at scale.
+      if (!assumeDisjoint) {
+        val clashes = digests.select(col("doc_id"))
+          .join(broadcast(hashed.select(col("doc_id"))), "doc_id").limit(1).count()
+        require(clashes == 0,
+          s"append violates the disjointness contract: delta contains doc_ids already in " +
+            s"$tableName — rebuild or compact to reconcile")
+      }
       writeBucketed(hashed, tableName, "content_hash", DigestIndex.NumBuckets, "append")
       // [scale] compact_every_appends cadence — base tables only
       if (parentIndex.isEmpty && IndexMaintenance.appendTick(baseName)) compact()

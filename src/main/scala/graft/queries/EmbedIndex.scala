@@ -107,10 +107,27 @@ object EmbedIndex {
       * verdicts feed a join and the orderBy's range exchange is pure
       * waste. */
     private[graft] def probeRows(delta: DataFrame, cap: Int = Dedup.MaxBandSize,
-        broadcastMaxKeys: Long = EmbedIndex.ProbeBroadcastMaxKeys): DataFrame = {
+        broadcastMaxKeys: Long = EmbedIndex.ProbeBroadcastMaxKeys): DataFrame =
+      probeDerived(deriveRows(delta), cap, broadcastMaxKeys)
+
+    /** The delta's derived rows — (vec_id, v L2-normalized), lazily
+      * checkpointed so the cast+norm+transform runs ONCE per batch.
+      * The pre-derived-delta contract (r14 VERDICT #3): a standing
+      * pipeline hands the SAME frame to [[probeDerived]], (filtered to
+      * accepted ids) to [[appendDerived]], AND — because the shape is
+      * exactly [[IvfIndex.Index.append]]'s input — to a serving IVF
+      * branch, so one normalization feeds all three. */
+    private[graft] def deriveRows(delta: DataFrame): DataFrame =
+      EmbedIndex.normalized(delta).localCheckpoint(false)
+
+    /** [[probeRows]] over pre-derived rows — any frame carrying
+      * (vec_id, v); extra columns are ignored. */
+    private[graft] def probeDerived(derived: DataFrame, cap: Int = Dedup.MaxBandSize,
+        broadcastMaxKeys: Long = EmbedIndex.ProbeBroadcastMaxKeys,
+        smallDeltaHint: Option[Boolean] = None): DataFrame = {
       assertCurrent()
       graft.functions.DotProduct.register(spark)
-      val normed = EmbedIndex.normalized(delta).localCheckpoint(false)
+      val normed = derived.select(col("vec_id"), col("v"))
       val deltaBands = normed
         .select(col("vec_id"),
           explode(EmbedIndex.packedKeys(spark, bandBits, rotations)).as("pk"))
@@ -122,7 +139,10 @@ object EmbedIndex {
       // with the shuffle_hash hint pinned (see MinhashIndex.probeRows).
       val collidingKeys = deltaBands.select(col("pk")).distinct()
         .localCheckpoint(false)
-      val smallDelta = collidingKeys.count() <= broadcastMaxKeys
+      // smallDeltaHint: caller-asserted delta ≪ corpus skips the
+      // count-gate job (the [[DigestIndex.Index.probeDerived]] note).
+      val smallDelta =
+        smallDeltaHint.getOrElse(collidingKeys.count() <= broadcastMaxKeys)
       def keyProbe(keys: DataFrame): DataFrame =
         if (smallDelta) broadcast(keys) else keys.hint("shuffle_hash")
       val corpusHits = bands.join(keyProbe(collidingKeys), "pk")
@@ -158,7 +178,7 @@ object EmbedIndex {
             .orderBy(col("cosine").desc, col("dup_of"))))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("dup_of"), col("cosine"))
-      delta.select(col("vec_id"))
+      normed.select(col("vec_id"))
         .join(best, Seq("vec_id"), "left")
         .select(col("vec_id"), col("dup_of"), col("cosine"),
           col("dup_of").isNull.as("is_new"))
@@ -173,14 +193,17 @@ object EmbedIndex {
       * between the two commits can only leave vectors that are not yet
       * discoverable — never a candidate whose verify-side vector is
       * missing). */
-    def append(newVecs: DataFrame): Index = {
+    def append(newVecs: DataFrame): Index =
+      appendDerived(deriveRows(newVecs))
+
+    /** [[append]] over pre-derived rows (the [[deriveRows]] /
+      * [[probeDerived]] contract) — skips the re-normalization when
+      * the caller already derived the batch for its probe. Extra
+      * columns are ignored. */
+    private[graft] def appendDerived(derived: DataFrame,
+        assumeDisjoint: Boolean = false): Index = {
       assertCurrent()
-      // ONE delta materialization for guard + both writes (round 12:
-      // the former separate deltaIds localCheckpoint cost an extra job
-      // and a second delta scan per append; normalizing before the
-      // guard wastes only the transform when the guard trips — the
-      // contract-violation path, not the hot path).
-      val normed = EmbedIndex.normalized(newVecs).localCheckpoint()
+      val normed = derived.select(col("vec_id"), col("v"))
       // Disjointness guard on the VECTORS table only (r11 VERDICT #4,
       // the append-cost shave): vectors commit FIRST (below), so the
       // vecs table's id set is always a superset of the bands table's
@@ -188,13 +211,17 @@ object EmbedIndex {
       // failed-between-commits id lives in vecs. Checking vecs alone
       // is therefore complete, and drops the guard's only
       // corpus-band-sized scan (rotations × groups × corpus rows —
-      // 32× the vector count at the gate geometry).
-      val clashes = vectors.select(col("vec_id"))
-        .join(broadcast(normed.select(col("vec_id"))), "vec_id").limit(1).count()
-      require(clashes == 0,
-        s"append violates the disjointness contract: delta contains vec_ids already in " +
-          s"$vecsTable (an id present there but absent from $tableName means a previous " +
-          "append failed between its two commits — rebuild or compact to reconcile)")
+      // 32× the vector count at the gate geometry). assumeDisjoint:
+      // caller-proven id disjointness skips the guard entirely (the
+      // [[DigestIndex.Index.appendDerived]] note).
+      if (!assumeDisjoint) {
+        val clashes = vectors.select(col("vec_id"))
+          .join(broadcast(normed.select(col("vec_id"))), "vec_id").limit(1).count()
+        require(clashes == 0,
+          s"append violates the disjointness contract: delta contains vec_ids already in " +
+            s"$vecsTable (an id present there but absent from $tableName means a previous " +
+            "append failed between its two commits — rebuild or compact to reconcile)")
+      }
       writeBucketed(normed.select(col("vec_id"), col("v")),
         vecsTable, "vec_id", EmbedIndex.NumBuckets, "append")
       writeBucketed(

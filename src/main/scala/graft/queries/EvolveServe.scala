@@ -129,15 +129,20 @@ object EvolveServe {
     try {
       val parts = (0 until k).map { b =>
         val inBatch = isDelta && pmod(col("doc_id"), lit(10L * k)) === lit(10L * b)
+        // assumeDisjoint: batch ids ≡ 0 mod 10 vs the serving indexes'
+        // ≢ 0 corpus cohorts, mutually distinct batch residues — the
+        // per-batch corpus-id guard scans are skipped (the
+        // CorpusClean.incrEvolve proof).
         po = po.append(docs.filter(inBatch).select(col("doc_id"), col("text")),
-          "doc_id", "text")
+          "doc_id", "text", assumeDisjoint = true)
         iv.append(
           Tables.embeddings(s, d)
             .filter(pmod(col("vec_id"), lit(10)) === 0 &&
               pmod(col("vec_id"), lit(10L * k)) === lit(10L * b))
             .select(col("vec_id"), col("embedding").cast("array<double>").as("v0"))
             .withColumn("nrm", sqrt(VectorOps.norm2(col("v0"))))
-            .select(col("vec_id"), transform(col("v0"), x => x / col("nrm")).as("v")))
+            .select(col("vec_id"), transform(col("v0"), x => x / col("nrm")).as("v")),
+          assumeDisjoint = true)
         // Eager: the answers must see exactly batches ≤ b — the next
         // iteration's append mutates the branch views a lazy frame
         // would re-read.
@@ -214,23 +219,34 @@ object EvolveServe {
           .filter(pmod(col("vec_id"), lit(10)) === 0 &&
             pmod(col("vec_id"), lit(10L * k)) === lit(10L * b))
           .select(col("vec_id"), col("embedding"))
+        // Derive ONCE per batch (r14 VERDICT #3): the text derivation
+        // feeds the ledger probes + the dg/mh appends; the normalized
+        // vectors feed the em probe, the em append AND the serving IVF
+        // branch append (EmbedIndex.deriveRows' (vec_id, v) shape IS
+        // IvfIndex.append's input) — one normalization, not three.
+        val derived = CorpusClean.deriveBatch(s, batch)
+        val emRows = em.deriveRows(batchVecs)
         // Eager: the ledger must see exactly batches < b's survivors —
         // the appends below mutate the branch views it reads.
-        val ledger = CorpusClean.incrLedger(s, batch, dg, mh, Some((em, batchVecs)))
+        // assumeSmallDelta/assumeDisjoint: the batch is delta/k-sized
+        // and its ids are provably disjoint from every index's cohort
+        // (doc_id ≡ 0 mod 10 vs the ≢ 0 cohorts; mutually distinct
+        // batch residues) — count gates and per-batch corpus-id guard
+        // scans skipped (the CorpusClean.incrEvolve proof).
+        val ledger = CorpusClean.incrLedgerDerived(s, derived, Some((em, emRows)),
+            dg, mh, assumeSmallDelta = true)
           .localCheckpoint()
         val acceptedIds = ledger.filter(col("keep")).select(col("doc_id"))
-        val accepted = batch.join(acceptedIds, "doc_id")
-          .select(col("doc_id"), col("text"))
-        val acceptedVecs = batchVecs
+        val acceptedDerived = derived.join(acceptedIds, Seq("doc_id"), "left_semi")
+        val acceptedVecRows = emRows
           .join(acceptedIds.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
-        mh.append(accepted)
-        dg.append(accepted)
-        em.append(acceptedVecs)
-        po = po.append(accepted, "doc_id", "text")
-        iv.append(acceptedVecs
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("v0"))
-          .withColumn("nrm", sqrt(VectorOps.norm2(col("v0"))))
-          .select(col("vec_id"), transform(col("v0"), x => x / col("nrm")).as("v")))
+        mh.appendDerived(acceptedDerived, assumeDisjoint = true)
+        dg.appendDerived(acceptedDerived, assumeDisjoint = true)
+        em.appendDerived(acceptedVecRows, assumeDisjoint = true)
+        po = po.append(batch.join(acceptedIds, "doc_id")
+          .select(col("doc_id"), col("text")), "doc_id", "text",
+          assumeDisjoint = true)
+        iv.append(acceptedVecRows, assumeDisjoint = true)
         serveAnswers(b, po, iv, CleanServeAnnPred).localCheckpoint()
       }
       // Manual keep-set sweep — single-flight contract (see evolveServe).

@@ -109,21 +109,30 @@ object IvfIndex {
       * same centroids (IvfAppendSpec). Returns this index — probes see
       * the appended buckets immediately, and stats (centroids) are
       * append-invariant so no cache refresh is needed. */
-    def append(e2: DataFrame): Index = {
+    def append(e2: DataFrame, assumeDisjoint: Boolean = false): Index = {
       assertCurrent()
       // ONE delta materialization for guard + write (the Digest/
       // Minhash/Embed round-12 fusion): the former bare-ids checkpoint
       // evaluated the delta once for the guard and assign() scanned it
       // AGAIN for the write; assigning before the guard wastes only
       // the centroid argmax when the guard trips — the
-      // contract-violation path, not the hot path.
-      val assignedDelta = withCodes(assign(e2, centroids)
-          .select(col("vec_id"), col("v"), col("cid")), pqBooks, centroids)
-        .localCheckpoint()
-      val clashes = assigned.select(col("vec_id"))
-        .join(broadcast(assignedDelta.select(col("vec_id"))), "vec_id").limit(1).count()
-      require(clashes == 0,
-        s"append violates the disjointness contract: delta contains vec_ids already in $tableName")
+      // contract-violation path, not the hot path. assumeDisjoint:
+      // caller-proven id disjointness skips the guard AND the
+      // checkpoint (single consumer left — the write streams the
+      // assignment directly; the [[DigestIndex.Index.appendDerived]]
+      // guard-cost note).
+      val assignedDelta0 = withCodes(assign(e2, centroids)
+        .select(col("vec_id"), col("v"), col("cid")), pqBooks, centroids)
+      val assignedDelta =
+        if (assumeDisjoint) assignedDelta0
+        else {
+          val a = assignedDelta0.localCheckpoint()
+          val clashes = assigned.select(col("vec_id"))
+            .join(broadcast(a.select(col("vec_id"))), "vec_id").limit(1).count()
+          require(clashes == 0,
+            s"append violates the disjointness contract: delta contains vec_ids already in $tableName")
+          a
+        }
       writeBucketed(assignedDelta, tableName, "cid", numCentroids, "append")
       // [scale] compact_every_appends cadence — base tables only.
       // [scale] ivf_fit_check_every + ivf_retrain_below_cos cadence:

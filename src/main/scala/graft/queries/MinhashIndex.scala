@@ -107,13 +107,32 @@ object MinhashIndex {
       * the orderBy plans is pure waste; the gate-facing [[probe]] keeps
       * the sorted contract its oracle pins. */
     private[graft] def probeRows(delta: DataFrame, cap: Int = Dedup.MaxBandSize,
-        broadcastMaxKeys: Long = MinhashIndex.ProbeBroadcastMaxKeys): DataFrame = {
-      assertCurrent()
+        broadcastMaxKeys: Long = MinhashIndex.ProbeBroadcastMaxKeys): DataFrame =
+      probeDerived(deriveRows(delta), cap, broadcastMaxKeys)
+
+    /** The delta's derived rows — (doc_id, sig, hs) with null-sig
+      * (shingle-less) docs KEPT, lazily checkpointed so the
+      * `graft_minhash`/`graft_shingles` kernels run ONCE per batch.
+      * The pre-derived-delta contract (r14 VERDICT #3): a standing
+      * pipeline hands the SAME frame to [[probeDerived]] and (filtered
+      * to accepted ids) to [[appendDerived]]. */
+    private[graft] def deriveRows(delta: DataFrame): DataFrame = {
       graft.functions.MinhashSig.register(spark)
-      val sigged = delta
+      delta
         .select(col("doc_id"), expr("graft_minhash(text)").as("sig"),
           expr("graft_shingles(text)").as("hs"))
         .localCheckpoint(false)
+    }
+
+    /** [[probeRows]] over pre-derived rows — any frame carrying
+      * (doc_id, sig, hs); extra columns are ignored. Verdict rows
+      * cover EVERY derived doc_id (null-sig docs report is_new). */
+    private[graft] def probeDerived(derived: DataFrame, cap: Int = Dedup.MaxBandSize,
+        broadcastMaxKeys: Long = MinhashIndex.ProbeBroadcastMaxKeys,
+        smallDeltaHint: Option[Boolean] = None): DataFrame = {
+      assertCurrent()
+      graft.functions.MinhashSig.register(spark)
+      val sigged = derived.select(col("doc_id"), col("sig"), col("hs"))
       val deltaBands = sigged.filter(col("sig").isNotNull)
         .select(col("doc_id"), explode(array(MinhashIndex.bandKeysOfSig: _*)).as("band_key"))
         .localCheckpoint(false)
@@ -129,7 +148,10 @@ object MinhashIndex {
       // frame the gate decided is too big).
       val collidingKeys = deltaBands.select(col("band_key")).distinct()
         .localCheckpoint(false)
-      val smallDelta = collidingKeys.count() <= broadcastMaxKeys
+      // smallDeltaHint: caller-asserted delta ≪ corpus skips the
+      // count-gate job (the [[DigestIndex.Index.probeDerived]] note).
+      val smallDelta =
+        smallDeltaHint.getOrElse(collidingKeys.count() <= broadcastMaxKeys)
       def keyProbe(keys: DataFrame): DataFrame =
         if (smallDelta) broadcast(keys) else keys.hint("shuffle_hash")
       val corpusHits = bands.join(keyProbe(collidingKeys), "band_key")
@@ -175,7 +197,7 @@ object MinhashIndex {
             .orderBy(col("jaccard").desc, col("dup_of"))))
         .filter(col("rn") === 1)
         .select(col("doc_id"), col("dup_of"), col("jaccard"))
-      delta.select(col("doc_id"))
+      sigged.select(col("doc_id"))
         .join(best, Seq("doc_id"), "left")
         .select(col("doc_id"), col("dup_of"), col("jaccard"),
           col("dup_of").isNull.as("is_new"))
@@ -204,32 +226,37 @@ object MinhashIndex {
       * (candidates come from the bands table, which commits last).
       * A retry of the failed append then trips the guard loudly
       * instead of silently double-writing band rows. */
-    def append(newDocs: DataFrame): Index = {
+    def append(newDocs: DataFrame): Index =
+      appendDerived(deriveRows(newDocs))
+
+    /** [[append]] over pre-derived rows (the [[deriveRows]] /
+      * [[probeDerived]] contract) — skips the signature/shingle
+      * re-derivation when the caller already derived the batch for
+      * its probe. Extra columns are ignored; null-sig rows are
+      * filtered here (they never land, so the guard covers exactly
+      * the rows that land — the [[append]] contract unchanged). */
+    private[graft] def appendDerived(derived: DataFrame,
+        assumeDisjoint: Boolean = false): Index = {
       assertCurrent()
-      graft.functions.MinhashSig.register(spark)
-      // ONE delta materialization for guard + both writes (round 12:
-      // the former separate deltaIds localCheckpoint cost an extra job
-      // and a second delta scan per append). The guard covers exactly
-      // the rows that LAND: a delta doc the signature stage drops
-      // (null sig — no shingles) is never written, so it cannot
-      // violate the written tables' disjointness.
-      val sigged = newDocs
-        .select(col("doc_id"), expr("graft_minhash(text)").as("sig"),
-          expr("graft_shingles(text)").as("hs"))
+      val sigged = derived.select(col("doc_id"), col("sig"), col("hs"))
         .filter(col("sig").isNotNull)
-        .localCheckpoint()
       // Guard on the ARRAYS table only (the EmbedIndex.append shave):
       // both tables derive from the same sigged frame and arrays
       // commits FIRST, so arrays' id set ⊇ bands' — checking arrays
       // alone is complete and drops the bands-sized scan (bands × n
-      // rows where arrays is 1 × n).
-      val clashes = arrays.select(col("doc_id"))
-        .join(broadcast(sigged.select(col("doc_id"))), "doc_id").limit(1).count()
-      require(clashes == 0,
-        s"append violates the disjointness contract: delta contains doc_ids already in " +
-          s"$arraysTable (an id present there but absent from $tableName means a previous " +
-          "append failed between its two commits — those docs are indexed for verify but " +
-          "not discoverable; rebuild or compact to reconcile)")
+      // rows where arrays is 1 × n). assumeDisjoint: caller-proven id
+      // disjointness skips the guard entirely (the
+      // [[DigestIndex.Index.appendDerived]] note — the guard is a
+      // per-batch corpus-id scan, the append job floor at scale).
+      if (!assumeDisjoint) {
+        val clashes = arrays.select(col("doc_id"))
+          .join(broadcast(sigged.select(col("doc_id"))), "doc_id").limit(1).count()
+        require(clashes == 0,
+          s"append violates the disjointness contract: delta contains doc_ids already in " +
+            s"$arraysTable (an id present there but absent from $tableName means a previous " +
+            "append failed between its two commits — those docs are indexed for verify but " +
+            "not discoverable; rebuild or compact to reconcile)")
+      }
       writeBucketed(sigged.select(col("doc_id"), col("hs")),
         arraysTable, "doc_id", MinhashIndex.NumBuckets, "append")
       writeBucketed(

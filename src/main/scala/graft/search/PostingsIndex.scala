@@ -105,16 +105,26 @@ final class PostingsIndex private (
     * returned instance, so later of() calls for the same corpus see
     * the merged stats (ADVICE r5 — prior handles keep stale stats;
     * use the returned instance). */
-  def append(newDocs: DataFrame, idCol: String, textCol: String): PostingsIndex = {
+  def append(newDocs: DataFrame, idCol: String, textCol: String,
+      assumeDisjoint: Boolean = false): PostingsIndex = {
     assertCurrent()
     val delta = Bm25.postings(newDocs, idCol, textCol).localCheckpoint()
+    // Lazy: deltaDocs materializes inside its first consumer (the
+    // guard, or the docs write when assumeDisjoint) instead of paying
+    // its own checkpoint job — the standing-pipeline job-floor shave
+    // (r14 VERDICT #3).
     val deltaDocs = delta.select(col("doc"), col("doclen")).distinct()
-      .localCheckpoint()
-    val clashes = docsInventory
-      .join(broadcast(deltaDocs.select(col("doc"))), "doc")
-      .limit(1).count()
-    require(clashes == 0,
-      s"append violates the disjointness contract: delta contains doc ids already in $tableName")
+      .localCheckpoint(false)
+    // assumeDisjoint: caller-proven id disjointness (the evolve loops'
+    // mod-10 cohort split) skips the guard — a per-batch corpus
+    // doc-inventory scan (the DigestIndex.appendDerived note).
+    if (!assumeDisjoint) {
+      val clashes = docsInventory
+        .join(broadcast(deltaDocs.select(col("doc"))), "doc")
+        .limit(1).count()
+      require(clashes == 0,
+        s"append violates the disjointness contract: delta contains doc ids already in $tableName")
+    }
     // The delta rides Bm25.postings' groupBy partitioning — no extra
     // repartition before the bucketed append (unlike writeBucketed's
     // one-file-per-bucket rewrite idiom, which compact() applies).
@@ -127,9 +137,13 @@ final class PostingsIndex private (
       .agg(count(lit(1)).as("n"), sum(col("doclen")).as("len")).collect().head
     val deltaDf = delta.groupBy("term")
       .agg(countDistinct(col("doc")).as("df"))
+    // Lazy: the merged df-statistics frame materializes inside the
+    // first score() that reads it (every serve batch scores), not as
+    // its own per-append job; once materialized it is a checkpoint
+    // boundary, so per-batch lineage still can't chain.
     val mergedDf = termDf.unionByName(deltaDf)
       .groupBy("term").agg(sum(col("df")).as("df"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val merged = new PostingsIndex(spark, baseName, generation, mergedDf,
       nDocs + stats.getLong(0), totalDoclen + stats.getLong(1), cacheKey, parentIndex)
     // Branch handles never touch the shared cache — their appends are
