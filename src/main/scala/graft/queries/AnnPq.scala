@@ -69,6 +69,8 @@ object AnnPq {
   private val QHi3 = 35
   private val QLo4 = 35 // ann_pq_w8 query cohort [35, 40)
   private val QHi4 = 40
+  private val QLo5 = 40 // ann_ivf_pq_w8 query cohort [40, 45)
+  private val QHi5 = 45
 
   private def corpusIdx(s: SparkSession, d: String): IvfIndex.Index = {
     DotProduct.register(s)
@@ -158,15 +160,19 @@ object AnnPq {
       queryPred: Column, prune: Boolean = false,
       pool: Int = Pool, residual: Boolean = false,
       wide: Boolean = false): (DataFrame, DataFrame) = {
-    require(!(wide && (prune || residual)),
-      "the wide-codebook rung is gated unpruned (its recall story is the " +
-        "whole-corpus ADC rank; compose IVF in front the ann_ivf_pq way if needed)")
+    require(!(wide && residual),
+      "wide G8 codebooks exist only for the plain (data-space) coding — " +
+        "the residual set is G16 (see IvfIndex.trainBooks)")
     val idx = corpusIdx(s, d)
     val books = booksOf(idx)
+    def need(o: Option[DataFrame], what: String): DataFrame =
+      o.getOrElse(sys.error(s"the corpus index carries no $what PQ codebooks " +
+        s"— build with IvfIndex.of(pq = true, pq${what.capitalize} = true)"))
     val geom = if (wide) G8 else G16
     val q = queryFrame(idx, queryPred)
     val lutArr = lutFrame(q,
-      if (residual) books.residual else if (wide) books.wide else books.plain,
+      if (residual) need(books.residual, "residual")
+      else if (wide) need(books.wide, "wide") else books.plain,
       geom)
 
     // The (vec_id, code-word, query_id, lut) scoring base. Unpruned:
@@ -184,13 +190,14 @@ object AnnPq {
             adcScore(codeCol, geom).as("score"))
       } else {
         val probes = probeFrame(q, idx)
-        val codeCol = if (residual) "prc" else "pc"
+        val codeCol = if (residual) "prc" else if (wide) "pw" else "pc"
         val base = idx.assigned.filter(probedCidFilter(probes))
           .select(col("vec_id"), col("cid"), col(codeCol))
           .join(broadcast(probes), Seq("cid"))
           .join(broadcast(lutArr), Seq("query_id"))
         val scoreCol =
-          if (residual) col("qc") + adcScore(codeCol) else adcScore(codeCol)
+          if (residual) col("qc") + adcScore(codeCol)
+          else adcScore(codeCol, geom)
         base.select(col("query_id"), col("vec_id"), scoreCol.as("score"))
       }
 
@@ -278,7 +285,19 @@ object AnnPq {
     // Unpruned like ann_pq; its own cohort 35<=vec_id<40.
     "ann_pq_w8" -> ((s, d) =>
       pqTopK(s, d, col("vec_id") >= QLo4 && col("vec_id") < QHi4,
-        wide = true)))
+        wide = true)),
+
+    // The PRUNED production stack on the measured-best codebooks (r14
+    // VERDICT #4): ann_ivf_pq's probe/prune/rerank plan scoring the G8
+    // wide code words (`pw`) — the same 8-byte budget that recalls
+    // 0.43 vs G16's 0.36 unpruned at 128k (BENCH_sq8.json), now
+    // composed behind the IVF bucket prune so the serving tier gets
+    // the better geometry without giving up the nprobe/centroids scan
+    // fraction. Query cohort 40<=vec_id<45 — its own, like every ANN
+    // gate.
+    "ann_ivf_pq_w8" -> ((s, d) =>
+      pqTopK(s, d, col("vec_id") >= QLo5 && col("vec_id") < QHi5,
+        prune = true, wide = true)))
 
   // ---------------------------------------------------------------- oracle
 
@@ -419,5 +438,6 @@ object AnnPq {
     "ann_pq" -> pqOracle(QLo, QHi, prune = false),
     "ann_ivf_pq" -> pqOracle(QLo2, QHi2, prune = true),
     "ann_ivf_pqr" -> pqOracle(QLo3, QHi3, prune = true, residual = true),
-    "ann_pq_w8" -> pqOracle(QLo4, QHi4, prune = false, geom = G8))
+    "ann_pq_w8" -> pqOracle(QLo4, QHi4, prune = false, geom = G8),
+    "ann_ivf_pq_w8" -> pqOracle(QLo5, QHi5, prune = true, geom = G8))
 }

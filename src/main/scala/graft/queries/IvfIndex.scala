@@ -190,10 +190,11 @@ object IvfIndex {
         val reassigned =
           if (pqBooks.isDefined) reassigned0.localCheckpoint() else reassigned0
         // PQ codebooks are generation state like the centroids: a
-        // pq-enabled index retrains them (plain AND residual) over the
-        // same union corpus (seed rule unchanged), so retrain ≡
-        // fresh-build holds for the stored code columns too.
-        val books = pqBooks.flatMap(_ => trainBooks(reassigned, cent))
+        // pq-enabled index retrains them (the SAME sets it was built
+        // with) over the same union corpus (seed rule unchanged), so
+        // retrain ≡ fresh-build holds for the stored code columns too.
+        val books = pqBooks.flatMap(b =>
+          trainBooks(reassigned, cent, b.residual.isDefined, b.wide.isDefined))
         val next = s"${baseName}_g${generation + 1}"
         spark.sql(s"DROP TABLE IF EXISTS $next")
         writeBucketed(withCodes(reassigned, books, cent),
@@ -269,16 +270,24 @@ object IvfIndex {
     * queries are probe-only. */
   def of(spark: SparkSession, corpusKey: String, e: => DataFrame,
       numCentroids: Int, iters: Int, quantScale: Double,
-      pq: Boolean = false): Index = {
-    // The pq flag is PART of the identity (r13 ADVICE: with a plain
-    // corpusKey key, whichever caller resolved first won — a later
-    // pq=true request against a cached pq-less index would fail at
-    // query time). Distinct keys ⇒ distinct tables, so a pq and a
-    // non-pq index of the same corpus coexist without clobbering.
-    val pqKey = if (pq) s"$corpusKey|pq" else corpusKey
+      pq: Boolean = false, pqResidual: Boolean = true,
+      pqWide: Boolean = true): Index = {
+    // The pq flag — INCLUDING which codebook sets it trains — is PART
+    // of the identity (r13 ADVICE: with a plain corpusKey key,
+    // whichever caller resolved first won — a later pq=true request
+    // against a cached pq-less index would fail at query time).
+    // Distinct keys ⇒ distinct tables, so differently-equipped indexes
+    // of the same corpus coexist without clobbering. pqResidual/pqWide
+    // gate the extra codebook sets (r14 ADVICE: the gate corpus needs
+    // all three, but a deployment serving only one geometry shouldn't
+    // pay the other Lloyd passes and stored bytes on every append).
+    val pqKey =
+      if (!pq) corpusKey
+      else s"$corpusKey|pq${if (pqResidual) "" else "-nr"}${if (pqWide) "" else "-nw"}"
     val key = graft.util.Scratch.sessionId(spark) + "|" + pqKey
     cache.computeIfAbsent(key, _ => graft.util.BuildLog.timed(s"ivf:$pqKey") {
-      build(spark, pqKey, e, numCentroids, iters, quantScale, key, pq)
+      build(spark, pqKey, e, numCentroids, iters, quantScale, key, pq,
+        pqResidual, pqWide)
     })
   }
 
@@ -316,20 +325,22 @@ object IvfIndex {
     * [[Index.drop]] when done). */
   def fresh(spark: SparkSession, corpusKey: String, e: DataFrame,
       numCentroids: Int, iters: Int, quantScale: Double,
-      pq: Boolean = false): Index =
+      pq: Boolean = false, pqResidual: Boolean = true,
+      pqWide: Boolean = true): Index =
     graft.util.BuildLog.timed(s"ivf-fresh:$corpusKey") {
       val k = s"$corpusKey#${freshSeq.incrementAndGet()}"
       build(spark, k, e, numCentroids, iters, quantScale,
-        Scratch.sessionId(spark) + "|" + k, pq)
+        Scratch.sessionId(spark) + "|" + k, pq, pqResidual, pqWide)
     }
 
   private def build(spark: SparkSession, corpusKey: String, e: DataFrame,
       numCentroids: Int, iters: Int, quantScale: Double,
-      cacheKey: String, pq: Boolean = false): Index = {
+      cacheKey: String, pq: Boolean = false, pqResidual: Boolean = true,
+      pqWide: Boolean = true): Index = {
     val cent = train(e, numCentroids, iters, quantScale)
     val assigned0 = assign(e, cent).select(col("vec_id"), col("v"), col("cid"))
     val assignedF = if (pq) assigned0.localCheckpoint() else assigned0
-    val books = if (pq) trainBooks(assignedF, cent) else None
+    val books = if (pq) trainBooks(assignedF, cent, pqResidual, pqWide) else None
 
     // Session-scoped table name + scratch path (two sessions building
     // the same corpus never clobber each other — ADVICE r5).
@@ -351,16 +362,18 @@ object IvfIndex {
     * books): an empty Lloyd cell downgrades to `None` with a warning —
     * the index builds and serves IVF/SQ8 normally, and only a PQ query
     * hits [[AnnPq]]'s actionable error. */
-  private def trainBooks(assignedF: DataFrame,
-      cent: DataFrame): Option[Books] =
+  private def trainBooks(assignedF: DataFrame, cent: DataFrame,
+      residualSet: Boolean = true, wideSet: Boolean = true): Option[Books] =
     try {
       val vecs = assignedF.select(col("vec_id"), col("v"))
       val plain = PqCodec.train(vecs)
-      val residual = PqCodec.train(
-        assignedF.select(col("vec_id"),
-          PqCodec.residualCol(col("v"), col("cid"), collectCentroids(cent))
-            .as("v")))
-      val wide = PqCodec.train(vecs, PqCodec.G8)
+      val residual =
+        if (!residualSet) None
+        else Some(PqCodec.train(
+          assignedF.select(col("vec_id"),
+            PqCodec.residualCol(col("v"), col("cid"), collectCentroids(cent))
+              .as("v"))))
+      val wide = if (wideSet) Some(PqCodec.train(vecs, PqCodec.G8)) else None
       Some(Books(plain, residual, wide))
     } catch {
       case e: IllegalArgumentException =>
@@ -373,8 +386,13 @@ object IvfIndex {
     * v − centroid(cid)), G8 WIDE (the same-budget recall rung) — one
     * value so they can never desync across branch/snapshot/retrain
     * plumbing. */
-  final case class Books(plain: DataFrame, residual: DataFrame,
-      wide: DataFrame)
+  /** The trained PQ codebook sets — G16 plain always; G16 residual
+    * and G8 wide only when the build asked for them (r14 ADVICE: the
+    * extra Lloyd passes and stored columns are config-gated for
+    * deployments serving one geometry; the gate corpus trains all
+    * three). */
+  final case class Books(plain: DataFrame, residual: Option[DataFrame],
+      wide: Option[DataFrame])
 
   /** Centroids as a dense cid-indexed matrix for the literal residual
     * transform (cids are dense 0..n-1 by the seed rule vec_id <
@@ -424,17 +442,18 @@ object IvfIndex {
       // kernel reads each element; an earlier literal-argmin form
       // inlined the zip_with-over-1024-literal-centroids expression
       // 1024× and serialized 65-72 MiB task binaries per write stage).
-      sq8
-        .withColumn("pc",
-          PqCodec.encode(col("v"), PqCodec.collectBooks(books.plain)))
-        .withColumn("pw",
-          PqCodec.encode(col("v"),
-            PqCodec.collectBooks(books.wide, PqCodec.G8), PqCodec.G8))
+      // Residual/wide columns exist only when their books do — a
+      // geometry the build skipped costs no encode pass and no bytes.
+      val withPc = sq8.withColumn("pc",
+        PqCodec.encode(col("v"), PqCodec.collectBooks(books.plain)))
+      val withPw = books.wide.fold(withPc)(w => withPc.withColumn("pw",
+        PqCodec.encode(col("v"),
+          PqCodec.collectBooks(w, PqCodec.G8), PqCodec.G8)))
+      books.residual.fold(withPw)(r => withPw
         .withColumn("rv", PqCodec.residualCol(col("v"), col("cid"),
           collectCentroids(cent)))
-        .withColumn("prc",
-          PqCodec.encode(col("rv"), PqCodec.collectBooks(books.residual)))
-        .drop("rv")
+        .withColumn("prc", PqCodec.encode(col("rv"), PqCodec.collectBooks(r)))
+        .drop("rv"))
     }
   }
 }

@@ -279,4 +279,25 @@ case class PqEncode(child: Expression,
 
   override protected def withNewChildInternal(newChild: Expression): PqEncode =
     copy(child = newChild)
+
+  // Structural equality despite the raw Array constructor arg (r14
+  // ADVICE: case-class equals/hashCode on arrays is reference
+  // identity, so two semantically identical encodes never compared
+  // equal — silently defeating Catalyst canonicalization,
+  // subexpression elimination, and exchange/plan reuse when the same
+  // books encode is referenced twice). Content hash precomputed once;
+  // the deep comparison runs only on hash-equal candidates.
+  private lazy val booksHash: Int =
+    java.util.Arrays.deepHashCode(books.asInstanceOf[Array[AnyRef]])
+  override def hashCode(): Int =
+    java.util.Objects.hash(getClass, child, Int.box(bits), Int.box(booksHash))
+  override def equals(other: Any): Boolean = other match {
+    case that: PqEncode =>
+      child == that.child && bits == that.bits &&
+        booksHash == that.booksHash &&
+        java.util.Arrays.deepEquals(
+          books.asInstanceOf[Array[AnyRef]],
+          that.books.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
 }

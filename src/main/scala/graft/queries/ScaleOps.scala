@@ -87,13 +87,14 @@ object ScaleOps {
     * composes the IVF bucket prune in front (the `ann_ivf_pq` stack).
     * `[scale] pq_wide` (default true) serves off the G8 wide-codebook
     * words — the measured recall rung at the same 8 bytes (0.43 vs
-    * 0.36 @ 128k pool 50, BENCH_sq8.json); the pruned stack stays on
-    * G16 (the wide route's recall story is the whole-corpus rank).
+    * 0.36 @ 128k pool 50, BENCH_sq8.json) — on BOTH the unpruned and
+    * the IVF-pruned stack (r14 VERDICT #4: the production serving
+    * shape gets the measured-best geometry; gate `ann_ivf_pq_w8`).
     * Recall-vs-pool priced next to SQ8 by [[graft.Sq8PoolSweep]]. */
   def annPq(s: SparkSession, d: String, cfg: EngineConfig,
       prune: Boolean = false): DataFrame =
     AnnPq.pqTopKFor(s, d, cfg.scale.pqCands, prune,
-      wide = cfg.scale.pqWide && !prune)
+      wide = cfg.scale.pqWide)
 
   /** The embed-stage cleaning ledger WITH the mid-tier discovery feed
     * (r12 VERDICT optional #8): the IVF pair route's 0.45–0.7 matches

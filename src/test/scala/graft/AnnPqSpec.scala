@@ -124,17 +124,22 @@ class AnnPqSpec extends SparkSuite {
     graft.functions.DotProduct.register(spark)
     val idx = graft.queries.Ann.corpusIdx(spark, d)
     val books = idx.pqBooks.get
-    // (books, geometry, stored column) triples — the residual word is
-    // checked against the STORED prc (its input column is the bound
-    // residual, not v, so the formula reference replays off the store).
-    for ((b, geom, stored) <- Seq(
-        (books.plain, PqCodec.G16, "pc"),
-        (books.wide, PqCodec.G8, "pw"))) {
+    // (books, geometry, stored column, input column) triples — ALL
+    // THREE stored words are pinned kernel ≡ formula ≡ store: the
+    // residual word's input is the BOUND residual column (the commit
+    // that fixed unbound-reference encode), not v (r14 ADVICE #1).
+    val residualV = graft.queries.PqCodec.residualCol(col("v"), col("cid"),
+      graft.queries.IvfIndex.collectCentroids(idx.centroids))
+    for ((b, geom, stored, input) <- Seq(
+        (books.plain, PqCodec.G16, "pc", col("v")),
+        (books.wide.get, PqCodec.G8, "pw", col("v")),
+        (books.residual.get, PqCodec.G16, "prc", col("rv")))) {
       val lit = PqCodec.collectBooks(b, geom)
       val rows = idx.assigned
+        .withColumn("rv", residualV)
         .select(
-          PqCodec.encode(col("v"), lit, geom).as("word"),
-          PqCodec.codeColumn(col("v"), lit, geom).as("arr"),
+          PqCodec.encode(input, lit, geom).as("word"),
+          PqCodec.codeColumn(input, lit, geom).as("arr"),
           col(stored))
         .collect()
       assert(rows.nonEmpty)
@@ -165,6 +170,27 @@ class AnnPqSpec extends SparkSuite {
     val plan = cands.queryExecution.executedPlan.toString
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       "wide PQ stage 1 must not shuffle-join")
+    assert(plan.contains("pw:bigint"),
+      s"stage 1 must read the persisted wide code word:\n$plan")
+    assert(!plan.contains("v:array<double>"),
+      s"stage 1 must never read the float vector column:\n$plan")
+  }
+
+  test("pruned wide ann_ivf_pq_w8: bucket-pruned scan of the pw words") {
+    val rows = SparkEntry.queries("ann_ivf_pq_w8")(spark, d).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(40L, 41L, 42L, 43L, 44L))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(3)).toSeq.sorted == (1 to 10), s"ranks for $q")
+      val cos = rs.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+      assert(cos == cos.sorted.reverse, s"cosine order for $q")
+      assert(!rs.exists(_.getLong(1) == q), "query never its own neighbor")
+    }
+    val (cands, _) = graft.queries.AnnPq.pqCands(spark, d,
+      col("vec_id") >= 40 && col("vec_id") < 45, prune = true, wide = true)
+    val plan = cands.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"),
+      s"the pruned wide ADC rank must scan only the probed IVF buckets:\n$plan")
     assert(plan.contains("pw:bigint"),
       s"stage 1 must read the persisted wide code word:\n$plan")
     assert(!plan.contains("v:array<double>"),
