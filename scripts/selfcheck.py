@@ -38,6 +38,16 @@ def main(sf_dir: str, out_dir: str, artifact: str = None) -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Per-query parquet provenance (r14 ADVICE #5): a filtered Verify
+    # run refreshes every oracle entry but re-strikes only its subset's
+    # parquet; struck_at.json says when each parquet was last struck so
+    # a mismatch on a stale result is labeled as such, not misread as a
+    # live regression. Missing file (pre-r15 outDir) = no labels.
+    try:
+        struck_at = json.load(open(f"{out_dir}/struck_at.json"))
+    except Exception:
+        struck_at = {}
+    newest = max(struck_at.values()) if struck_at else None
     failures = 0
     rows = {}
     t_all = time.time()
@@ -80,6 +90,11 @@ def main(sf_dir: str, out_dir: str, artifact: str = None) -> int:
                 print(pd.concat([g[neq].head(3), w[neq].head(3)], keys=["spark", "duckdb"]))
                 failures += 1
                 status = "value_mismatch"
+        if status != "ok" and newest is not None and struck_at.get(name, newest) < newest:
+            print(f"     NOTE {name}: parquet is STALE (struck {struck_at.get(name)} "
+                  f"< newest {newest}) — rerun an unfiltered Verify before "
+                  f"diagnosing this as a live regression")
+            status += "_stale_parquet"
         rows[name] = {"status": status, "oracle_sec": round(oracle_sec, 3), "rows": nrows}
     total_sec = time.time() - t_all
     print(f"\n{len(oracle) - failures}/{len(oracle)} queries match "

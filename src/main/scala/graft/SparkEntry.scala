@@ -40,7 +40,8 @@ object SparkEntry {
     if (names("ann_ivf") || names("ann_bruteforce") || names("ann_lsh") ||
         names("ann_ivf_fitstats") || names("ann_sq8") || names("ann_ivf_sq8") ||
         names("d_embed_neardup_ivf") || names("ann_pq") || names("ann_ivf_pq") ||
-        names("ann_ivf_pqr") || names("ann_pq_w8") || names("ann_ivf_pq_w8"))
+        names("ann_ivf_pqr") || names("ann_pq_w8") || names("ann_ivf_pq_w8") ||
+        names("ann_pq_opq"))
       graft.queries.Ann.prebuildIndex(spark, sfDir)
     if (names("d_incr_indexed") || names("pipe_incr_clean") || names("st_incr_neardup") ||
         names("pipe_incr_evolve") || // evolve branches the shared indexes (r9 VERDICT #4)

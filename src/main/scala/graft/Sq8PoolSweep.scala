@@ -114,22 +114,36 @@ object Sq8PoolSweep {
         val (pqw, pqwSec) = swept(
           topSet(graft.queries.AnnPq.pqTopKFor(spark, d, pool,
             wide = true, queryPred = queryPred)))
+        // Round 15: the OPQ-lite rung (energy-balancing permutation at
+        // G16 cost) and the pruned wide stack, each priced on the same
+        // truth set.
+        val (pqo, pqoSec) = swept(
+          topSet(graft.queries.AnnPq.pqTopKFor(spark, d, pool,
+            opq = true, queryPred = queryPred)))
+        val (pqwIvf, pqwIvfSec) = swept(
+          topSet(graft.queries.AnnPq.pqTopKFor(spark, d, pool,
+            prune = true, wide = true, queryPred = queryPred)))
         val rFlat = (flat & truth).size.toDouble / truthN
         val rIvf = (ivf & truth).size.toDouble / truthN
         val rPq = (pqFlat & truth).size.toDouble / truthN
         val rPqIvf = (pqIvf & truth).size.toDouble / truthN
         val rPqr = (pqr & truth).size.toDouble / truthN
         val rPqw = (pqw & truth).size.toDouble / truthN
+        val rPqo = (pqo & truth).size.toDouble / truthN
+        val rPqwIvf = (pqwIvf & truth).size.toDouble / truthN
         System.err.println(s"[sq8] $d pool=$pool recall=${f(rFlat)} " +
           s"(${f(flatSec)}s) recall_ivf=${f(rIvf)} (${f(ivfSec)}s) " +
           s"recall_pq=${f(rPq)} (${f(pqFlatSec)}s) recall_ivf_pq=${f(rPqIvf)} (${f(pqIvfSec)}s) " +
-          s"recall_ivf_pqr=${f(rPqr)} (${f(pqrSec)}s) recall_pq_w8=${f(rPqw)} (${f(pqwSec)}s)")
+          s"recall_ivf_pqr=${f(rPqr)} (${f(pqrSec)}s) recall_pq_w8=${f(rPqw)} (${f(pqwSec)}s) " +
+          s"recall_pq_opq=${f(rPqo)} (${f(pqoSec)}s) recall_ivf_pq_w8=${f(rPqwIvf)} (${f(pqwIvfSec)}s)")
         s""""$pool":{"recall":${f(rFlat)},"sec":${f(flatSec)},""" +
           s""""recall_ivf":${f(rIvf)},"sec_ivf":${f(ivfSec)},""" +
           s""""recall_pq":${f(rPq)},"sec_pq":${f(pqFlatSec)},""" +
           s""""recall_ivf_pq":${f(rPqIvf)},"sec_ivf_pq":${f(pqIvfSec)},""" +
           s""""recall_ivf_pqr":${f(rPqr)},"sec_ivf_pqr":${f(pqrSec)},""" +
-          s""""recall_pq_w8":${f(rPqw)},"sec_pq_w8":${f(pqwSec)}}"""
+          s""""recall_pq_w8":${f(rPqw)},"sec_pq_w8":${f(pqwSec)},""" +
+          s""""recall_pq_opq":${f(rPqo)},"sec_pq_opq":${f(pqoSec)},""" +
+          s""""recall_ivf_pq_w8":${f(rPqwIvf)},"sec_ivf_pq_w8":${f(pqwIvfSec)}}"""
       }.mkString("{", ",", "}")
       done = done :+
         s""""$d":{"vectors":$nVecs,"truth_sec":${f(truthSec)},"by_pool":$poolRows}"""

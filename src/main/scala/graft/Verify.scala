@@ -20,11 +20,16 @@ object Verify {
     // j_skew_salted,q1_pricing_summary); the driver runs unfiltered.
     val only = extra.headOption.orElse(sys.env.get("SPARK_GRAFT_VERIFY_ONLY"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val struckAt = System.currentTimeMillis()
+    val struck = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        struck += name
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -60,6 +65,24 @@ object Verify {
     val json = merged
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(oraclePath, json)
+    // Per-query build provenance (r14 ADVICE #5): a filtered run
+    // refreshes every ORACLE entry but reruns only the subset's
+    // PARQUET — struck_at.json records which parquet results this
+    // invocation actually re-struck (and when), so a later selfcheck
+    // mismatch on a query outside the subset can be labeled
+    // stale-parquet instead of misread as a live regression. Merged
+    // like the oracle map: entries for queries outside this run's
+    // subset carry their prior timestamps forward.
+    val struckPath = Paths.get(s"$outDir/struck_at.json")
+    val priorStruck: Map[String, String] =
+      if (Files.exists(struckPath))
+        graft.util.JsonParse.parse(Files.readString(struckPath))
+          .asInstanceOf[scala.collection.immutable.ListMap[String, Any]]
+          .map { case (k, v) => k -> v.toString }
+      else Map.empty
+    val mergedStruck = priorStruck ++ struck.map(_ -> struckAt.toString)
+    Files.writeString(struckPath, mergedStruck
+      .map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

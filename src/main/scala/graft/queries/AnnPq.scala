@@ -71,6 +71,8 @@ object AnnPq {
   private val QHi4 = 40
   private val QLo5 = 40 // ann_ivf_pq_w8 query cohort [40, 45)
   private val QHi5 = 45
+  private val QLo6 = 45 // ann_pq_opq query cohort [45, 50)
+  private val QHi6 = 50
 
   private def corpusIdx(s: SparkSession, d: String): IvfIndex.Index = {
     DotProduct.register(s)
@@ -159,20 +161,30 @@ object AnnPq {
   private[graft] def pqCands(s: SparkSession, d: String,
       queryPred: Column, prune: Boolean = false,
       pool: Int = Pool, residual: Boolean = false,
-      wide: Boolean = false): (DataFrame, DataFrame) = {
-    require(!(wide && residual),
-      "wide G8 codebooks exist only for the plain (data-space) coding — " +
-        "the residual set is G16 (see IvfIndex.trainBooks)")
+      wide: Boolean = false, opq: Boolean = false): (DataFrame, DataFrame) = {
+    require(Seq(residual, wide, opq).count(identity) <= 1,
+      "residual / wide / opq select distinct codebook sets — pick at most one")
     val idx = corpusIdx(s, d)
     val books = booksOf(idx)
-    def need(o: Option[DataFrame], what: String): DataFrame =
+    def need[A](o: Option[A], what: String): A =
       o.getOrElse(sys.error(s"the corpus index carries no $what PQ codebooks " +
         s"— build with IvfIndex.of(pq = true, pq${what.capitalize} = true)"))
     val geom = if (wide) G8 else G16
     val q = queryFrame(idx, queryPred)
-    val lutArr = lutFrame(q,
+    // OPQ: the query rotates (permutes) into codebook space before the
+    // LUT; candidates and the exact rerank stay in data space (a
+    // permutation preserves the cosine, and the rerank reads the
+    // original floats anyway).
+    val lutQ =
+      if (!opq) q
+      else q.select(col("query_id"),
+        graft.queries.PqCodec.permuteCol(col("qv"),
+          need(books.opq, "opq").perm).as("qv"))
+    val lutArr = lutFrame(lutQ,
       if (residual) need(books.residual, "residual")
-      else if (wide) need(books.wide, "wide") else books.plain,
+      else if (wide) need(books.wide, "wide")
+      else if (opq) need(books.opq, "opq").books
+      else books.plain,
       geom)
 
     // The (vec_id, code-word, query_id, lut) scoring base. Unpruned:
@@ -183,14 +195,16 @@ object AnnPq {
     // its own probed buckets. Either way: never the floats.
     val scored =
       if (!prune && !residual) {
-        val codeCol = if (wide) "pw" else "pc"
+        val codeCol = if (wide) "pw" else if (opq) "poc" else "pc"
         idx.assigned.select(col("vec_id"), col(codeCol))
           .crossJoin(broadcast(lutArr))
           .select(col("query_id"), col("vec_id"),
             adcScore(codeCol, geom).as("score"))
       } else {
         val probes = probeFrame(q, idx)
-        val codeCol = if (residual) "prc" else if (wide) "pw" else "pc"
+        val codeCol =
+          if (residual) "prc" else if (wide) "pw"
+          else if (opq) "poc" else "pc"
         val base = idx.assigned.filter(probedCidFilter(probes))
           .select(col("vec_id"), col("cid"), col(codeCol))
           .join(broadcast(probes), Seq("cid"))
@@ -216,9 +230,9 @@ object AnnPq {
   private[graft] def pqTopK(s: SparkSession, d: String,
       queryPred: Column, prune: Boolean = false,
       pool: Int = Pool, residual: Boolean = false,
-      wide: Boolean = false): DataFrame = {
+      wide: Boolean = false, opq: Boolean = false): DataFrame = {
     val idx = corpusIdx(s, d)
-    val (cands0, q) = pqCands(s, d, queryPred, prune, pool, residual, wide)
+    val (cands0, q) = pqCands(s, d, queryPred, prune, pool, residual, wide, opq)
     val cands = cands0.localCheckpoint()
 
     // Stage 2: exact rerank — float vectors attached for the collected
@@ -247,10 +261,10 @@ object AnnPq {
     * copy (the sq8TopKFor idiom). */
   private[graft] def pqTopKFor(s: SparkSession, d: String, pool: Int,
       prune: Boolean = false, residual: Boolean = false,
-      wide: Boolean = false,
+      wide: Boolean = false, opq: Boolean = false,
       queryPred: Column =
         col("vec_id") >= QLo && col("vec_id") < QHi): DataFrame =
-    pqTopK(s, d, queryPred, prune, pool, residual, wide)
+    pqTopK(s, d, queryPred, prune, pool, residual, wide, opq)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_pq" -> ((s, d) =>
@@ -297,7 +311,18 @@ object AnnPq {
     // gate.
     "ann_ivf_pq_w8" -> ((s, d) =>
       pqTopK(s, d, col("vec_id") >= QLo5 && col("vec_id") < QHi5,
-        prune = true, wide = true)))
+        prune = true, wide = true)),
+
+    // OPQ-lite (Ge et al. 2013, the r14 VERDICT #6 rung): G16 PQ over
+    // energy-permutation-rotated vectors — the eigenvalue-allocation
+    // step of parametric OPQ restricted to permutation rotations,
+    // which keeps the WHOLE transform (energy ranking, snake
+    // allocation, rotation, training, coding, ADC) oracle-replayable
+    // in SQL where a learned SVD rotation would not be. Unpruned like
+    // the other recall rungs; query cohort 45<=vec_id<50.
+    "ann_pq_opq" -> ((s, d) =>
+      pqTopK(s, d, col("vec_id") >= QLo6 && col("vec_id") < QHi6,
+        opq = true)))
 
   // ---------------------------------------------------------------- oracle
 
@@ -434,10 +459,69 @@ object AnnPq {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** The OPQ-lite oracle: replays the ENTIRE transform from the raw
+    * embeddings — per-dim integer-quantized energies, the (rank desc,
+    * dim) ordering, the snake allocation into [[PqCodec.G16]]'s m
+    * groups, the permutation applied as a list re-aggregation, then
+    * the standard PQ chain (training, coding, LUT) over the PERMUTED
+    * vectors, with the exact rerank in ORIGINAL data space (`qorig`)
+    * — mirroring the Spark route, which rotates only the LUT side. */
+  private def opqOracle(qLo: Int, qHi: Int): String = {
+    val geom = G16
+    val m = geom.m
+    val chains = (0 until m).map(s => subChain(s, "eo", geom)).mkString(",\n")
+    val lutJoins = (0 until m)
+      .map(s => s"JOIN plut$s l$s ON l$s.query_id = q.query_id AND l$s.cid = x$s.code$s")
+      .mkString("\n  ")
+    val adcSum = (0 until m).map(s => s"l$s.part").mkString(" + ")
+    val codeJoins = (1 until m)
+      .map(s => s"JOIN pcode$s x$s USING (vec_id)").mkString(" ")
+    s"""WITH ${Ann.normCte},
+       |energy AS (SELECT i AS dim,
+       |    SUM(CAST(floor(v[i] * v[i] * ${PqCodec.EnergyScale.toLong}.0 + 0.5) AS BIGINT)) AS en
+       |  FROM e CROSS JOIN generate_series(1, 64) t(i) GROUP BY i),
+       |rankd AS (SELECT dim, ROW_NUMBER() OVER (ORDER BY en DESC, dim) - 1 AS r FROM energy),
+       |perm AS MATERIALIZED (SELECT dim,
+       |    ROW_NUMBER() OVER (ORDER BY
+       |      CASE WHEN (r // $m) % 2 = 0 THEN r % $m ELSE ${m - 1} - (r % $m) END,
+       |      r // $m) AS newpos
+       |  FROM rankd),
+       |eo AS MATERIALIZED (SELECT vec_id, list(x ORDER BY newpos) AS v FROM (
+       |    SELECT e.vec_id, p.newpos, e.v[p.dim] AS x FROM e CROSS JOIN perm p)
+       |  GROUP BY vec_id),
+       |qids AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM eo
+       |         WHERE vec_id >= $qLo AND vec_id < $qHi),
+       |qorig AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM e
+       |         WHERE vec_id >= $qLo AND vec_id < $qHi),
+       |$chains,
+       |scored AS (
+       |  SELECT q.query_id, x0.vec_id, $adcSum AS score
+       |  FROM pcode0 x0 $codeJoins
+       |  CROSS JOIN qids q
+       |  $lutJoins
+       |  WHERE x0.vec_id <> q.query_id),
+       |pool AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |                         ORDER BY score DESC, vec_id) AS crank
+       |    FROM scored) WHERE crank <= $Pool),
+       |reranked AS (
+       |  SELECT query_id, vec_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM (SELECT p.query_id, p.vec_id,
+       |          ${Ann.dotSql("q.qv", "x.v")} AS cosine
+       |        FROM pool p JOIN e x ON x.vec_id = p.vec_id
+       |        JOIN qorig q ON q.query_id = p.query_id))
+       |SELECT query_id, vec_id, cosine, rank FROM reranked WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "ann_pq" -> pqOracle(QLo, QHi, prune = false),
     "ann_ivf_pq" -> pqOracle(QLo2, QHi2, prune = true),
     "ann_ivf_pqr" -> pqOracle(QLo3, QHi3, prune = true, residual = true),
     "ann_pq_w8" -> pqOracle(QLo4, QHi4, prune = false, geom = G8),
-    "ann_ivf_pq_w8" -> pqOracle(QLo5, QHi5, prune = true, geom = G8))
+    "ann_ivf_pq_w8" -> pqOracle(QLo5, QHi5, prune = true, geom = G8),
+    "ann_pq_opq" -> opqOracle(QLo6, QHi6))
 }

@@ -194,7 +194,8 @@ object IvfIndex {
         // with) over the same union corpus (seed rule unchanged), so
         // retrain ≡ fresh-build holds for the stored code columns too.
         val books = pqBooks.flatMap(b =>
-          trainBooks(reassigned, cent, b.residual.isDefined, b.wide.isDefined))
+          trainBooks(reassigned, cent, b.residual.isDefined, b.wide.isDefined,
+            b.opq.isDefined))
         val next = s"${baseName}_g${generation + 1}"
         spark.sql(s"DROP TABLE IF EXISTS $next")
         writeBucketed(withCodes(reassigned, books, cent),
@@ -271,7 +272,7 @@ object IvfIndex {
   def of(spark: SparkSession, corpusKey: String, e: => DataFrame,
       numCentroids: Int, iters: Int, quantScale: Double,
       pq: Boolean = false, pqResidual: Boolean = true,
-      pqWide: Boolean = true): Index = {
+      pqWide: Boolean = true, pqOpq: Boolean = true): Index = {
     // The pq flag — INCLUDING which codebook sets it trains — is PART
     // of the identity (r13 ADVICE: with a plain corpusKey key,
     // whichever caller resolved first won — a later pq=true request
@@ -283,11 +284,12 @@ object IvfIndex {
     // pay the other Lloyd passes and stored bytes on every append).
     val pqKey =
       if (!pq) corpusKey
-      else s"$corpusKey|pq${if (pqResidual) "" else "-nr"}${if (pqWide) "" else "-nw"}"
+      else s"$corpusKey|pq${if (pqResidual) "" else "-nr"}" +
+        s"${if (pqWide) "" else "-nw"}${if (pqOpq) "" else "-no"}"
     val key = graft.util.Scratch.sessionId(spark) + "|" + pqKey
     cache.computeIfAbsent(key, _ => graft.util.BuildLog.timed(s"ivf:$pqKey") {
       build(spark, pqKey, e, numCentroids, iters, quantScale, key, pq,
-        pqResidual, pqWide)
+        pqResidual, pqWide, pqOpq)
     })
   }
 
@@ -326,21 +328,22 @@ object IvfIndex {
   def fresh(spark: SparkSession, corpusKey: String, e: DataFrame,
       numCentroids: Int, iters: Int, quantScale: Double,
       pq: Boolean = false, pqResidual: Boolean = true,
-      pqWide: Boolean = true): Index =
+      pqWide: Boolean = true, pqOpq: Boolean = true): Index =
     graft.util.BuildLog.timed(s"ivf-fresh:$corpusKey") {
       val k = s"$corpusKey#${freshSeq.incrementAndGet()}"
       build(spark, k, e, numCentroids, iters, quantScale,
-        Scratch.sessionId(spark) + "|" + k, pq, pqResidual, pqWide)
+        Scratch.sessionId(spark) + "|" + k, pq, pqResidual, pqWide, pqOpq)
     }
 
   private def build(spark: SparkSession, corpusKey: String, e: DataFrame,
       numCentroids: Int, iters: Int, quantScale: Double,
       cacheKey: String, pq: Boolean = false, pqResidual: Boolean = true,
-      pqWide: Boolean = true): Index = {
+      pqWide: Boolean = true, pqOpq: Boolean = true): Index = {
     val cent = train(e, numCentroids, iters, quantScale)
     val assigned0 = assign(e, cent).select(col("vec_id"), col("v"), col("cid"))
     val assignedF = if (pq) assigned0.localCheckpoint() else assigned0
-    val books = if (pq) trainBooks(assignedF, cent, pqResidual, pqWide) else None
+    val books =
+      if (pq) trainBooks(assignedF, cent, pqResidual, pqWide, pqOpq) else None
 
     // Session-scoped table name + scratch path (two sessions building
     // the same corpus never clobber each other — ADVICE r5).
@@ -363,7 +366,8 @@ object IvfIndex {
     * the index builds and serves IVF/SQ8 normally, and only a PQ query
     * hits [[AnnPq]]'s actionable error. */
   private def trainBooks(assignedF: DataFrame, cent: DataFrame,
-      residualSet: Boolean = true, wideSet: Boolean = true): Option[Books] =
+      residualSet: Boolean = true, wideSet: Boolean = true,
+      opqSet: Boolean = true): Option[Books] =
     try {
       val vecs = assignedF.select(col("vec_id"), col("v"))
       val plain = PqCodec.train(vecs)
@@ -374,7 +378,15 @@ object IvfIndex {
             PqCodec.residualCol(col("v"), col("cid"), collectCentroids(cent))
               .as("v"))))
       val wide = if (wideSet) Some(PqCodec.train(vecs, PqCodec.G8)) else None
-      Some(Books(plain, residual, wide))
+      val opq =
+        if (!opqSet) None
+        else {
+          val perm = PqCodec.energyPermutation(vecs).toSeq
+          Some(OpqSet(PqCodec.train(
+            vecs.select(col("vec_id"),
+              PqCodec.permuteCol(col("v"), perm).as("v"))), perm))
+        }
+      Some(Books(plain, residual, wide, opq))
     } catch {
       case e: IllegalArgumentException =>
         System.err.println(s"[ivf] PQ codebook training degraded to pq-less " +
@@ -386,13 +398,18 @@ object IvfIndex {
     * v − centroid(cid)), G8 WIDE (the same-budget recall rung) — one
     * value so they can never desync across branch/snapshot/retrain
     * plumbing. */
-  /** The trained PQ codebook sets — G16 plain always; G16 residual
-    * and G8 wide only when the build asked for them (r14 ADVICE: the
-    * extra Lloyd passes and stored columns are config-gated for
-    * deployments serving one geometry; the gate corpus trains all
-    * three). */
+  /** The OPQ-lite set: G16 books trained over the PERMUTED vectors +
+    * the energy-balancing permutation itself (needed at query time to
+    * rotate the query before the ADC LUT). */
+  final case class OpqSet(books: DataFrame, perm: Seq[Int])
+
+  /** The trained PQ codebook sets — G16 plain always; G16 residual,
+    * G8 wide, and the G16 OPQ-permutation set only when the build
+    * asked for them (r14 ADVICE: the extra Lloyd passes and stored
+    * columns are config-gated for deployments serving one geometry;
+    * the gate corpus trains all four). */
   final case class Books(plain: DataFrame, residual: Option[DataFrame],
-      wide: Option[DataFrame])
+      wide: Option[DataFrame], opq: Option[OpqSet])
 
   /** Centroids as a dense cid-indexed matrix for the literal residual
     * transform (cids are dense 0..n-1 by the seed rule vec_id <
@@ -449,11 +466,15 @@ object IvfIndex {
       val withPw = books.wide.fold(withPc)(w => withPc.withColumn("pw",
         PqCodec.encode(col("v"),
           PqCodec.collectBooks(w, PqCodec.G8), PqCodec.G8)))
-      books.residual.fold(withPw)(r => withPw
+      val withPrc = books.residual.fold(withPw)(r => withPw
         .withColumn("rv", PqCodec.residualCol(col("v"), col("cid"),
           collectCentroids(cent)))
         .withColumn("prc", PqCodec.encode(col("rv"), PqCodec.collectBooks(r)))
         .drop("rv"))
+      books.opq.fold(withPrc)(o => withPrc
+        .withColumn("ov", PqCodec.permuteCol(col("v"), o.perm))
+        .withColumn("poc", PqCodec.encode(col("ov"), PqCodec.collectBooks(o.books)))
+        .drop("ov"))
     }
   }
 }

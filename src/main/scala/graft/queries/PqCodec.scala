@@ -157,6 +157,48 @@ object PqCodec {
     spark.createDataFrame(rows, schema).localCheckpoint()
   }
 
+  /** Integer-quantization grid for the OPQ energy ranking (x ∈ [-1,1]
+    * so x²·1e12 ≤ 1e12; 131k-row sums stay far below Long.MaxValue). */
+  val EnergyScale = 1000000000000.0
+
+  /** OPQ-lite rotation (Ge et al. 2013 "Optimized Product
+    * Quantization", the parametric eigenvalue-allocation idea
+    * restricted to PERMUTATION rotations): rank the 64 dims by
+    * integer-quantized energy Σ floor(x²·1e12 + 0.5) (order-free, so
+    * the DuckDB oracle replays the ranking bit-for-bit), snake-deal
+    * the ranks into the geometry's m subspaces so per-subspace energy
+    * balances, then PQ-encode the PERMUTED vectors. A permutation is
+    * an orthogonal rotation the oracle CAN replay end-to-end — the
+    * full learned rotation (an SVD per alternation) is not
+    * SQL-expressible, so this rung deliberately trades the last OPQ
+    * percent for a fully oracle-gated transform. Returns newpos → old
+    * dim, both 0-based; within a subspace, dims sit in assignment
+    * (round) order. */
+  def energyPermutation(e: DataFrame, geom: PqGeom = G16): Array[Int] = {
+    val energies = e
+      .select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(sum(floor(col("x") * col("x") * EnergyScale + 0.5)).as("en"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    require(energies.length == 64,
+      s"the OPQ permutation needs 64-dim vectors (got ${energies.length} dims)")
+    val ranked = energies.sortBy { case (d, en) => (-en, d) }.map(_._1)
+    val groups = Array.fill(geom.m)(List.newBuilder[Int])
+    ranked.zipWithIndex.foreach { case (dim, r) =>
+      val t = r / geom.m
+      val p = r % geom.m
+      val g = if (t % 2 == 0) p else geom.m - 1 - p
+      groups(g) += dim
+    }
+    groups.flatMap(_.result())
+  }
+
+  /** `v` reindexed by `perm` (newpos → old dim, 0-based) — the
+    * permutation-rotation applied as one 64-element array projection
+    * (stays inside whole-stage codegen). */
+  def permuteCol(v: Column, perm: Seq[Int]): Column =
+    array(perm.map(i => element_at(v, i + 1)): _*)
+
   /** Collect the trained codebooks to the driver — m×k×subDim doubles
     * (≤ 16 k values) — for the [[PqEncode]] kernel. */
   def collectBooks(books: DataFrame, geom: PqGeom = G16): Array[Array[Array[Double]]] = {

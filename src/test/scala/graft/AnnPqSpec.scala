@@ -130,13 +130,16 @@ class AnnPqSpec extends SparkSuite {
     // that fixed unbound-reference encode), not v (r14 ADVICE #1).
     val residualV = graft.queries.PqCodec.residualCol(col("v"), col("cid"),
       graft.queries.IvfIndex.collectCentroids(idx.centroids))
+    val opqV = graft.queries.PqCodec.permuteCol(col("v"), books.opq.get.perm)
     for ((b, geom, stored, input) <- Seq(
         (books.plain, PqCodec.G16, "pc", col("v")),
         (books.wide.get, PqCodec.G8, "pw", col("v")),
-        (books.residual.get, PqCodec.G16, "prc", col("rv")))) {
+        (books.residual.get, PqCodec.G16, "prc", col("rv")),
+        (books.opq.get.books, PqCodec.G16, "poc", col("ov")))) {
       val lit = PqCodec.collectBooks(b, geom)
       val rows = idx.assigned
         .withColumn("rv", residualV)
+        .withColumn("ov", opqV)
         .select(
           PqCodec.encode(input, lit, geom).as("word"),
           PqCodec.codeColumn(input, lit, geom).as("arr"),
@@ -195,5 +198,44 @@ class AnnPqSpec extends SparkSuite {
       s"stage 1 must read the persisted wide code word:\n$plan")
     assert(!plan.contains("v:array<double>"),
       s"stage 1 must never read the float vector column:\n$plan")
+  }
+
+  test("opq ann_pq_opq: balanced permutation, ranked rows off the stored poc words") {
+    val idx = graft.queries.Ann.corpusIdx(spark, d)
+    val opq = idx.pqBooks.get.opq.get
+    // The permutation is a bijection on 0..63 (an orthogonal rotation).
+    assert(opq.perm.sorted == (0 until 64), s"not a permutation: ${opq.perm}")
+    // Snake allocation balances energy: each subspace holds exactly one
+    // dim from each energy-rank round (ranks r with r/16 = t).
+    val rankOf = {
+      import org.apache.spark.sql.functions.{floor => ffloor, _}
+      val en = idx.assigned
+        .select(posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("dim"))
+        .agg(sum(ffloor(col("x") * col("x") * graft.queries.PqCodec.EnergyScale + 0.5)).as("en"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      en.sortBy { case (dd, e) => (-e, dd) }.map(_._1).zipWithIndex.toMap
+    }
+    opq.perm.grouped(4).foreach { group =>
+      assert(group.map(rankOf(_) / 16).sorted == Seq(0, 1, 2, 3),
+        s"subspace $group must hold one dim per energy round")
+    }
+
+    val rows = SparkEntry.queries("ann_pq_opq")(spark, d).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(45L, 46L, 47L, 48L, 49L))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(3)).toSeq.sorted == (1 to 10), s"ranks for $q")
+      val cos = rs.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+      assert(cos == cos.sorted.reverse, s"cosine order for $q")
+      assert(!rs.exists(_.getLong(1) == q), "query never its own neighbor")
+    }
+    val (cands, _) = graft.queries.AnnPq.pqCands(spark, d,
+      col("vec_id") >= 45 && col("vec_id") < 50, opq = true)
+    val plan = cands.queryExecution.executedPlan.toString
+    assert(plan.contains("poc:bigint"),
+      s"stage 1 must read the persisted opq code word:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "opq stage 1 must not shuffle-join")
   }
 }
