@@ -60,6 +60,11 @@ object PqBuildCost {
       def build(pq: Boolean, r: Boolean, w: Boolean, o: Boolean): Double =
         timed(IvfIndex.fresh(spark, s"pqcost|$d", e, 16, 2, 1000000.0,
           pq, r, w, o))
+      // Untimed warmup build: the first build pays JVM/codegen/scan
+      // warmup that would otherwise land on whichever row runs first
+      // (the first strike read pq_none 12.4 s vs pq_plain 8.2 s —
+      // ordering, not cost).
+      build(pq = false, r = false, w = false, o = false)
       val none = build(pq = false, r = false, w = false, o = false)
       val plain = build(pq = true, r = false, w = false, o = false)
       val serve = build(pq = true, r = false, w = true, o = true)
