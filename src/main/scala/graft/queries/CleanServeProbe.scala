@@ -60,33 +60,38 @@ object CleanServeProbe {
           val batchVecs = Tables.embeddings(spark, sfDir)
             .filter(pmod(col("vec_id"), lit(30)) === 0)
             .select(col("vec_id"), col("embedding")).localCheckpoint()
+          // The stage shapes mirror EvolveServe.cleanServe's r15
+          // composed path EXACTLY: one derivation per batch shared by
+          // probes and appends, count gates and guards skipped under
+          // the proven mod-10 cohort disjointness.
+          val derived = CorpusClean.deriveBatch(spark, batch)
+          val emRows = emB.deriveRows(batchVecs)
           val (ledger, ledgerSec) = timeOnce {
-            CorpusClean.incrLedger(spark, batch, dgB, mhB,
-              Some((emB, batchVecs))).localCheckpoint()
+            CorpusClean.incrLedgerDerived(spark, derived, Some((emB, emRows)),
+              dgB, mhB, assumeSmallDelta = true).localCheckpoint()
           }
           val acceptedIds = ledger.filter(col("keep")).select(col("doc_id"))
-          val (accepted, accSec) = timeOnce {
-            batch.join(acceptedIds, "doc_id")
-              .select(col("doc_id"), col("text")).localCheckpoint()
+          val (acceptedDerived, accSec) = timeOnce {
+            derived.join(acceptedIds, Seq("doc_id"), "left_semi")
           }
-          val nKept = accepted.count()
-          val (acceptedVecs, accVecSec) = timeOnce {
-            batchVecs.join(acceptedIds.select(col("doc_id").as("vec_id")),
-              Seq("vec_id"), "left_semi").localCheckpoint()
+          val nKept = acceptedIds.count()
+          val (acceptedVecRows, accVecSec) = timeOnce {
+            emRows.join(acceptedIds.select(col("doc_id").as("vec_id")),
+              Seq("vec_id"), "left_semi")
           }
-          val (_, mhAppSec) = timeOnce { mhB.append(accepted) }
-          val (_, dgAppSec) = timeOnce { dgB.append(accepted) }
-          val (_, emAppSec) = timeOnce { emB.append(acceptedVecs) }
+          val (_, mhAppSec) = timeOnce {
+            mhB.appendDerived(acceptedDerived, assumeDisjoint = true) }
+          val (_, dgAppSec) = timeOnce {
+            dgB.appendDerived(acceptedDerived, assumeDisjoint = true) }
+          val (_, emAppSec) = timeOnce {
+            emB.appendDerived(acceptedVecRows, assumeDisjoint = true) }
           val (_, poAppSec) = timeOnce {
-            poB = poB.append(accepted, "doc_id", "text")
+            poB = poB.append(batch.join(acceptedIds, "doc_id")
+              .select(col("doc_id"), col("text")), "doc_id", "text",
+              assumeDisjoint = true)
           }
           val (_, ivAppSec) = timeOnce {
-            ivB.append(acceptedVecs
-              .select(col("vec_id"), col("embedding").cast("array<double>").as("v0"))
-              .withColumn("nrm",
-                sqrt(graft.functions.VectorOps.norm2(col("v0"))))
-              .select(col("vec_id"),
-                transform(col("v0"), x => x / col("nrm")).as("v")))
+            ivB.append(acceptedVecRows, assumeDisjoint = true)
           }
           val (_, answerSec) = timeOnce {
             mat(EvolveServe.serveAnswers(0, poB, ivB,
