@@ -134,7 +134,9 @@ final case class ScaleConfig(
     sq8Cands: Int = 50,
     ivfPairBucket: Int = 0,
     pqCands: Int = 50,
-    pqWide: Boolean = true)
+    pqWide: Boolean = true,
+    parallelAppends: Boolean = true,
+    probeBucketPruneKeys: Int = 0)
 
 /** Engine configuration (config.py:60-86). `manifestPath` derives from
   * the project root + target dir exactly as the reference's property. */
@@ -231,7 +233,9 @@ object Config {
         sq8Cands = int(scaleSec, "sq8_cands", 50),
         ivfPairBucket = int(scaleSec, "ivf_pair_bucket", 0),
         pqCands = int(scaleSec, "pq_cands", 50),
-        pqWide = bool(scaleSec, "pq_wide", dflt = true)))
+        pqWide = bool(scaleSec, "pq_wide", dflt = true),
+        parallelAppends = bool(scaleSec, "parallel_appends", dflt = true),
+        probeBucketPruneKeys = int(scaleSec, "probe_bucket_prune_keys", 0)))
   }
 
   private def findUpward(start: Path): Option[Path] = {

@@ -79,19 +79,26 @@ object CleanServeProbe {
             emRows.join(acceptedIds.select(col("doc_id").as("vec_id")),
               Seq("vec_id"), "left_semi")
           }
-          val (_, mhAppSec) = timeOnce {
-            mhB.appendDerived(acceptedDerived, assumeDisjoint = true) }
-          val (_, dgAppSec) = timeOnce {
-            dgB.appendDerived(acceptedDerived, assumeDisjoint = true) }
-          val (_, emAppSec) = timeOnce {
-            emB.appendDerived(acceptedVecRows, assumeDisjoint = true) }
-          val (_, poAppSec) = timeOnce {
-            poB = poB.append(batch.join(acceptedIds, "doc_id")
-              .select(col("doc_id"), col("text")), "doc_id", "text",
-              assumeDisjoint = true)
-          }
-          val (_, ivAppSec) = timeOnce {
-            ivB.append(acceptedVecRows, assumeDisjoint = true)
+          // The gate's append stage is ONE Par.join barrier over the
+          // five indexes ([scale] parallel_appends): the wall the gate
+          // pays is the join; the per-index numbers are each thunk's
+          // own in-flight duration (concurrent, so they overlap — the
+          // decomposition shows who the critical path is, not a sum).
+          var mhAppSec, dgAppSec, emAppSec, poAppSec, ivAppSec = 0.0
+          val (_, appendsWallSec) = timeOnce {
+            graft.util.Par.join(IndexMaintenance.parallelAppends)(
+              () => { mhAppSec = timeOnce {
+                mhB.appendDerived(acceptedDerived, assumeDisjoint = true) }._2 },
+              () => { dgAppSec = timeOnce {
+                dgB.appendDerived(acceptedDerived, assumeDisjoint = true) }._2 },
+              () => { emAppSec = timeOnce {
+                emB.appendDerived(acceptedVecRows, assumeDisjoint = true) }._2 },
+              () => { poAppSec = timeOnce {
+                poB = poB.append(batch.join(acceptedIds, "doc_id")
+                  .select(col("doc_id"), col("text")), "doc_id", "text",
+                  assumeDisjoint = true) }._2 },
+              () => { ivAppSec = timeOnce {
+                ivB.append(acceptedVecRows, assumeDisjoint = true) }._2 })
           }
           val (_, answerSec) = timeOnce {
             mat(EvolveServe.serveAnswers(0, poB, ivB,
@@ -99,12 +106,14 @@ object CleanServeProbe {
           }
           System.err.println(s"[clean-serve-probe] docs=$nDocs kept=$nKept " +
             s"ledger=${f(ledgerSec)} accept=${f(accSec)}+${f(accVecSec)} " +
-            s"appends mh=${f(mhAppSec)} dg=${f(dgAppSec)} em=${f(emAppSec)} " +
-            s"po=${f(poAppSec)} iv=${f(ivAppSec)} answers=${f(answerSec)}")
+            s"appends wall=${f(appendsWallSec)} (mh=${f(mhAppSec)} " +
+            s"dg=${f(dgAppSec)} em=${f(emAppSec)} po=${f(poAppSec)} " +
+            s"iv=${f(ivAppSec)}) answers=${f(answerSec)}")
           s"""{"batch_docs":$nDocs,"accepted_docs":$nKept,""" +
             s""""ledger_sec":${f(ledgerSec)},""" +
             s""""accepted_checkpoint_sec":${f(accSec)},""" +
             s""""accepted_vecs_checkpoint_sec":${f(accVecSec)},""" +
+            s""""appends_wall_sec":${f(appendsWallSec)},""" +
             s""""minhash_append_sec":${f(mhAppSec)},""" +
             s""""digest_append_sec":${f(dgAppSec)},""" +
             s""""embed_append_sec":${f(emAppSec)},""" +

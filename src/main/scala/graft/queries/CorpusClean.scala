@@ -377,12 +377,17 @@ object CorpusClean {
         val acceptedDerived = derived.join(acceptedIds, Seq("doc_id"), "left_semi")
         // Append EVERY batch (the standing pipeline keeps the index
         // current for the next day's delta too, not just intra-run).
-        mh.appendDerived(acceptedDerived, assumeDisjoint = true)
-        dg.appendDerived(acceptedDerived, assumeDisjoint = true)
-        emPair.foreach { case (ei, rows) =>
-          ei.appendDerived(rows.join(acceptedIds.select(col("doc_id").as("vec_id")),
-            Seq("vec_id"), "left_semi"), assumeDisjoint = true)
-        }
+        // Distinct indexes, disjoint tables — submitted concurrently
+        // ([scale] parallel_appends; the EvolveServe.cleanServe note).
+        graft.util.Par.join(IndexMaintenance.parallelAppends)(
+          (Seq(
+            () => { mh.appendDerived(acceptedDerived, assumeDisjoint = true); () },
+            () => { dg.appendDerived(acceptedDerived, assumeDisjoint = true); () }) ++
+          emPair.map { case (ei, rows) =>
+            () => { ei.appendDerived(rows.join(
+              acceptedIds.select(col("doc_id").as("vec_id")),
+              Seq("vec_id"), "left_semi"), assumeDisjoint = true); () }
+          }): _*)
         ledger
       }
       // Every checkpoint block created during the loop is dead now

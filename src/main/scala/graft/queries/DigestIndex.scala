@@ -112,8 +112,11 @@ object DigestIndex {
       val smallDelta = smallDeltaHint.getOrElse(deltaKeys.count() <= broadcastMaxKeys)
       val keyed = if (smallDelta) broadcast(deltaKeys) else deltaKeys.hint("shuffle_hash")
       // Corpus rows of colliding digests only — the corpus table scans
-      // in place (bucketed, no exchange); output is ≤ delta-sized.
-      val matched = digests.join(keyed, "content_hash")
+      // in place (bucketed, no exchange; bucket-pruned to the delta's
+      // keys under [scale] probe_bucket_prune_keys); output is
+      // ≤ delta-sized.
+      val matched = pruneScanToKeys(digests, "content_hash", deltaKeys)
+        .join(keyed, "content_hash")
         .select(col("content_hash")).distinct()
       hashed.join(
           (if (smallDelta) broadcast(matched) else matched.hint("shuffle_hash"))

@@ -145,7 +145,8 @@ object EmbedIndex {
         smallDeltaHint.getOrElse(collidingKeys.count() <= broadcastMaxKeys)
       def keyProbe(keys: DataFrame): DataFrame =
         if (smallDelta) broadcast(keys) else keys.hint("shuffle_hash")
-      val corpusHits = bands.join(keyProbe(collidingKeys), "pk")
+      val corpusHits = pruneScanToKeys(bands, "pk", collidingKeys)
+        .join(keyProbe(collidingKeys), "pk")
         .localCheckpoint(false)
 
       // Combined hot-band cap: corpus hits + delta rows per key ==

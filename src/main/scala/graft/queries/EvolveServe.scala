@@ -133,16 +133,24 @@ object EvolveServe {
         // ≢ 0 corpus cohorts, mutually distinct batch residues — the
         // per-batch corpus-id guard scans are skipped (the
         // CorpusClean.incrEvolve proof).
-        po = po.append(docs.filter(inBatch).select(col("doc_id"), col("text")),
-          "doc_id", "text", assumeDisjoint = true)
-        iv.append(
-          Tables.embeddings(s, d)
-            .filter(pmod(col("vec_id"), lit(10)) === 0 &&
-              pmod(col("vec_id"), lit(10L * k)) === lit(10L * b))
-            .select(col("vec_id"), col("embedding").cast("array<double>").as("v0"))
-            .withColumn("nrm", sqrt(VectorOps.norm2(col("v0"))))
-            .select(col("vec_id"), transform(col("v0"), x => x / col("nrm")).as("v")),
-          assumeDisjoint = true)
+        // Both appends write disjoint tables of distinct indexes —
+        // submitted concurrently ([scale] parallel_appends; the
+        // cleanServe note). The join barrier completes before the
+        // serve answers read the branches.
+        var poNext = po
+        graft.util.Par.join(IndexMaintenance.parallelAppends)(
+          () => { poNext = po.append(
+            docs.filter(inBatch).select(col("doc_id"), col("text")),
+            "doc_id", "text", assumeDisjoint = true); () },
+          () => { iv.append(
+            Tables.embeddings(s, d)
+              .filter(pmod(col("vec_id"), lit(10)) === 0 &&
+                pmod(col("vec_id"), lit(10L * k)) === lit(10L * b))
+              .select(col("vec_id"), col("embedding").cast("array<double>").as("v0"))
+              .withColumn("nrm", sqrt(VectorOps.norm2(col("v0"))))
+              .select(col("vec_id"), transform(col("v0"), x => x / col("nrm")).as("v")),
+            assumeDisjoint = true); () })
+        po = poNext
         // Eager: the answers must see exactly batches ≤ b — the next
         // iteration's append mutates the branch views a lazy frame
         // would re-read.
@@ -240,13 +248,22 @@ object EvolveServe {
         val acceptedDerived = derived.join(acceptedIds, Seq("doc_id"), "left_semi")
         val acceptedVecRows = emRows
           .join(acceptedIds.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
-        mh.appendDerived(acceptedDerived, assumeDisjoint = true)
-        dg.appendDerived(acceptedDerived, assumeDisjoint = true)
-        em.appendDerived(acceptedVecRows, assumeDisjoint = true)
-        po = po.append(batch.join(acceptedIds, "doc_id")
-          .select(col("doc_id"), col("text")), "doc_id", "text",
-          assumeDisjoint = true)
-        iv.append(acceptedVecRows, assumeDisjoint = true)
+        // The five appends write disjoint tables of distinct indexes —
+        // submitted concurrently ([scale] parallel_appends): the stage
+        // is per-job-latency-bound (~10 tiny jobs serialized), so wall
+        // collapses to the longest single index's chain (the postings
+        // stats merge). The join barrier completes before the serve
+        // answers read the branches.
+        var poNext = po
+        graft.util.Par.join(IndexMaintenance.parallelAppends)(
+          () => { mh.appendDerived(acceptedDerived, assumeDisjoint = true); () },
+          () => { dg.appendDerived(acceptedDerived, assumeDisjoint = true); () },
+          () => { em.appendDerived(acceptedVecRows, assumeDisjoint = true); () },
+          () => { poNext = po.append(batch.join(acceptedIds, "doc_id")
+            .select(col("doc_id"), col("text")), "doc_id", "text",
+            assumeDisjoint = true); () },
+          () => { iv.append(acceptedVecRows, assumeDisjoint = true); () })
+        po = poNext
         serveAnswers(b, po, iv, CleanServeAnnPred).localCheckpoint()
       }
       // Manual keep-set sweep — single-flight contract (see evolveServe).

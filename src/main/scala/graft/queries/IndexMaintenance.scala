@@ -41,10 +41,32 @@ object IndexMaintenance {
   @volatile var ivfFitCheckEvery: Int = 0
   @volatile var ivfRetrainBelowCos: Double = 0.0
 
+  /** Concurrent submission of a batch's per-index appends
+    * (`[scale] parallel_appends`, default ON — semantics-preserving by
+    * construction, see [[graft.util.Par]]): the evolve/serve loops'
+    * five appends write disjoint tables of distinct indexes, so the
+    * only thing serialization buys is wall-clock. */
+  @volatile var parallelAppends: Boolean = true
+
+  /** Bucket-prune the probes' corpus band/digest table scans to the
+    * delta's key set (`[scale] probe_bucket_prune_keys`, default 0 =
+    * off — the gate-pinned full-scan shape): when a probe's distinct
+    * delta keys number ≤ this cap, they are collected and inlined as
+    * an IN filter on the bucket column, which FileSourceStrategy turns
+    * into bucket pruning (`SelectedBucketsCount` in the scan — the
+    * `ann_ivf` cid-list idiom). At the gates' 32 buckets a delta's
+    * keys hit every bucket so there is nothing to win (SURVEY §9.10);
+    * a production deployment at thousands of buckets skips the
+    * (buckets − hit) fraction of the corpus table's files per probe
+    * for the price of one delta-sized collect. */
+  @volatile var probeBucketPruneKeys: Int = 0
+
   def configure(cfg: graft.config.EngineConfig): Unit = {
     compactEveryAppends = cfg.scale.compactEveryAppends
     ivfFitCheckEvery = cfg.scale.ivfFitCheckEvery
     ivfRetrainBelowCos = cfg.scale.ivfRetrainBelowCos
+    parallelAppends = cfg.scale.parallelAppends
+    probeBucketPruneKeys = cfg.scale.probeBucketPruneKeys
   }
 
   private val counters = new ConcurrentHashMap[String, AtomicInteger]()

@@ -154,7 +154,8 @@ object MinhashIndex {
         smallDeltaHint.getOrElse(collidingKeys.count() <= broadcastMaxKeys)
       def keyProbe(keys: DataFrame): DataFrame =
         if (smallDelta) broadcast(keys) else keys.hint("shuffle_hash")
-      val corpusHits = bands.join(keyProbe(collidingKeys), "band_key")
+      val corpusHits = pruneScanToKeys(bands, "band_key", collidingKeys)
+        .join(keyProbe(collidingKeys), "band_key")
         .localCheckpoint(false)
 
       // Combined hot-band cap: corpus hits + delta rows per key ==

@@ -102,6 +102,34 @@ private[graft] trait PersistedIndex[Self <: PersistedIndex[Self]] { self: Self =
         Seq(spark.table(own)) else Nil))
       .reduce(_ union _)
 
+  /** Bucket-prune a probe's corpus-table scan to the delta's key set
+    * (`[scale] probe_bucket_prune_keys`, default 0 = off): when the
+    * knob is on and `distinctKeys` (the probe's already-checkpointed
+    * DISTINCT delta-key frame) holds ≤ cap keys, collect them and
+    * return `corpus` filtered by an IN list on its bucket column —
+    * which FileSourceStrategy turns into bucket pruning
+    * (`SelectedBucketsCount` in the scan; the `ann_ivf` cid-list
+    * idiom, ProbeBucketPruneSpec plan-pins it). Over the cap, or with
+    * the knob off, the unfiltered scan returns unchanged. Correctness
+    * is free: the probe equi-joins `corpus` on exactly this key, so
+    * restricting the scan to the join's own key set removes only rows
+    * the join would drop (null keys never equi-match, so skipping
+    * them in the IN list loses nothing). The collect is one
+    * delta-sized job — worth paying when the table has enough buckets
+    * that most files fall outside the delta's key set (thousands of
+    * buckets at 100 TB, not the gates' 32 — SURVEY §9.10). */
+  private[graft] final def pruneScanToKeys(corpus: DataFrame, keyCol: String,
+      distinctKeys: DataFrame): DataFrame = {
+    val cap = IndexMaintenance.probeBucketPruneKeys
+    if (cap <= 0) corpus
+    else {
+      val ks = distinctKeys.limit(cap + 1).collect()
+        .map(_.get(0)).filter(_ != null)
+      if (ks.length > cap) corpus
+      else corpus.filter(col(keyCol).isin(ks.toIndexedSeq: _*))
+    }
+  }
+
   /** The one bucketed write idiom: ONE shuffle on the bucket key so
     * each bucket lands as a single file per task (the bucketed-table
     * writer emits one file per (task, bucket) — without the

@@ -1,0 +1,61 @@
+package graft.util
+
+import java.util.concurrent.{Callable, ExecutionException, Executors}
+
+/** Concurrent Spark-job submission for INDEPENDENT per-batch index
+  * appends (`[scale] parallel_appends`, default on).
+  *
+  * The standing evolve/serve pipelines append each batch's survivors
+  * to up to five persisted indexes (digest, minhash, embed bands,
+  * postings, IVF — `EvolveServe.cleanServe`). Each append is 1–4 tiny
+  * delta-sized jobs whose wall-clock at scale is DOMINATED by per-job
+  * scheduling + commit latency (~0.2–0.3 s each at local[32];
+  * `CLEAN_SERVE_BUDGET.json` prices the serialized append stage at
+  * ~5.6 s/batch against ~1.4 s of actual work). The five appends write
+  * DISJOINT tables of DISTINCT indexes, so submitting them from
+  * concurrent threads is semantics-preserving — Spark schedules jobs
+  * from multiple threads against one SparkContext by design (the
+  * classic "job concurrency within an application" pattern;
+  * local-mode FIFO interleaves tiny jobs without starvation), the
+  * session catalog's table operations are synchronized, and every
+  * shared mutable structure on the append path is already concurrent
+  * (BuildLog's queue, IndexMaintenance's per-key atomics, Scratch's
+  * synchronized registries).
+  *
+  * Contract: the thunks MUST be mutually independent — no two may
+  * append to the SAME index (a single index's two-table commit order
+  * is part of its crash-recovery contract), and none may read state
+  * another writes. The evolve loops satisfy this structurally: one
+  * append per index per batch, probes happen strictly before or after
+  * the join barrier. [[join]] always awaits EVERY thunk before
+  * returning or rethrowing — a failure never leaves a sibling's
+  * bucketed write racing the caller's cleanup (`drop()` in a finally).
+  */
+object Par {
+
+  /** Run `thunks` to completion — concurrently on a fresh
+    * one-thread-per-thunk pool when `parallel` (the pool threads are
+    * created by the calling thread, so Spark's inheritable
+    * thread-locals — job group, scheduler pool, local properties —
+    * carry over), sequentially in order otherwise. Awaits ALL thunks
+    * either way; if any failed, rethrows the FIRST failure (by thunk
+    * order) after the last thunk has finished. */
+  def join(parallel: Boolean)(thunks: (() => Unit)*): Unit = {
+    if (thunks.sizeIs <= 1 || !parallel) { thunks.foreach(_()); return }
+    val pool = Executors.newFixedThreadPool(thunks.size)
+    try {
+      val futures = thunks.map(t => pool.submit(new Callable[Unit] {
+        def call(): Unit = t()
+      }))
+      var firstFailure: Throwable = null
+      futures.foreach { f =>
+        try f.get()
+        catch {
+          case e: ExecutionException =>
+            if (firstFailure == null) firstFailure = e.getCause
+        }
+      }
+      if (firstFailure != null) throw firstFailure
+    } finally pool.shutdown()
+  }
+}
