@@ -136,7 +136,8 @@ final case class ScaleConfig(
     pqCands: Int = 50,
     pqWide: Boolean = true,
     parallelAppends: Boolean = true,
-    probeBucketPruneKeys: Int = 0)
+    probeBucketPruneKeys: Int = 0,
+    indexBuckets: Int = 32)
 
 /** Engine configuration (config.py:60-86). `manifestPath` derives from
   * the project root + target dir exactly as the reference's property. */
@@ -235,7 +236,8 @@ object Config {
         pqCands = int(scaleSec, "pq_cands", 50),
         pqWide = bool(scaleSec, "pq_wide", dflt = true),
         parallelAppends = bool(scaleSec, "parallel_appends", dflt = true),
-        probeBucketPruneKeys = int(scaleSec, "probe_bucket_prune_keys", 0)))
+        probeBucketPruneKeys = int(scaleSec, "probe_bucket_prune_keys", 0),
+        indexBuckets = int(scaleSec, "index_buckets", 32)))
   }
 
   private def findUpward(start: Path): Option[Path] = {

@@ -33,8 +33,11 @@ import graft.util.Scratch
   */
 object DigestIndex {
 
-  /** Bucket count — bounds probe parallelism, not correctness (the
-    * [[MinhashIndex.NumBuckets]] sizing note applies). */
+  /** Default bucket count — bounds probe parallelism, not correctness
+    * (the [[MinhashIndex.NumBuckets]] sizing note applies). Builds
+    * read `[scale] index_buckets` (default = this) and the handle
+    * carries its build-time count for life — see
+    * [[IndexMaintenance.indexBuckets]]. */
   val NumBuckets = 32
 
   /** Delta digest sets above this stop broadcasting into the corpus
@@ -49,14 +52,15 @@ object DigestIndex {
       private[graft] val baseName: String,
       private[graft] val generation: Int,
       private[graft] val cacheKey: String,
-      private[graft] val parentIndex: Option[Index] = None)
+      private[graft] val parentIndex: Option[Index] = None,
+      private[graft] val buckets: Int = DigestIndex.NumBuckets)
     extends PersistedIndex[Index] {
 
     private[graft] def kindName = "DigestIndex"
     private[graft] def logTag = "digest"
     private[graft] def scratchPrefix = "graft_dg"
     private[graft] def tableSpecs =
-      Seq(PersistedIndex.TableSpec("", "content_hash", DigestIndex.NumBuckets))
+      Seq(PersistedIndex.TableSpec("", "content_hash", buckets))
     private[graft] def cacheGet(key: String): Index = DigestIndex.cache.get(key)
     private[graft] def cachePut(key: String, v: Index): Unit =
       DigestIndex.cache.put(key, v)
@@ -65,7 +69,7 @@ object DigestIndex {
     private[graft] def freshSeqNext(): Int = DigestIndex.freshSeq.incrementAndGet()
     private[graft] def make(baseName: String, generation: Int, cacheKey: String,
         parent: Option[Index]): Index =
-      new Index(spark, baseName, generation, cacheKey, parent)
+      new Index(spark, baseName, generation, cacheKey, parent, buckets)
 
     /** (doc_id, content_hash), bucketed by content_hash; for a
       * [[branch]], the base's table UNIONed with the branch's delta
@@ -154,7 +158,7 @@ object DigestIndex {
           s"append violates the disjointness contract: delta contains doc_ids already in " +
             s"$tableName — rebuild or compact to reconcile")
       }
-      writeBucketed(hashed, tableName, "content_hash", DigestIndex.NumBuckets, "append")
+      writeBucketed(hashed, tableName, "content_hash", buckets, "append")
       // [scale] compact_every_appends cadence — base tables only
       if (parentIndex.isEmpty && IndexMaintenance.appendTick(baseName)) compact()
       else this
@@ -187,10 +191,11 @@ object DigestIndex {
       cacheKey: String): Index = {
     val tableName = Scratch.tableName(spark, "graft_dg", corpusKey)
     spark.sql(s"DROP TABLE IF EXISTS $tableName")
-    val idx = new Index(spark, tableName, 0, cacheKey)
+    val idx = new Index(spark, tableName, 0, cacheKey,
+      buckets = IndexMaintenance.indexBuckets)
     idx.writeBucketed(
       corpus.select(col("doc_id"), TextHash.contentDigest(col("text")).as("content_hash")),
-      tableName, "content_hash", NumBuckets, "overwrite")
+      tableName, "content_hash", idx.buckets, "overwrite")
     idx
   }
 }

@@ -49,8 +49,9 @@ import graft.util.Scratch
   */
 object EmbedIndex {
 
-  /** Bucket count for both tables — bounds probe parallelism, not
-    * correctness (the [[MinhashIndex.NumBuckets]] sizing note). */
+  /** Default bucket count for both tables — bounds probe parallelism
+    * and file sizing, not correctness (the [[MinhashIndex.NumBuckets]]
+    * sizing note; builds read `[scale] index_buckets`). */
   val NumBuckets = 32
 
   /** Delta key sets above this stop broadcasting into the corpus-band
@@ -65,7 +66,8 @@ object EmbedIndex {
       private[graft] val generation: Int,
       private[graft] val cacheKey: String,
       val bandBits: Int, val rotations: Int,
-      private[graft] val parentIndex: Option[Index] = None)
+      private[graft] val parentIndex: Option[Index] = None,
+      private[graft] val buckets: Int = EmbedIndex.NumBuckets)
     extends PersistedIndex[Index] {
 
     def vecsTable: String = tableName + "_vec"
@@ -74,8 +76,8 @@ object EmbedIndex {
     private[graft] def logTag = "embed"
     private[graft] def scratchPrefix = "graft_em"
     private[graft] def tableSpecs = Seq(
-      PersistedIndex.TableSpec("", "pk", EmbedIndex.NumBuckets),
-      PersistedIndex.TableSpec("_vec", "vec_id", EmbedIndex.NumBuckets))
+      PersistedIndex.TableSpec("", "pk", buckets),
+      PersistedIndex.TableSpec("_vec", "vec_id", buckets))
     private[graft] def cacheGet(key: String): Index = EmbedIndex.cache.get(key)
     private[graft] def cachePut(key: String, v: Index): Unit =
       EmbedIndex.cache.put(key, v)
@@ -84,7 +86,8 @@ object EmbedIndex {
     private[graft] def freshSeqNext(): Int = EmbedIndex.freshSeq.incrementAndGet()
     private[graft] def make(baseName: String, generation: Int, cacheKey: String,
         parent: Option[Index]): Index =
-      new Index(spark, baseName, generation, cacheKey, bandBits, rotations, parent)
+      new Index(spark, baseName, generation, cacheKey, bandBits, rotations,
+        parent, buckets)
 
     /** (vec_id, pk), bucketed by pk; for a [[branch]], the base's
       * table UNIONed with the branch's delta rows. */
@@ -224,11 +227,11 @@ object EmbedIndex {
             "append failed between its two commits — rebuild or compact to reconcile)")
       }
       writeBucketed(normed.select(col("vec_id"), col("v")),
-        vecsTable, "vec_id", EmbedIndex.NumBuckets, "append")
+        vecsTable, "vec_id", buckets, "append")
       writeBucketed(
         normed.select(col("vec_id"),
           explode(EmbedIndex.packedKeys(spark, bandBits, rotations)).as("pk")),
-        tableName, "pk", EmbedIndex.NumBuckets, "append")
+        tableName, "pk", buckets, "append")
       // [scale] compact_every_appends cadence — base tables only
       if (parentIndex.isEmpty && IndexMaintenance.appendTick(baseName)) compact()
       else this
@@ -314,13 +317,14 @@ object EmbedIndex {
     spark.sql(s"DROP TABLE IF EXISTS $tableName")
     spark.sql(s"DROP TABLE IF EXISTS $vecsTable")
     val normed = normalized(corpus).localCheckpoint()
-    val idx = new Index(spark, tableName, 0, cacheKey, bandBits, rotations)
+    val idx = new Index(spark, tableName, 0, cacheKey, bandBits, rotations,
+      buckets = IndexMaintenance.indexBuckets)
     idx.writeBucketed(
       normed.select(col("vec_id"),
         explode(packedKeys(spark, bandBits, rotations)).as("pk")),
-      tableName, "pk", NumBuckets, "overwrite")
+      tableName, "pk", idx.buckets, "overwrite")
     idx.writeBucketed(normed.select(col("vec_id"), col("v")),
-      vecsTable, "vec_id", NumBuckets, "overwrite")
+      vecsTable, "vec_id", idx.buckets, "overwrite")
     idx
   }
 }

@@ -61,12 +61,25 @@ object IndexMaintenance {
     * for the price of one delta-sized collect. */
   @volatile var probeBucketPruneKeys: Int = 0
 
+  /** Bucket count for NEWLY BUILT persisted dedup/search indexes
+    * (`[scale] index_buckets`, default 32 — the gate-pinned layout).
+    * Applies at BUILD time and rides the handle from then on (appends,
+    * branches, snapshots, compactions all write the build's count —
+    * a bucketed table's layout is immutable, so a mid-session knob
+    * change affects only subsequent builds, never corrupts an
+    * existing table). Size with the corpus: bucket ≈ file ≈ 128 MB–
+    * 1 GB of index rows, so a 100 TB corpus wants thousands — which
+    * is also where `probe_bucket_prune_keys` starts paying (a small
+    * delta's keys then hit a tiny fraction of the buckets). */
+  @volatile var indexBuckets: Int = 32
+
   def configure(cfg: graft.config.EngineConfig): Unit = {
     compactEveryAppends = cfg.scale.compactEveryAppends
     ivfFitCheckEvery = cfg.scale.ivfFitCheckEvery
     ivfRetrainBelowCos = cfg.scale.ivfRetrainBelowCos
     parallelAppends = cfg.scale.parallelAppends
     probeBucketPruneKeys = cfg.scale.probeBucketPruneKeys
+    indexBuckets = cfg.scale.indexBuckets
   }
 
   private val counters = new ConcurrentHashMap[String, AtomicInteger]()

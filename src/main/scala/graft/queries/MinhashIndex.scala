@@ -45,9 +45,12 @@ import graft.util.Scratch
   */
 object MinhashIndex {
 
-  /** Bucket count for both tables — 100 TB sizing note: production
-    * picks ~#cores × a small factor; the bucket count bounds probe
-    * parallelism, not correctness. */
+  /** Default bucket count for both tables — 100 TB sizing note:
+    * production sets `[scale] index_buckets` to ~corpus_bytes / a
+    * 128 MB–1 GB file target (thousands at 100 TB, where probe-side
+    * bucket pruning starts paying); the count bounds probe
+    * parallelism and file sizing, not correctness, and rides the
+    * handle from build time ([[IndexMaintenance.indexBuckets]]). */
   val NumBuckets = 32
 
   /** Delta band-key sets above this stop broadcasting into the
@@ -64,7 +67,8 @@ object MinhashIndex {
       private[graft] val baseName: String,
       private[graft] val generation: Int,
       private[graft] val cacheKey: String,
-      private[graft] val parentIndex: Option[Index] = None)
+      private[graft] val parentIndex: Option[Index] = None,
+      private[graft] val buckets: Int = MinhashIndex.NumBuckets)
     extends PersistedIndex[Index] {
 
     def arraysTable: String = tableName + "_arr"
@@ -73,8 +77,8 @@ object MinhashIndex {
     private[graft] def logTag = "minhash"
     private[graft] def scratchPrefix = "graft_mh"
     private[graft] def tableSpecs = Seq(
-      PersistedIndex.TableSpec("", "band_key", MinhashIndex.NumBuckets),
-      PersistedIndex.TableSpec("_arr", "doc_id", MinhashIndex.NumBuckets))
+      PersistedIndex.TableSpec("", "band_key", buckets),
+      PersistedIndex.TableSpec("_arr", "doc_id", buckets))
     private[graft] def cacheGet(key: String): Index = MinhashIndex.cache.get(key)
     private[graft] def cachePut(key: String, v: Index): Unit =
       MinhashIndex.cache.put(key, v)
@@ -83,7 +87,7 @@ object MinhashIndex {
     private[graft] def freshSeqNext(): Int = MinhashIndex.freshSeq.incrementAndGet()
     private[graft] def make(baseName: String, generation: Int, cacheKey: String,
         parent: Option[Index]): Index =
-      new Index(spark, baseName, generation, cacheKey, parent)
+      new Index(spark, baseName, generation, cacheKey, parent, buckets)
 
     /** (doc_id, band_key), bucketed by band_key; for a [[branch]], the
       * base's table UNIONed with the branch's delta rows. */
@@ -259,11 +263,11 @@ object MinhashIndex {
             "not discoverable; rebuild or compact to reconcile)")
       }
       writeBucketed(sigged.select(col("doc_id"), col("hs")),
-        arraysTable, "doc_id", MinhashIndex.NumBuckets, "append")
+        arraysTable, "doc_id", buckets, "append")
       writeBucketed(
         sigged.select(col("doc_id"),
           explode(array(MinhashIndex.bandKeysOfSig: _*)).as("band_key")),
-        tableName, "band_key", MinhashIndex.NumBuckets, "append")
+        tableName, "band_key", buckets, "append")
       // [scale] compact_every_appends cadence — base tables only
       // (a branch's appends never touch its base), probe-invariant
       if (parentIndex.isEmpty && IndexMaintenance.appendTick(baseName)) compact()
@@ -314,12 +318,13 @@ object MinhashIndex {
         expr("graft_shingles(text)").as("hs"))
       .filter(col("sig").isNotNull)
       .localCheckpoint()
-    val idx = new Index(spark, tableName, 0, cacheKey)
+    val idx = new Index(spark, tableName, 0, cacheKey,
+      buckets = IndexMaintenance.indexBuckets)
     idx.writeBucketed(
       sigged.select(col("doc_id"), explode(array(bandKeysOfSig: _*)).as("band_key")),
-      tableName, "band_key", NumBuckets, "overwrite")
+      tableName, "band_key", idx.buckets, "overwrite")
     idx.writeBucketed(sigged.select(col("doc_id"), col("hs")),
-      arraysTable, "doc_id", NumBuckets, "overwrite")
+      arraysTable, "doc_id", idx.buckets, "overwrite")
     idx
   }
 }

@@ -49,7 +49,8 @@ final class PostingsIndex private (
     val nDocs: Long,
     val totalDoclen: Long,
     private[graft] val cacheKey: String,
-    private[graft] val parentIndex: Option[PostingsIndex] = None)
+    private[graft] val parentIndex: Option[PostingsIndex] = None,
+    private[graft] val buckets: Int = PostingsIndex.NumBuckets)
   extends PersistedIndex[PostingsIndex] {
 
   private def docsTable: String = tableName + "_docs"
@@ -58,8 +59,8 @@ final class PostingsIndex private (
   private[graft] def logTag = "postings"
   private[graft] def scratchPrefix = "graft_po"
   private[graft] def tableSpecs = Seq(
-    PersistedIndex.TableSpec("", "term", PostingsIndex.NumBuckets),
-    PersistedIndex.TableSpec("_docs", "doc", PostingsIndex.NumBuckets))
+    PersistedIndex.TableSpec("", "term", buckets),
+    PersistedIndex.TableSpec("_docs", "doc", buckets))
   private[graft] def cacheGet(key: String): PostingsIndex =
     PostingsIndex.cache.get(key)
   private[graft] def cachePut(key: String, v: PostingsIndex): Unit =
@@ -70,7 +71,7 @@ final class PostingsIndex private (
   private[graft] def make(baseName: String, generation: Int, cacheKey: String,
       parent: Option[PostingsIndex]): PostingsIndex =
     new PostingsIndex(spark, baseName, generation, termDf, nDocs, totalDoclen,
-      cacheKey, parent)
+      cacheKey, parent, buckets)
 
   /** Average doc length, derived from exact integer totals: doclen is
     * integral, so `totalDoclen` is exact no matter the aggregation
@@ -129,10 +130,10 @@ final class PostingsIndex private (
     // repartition before the bucketed append (unlike writeBucketed's
     // one-file-per-bucket rewrite idiom, which compact() applies).
     delta.write.mode("append")
-      .bucketBy(PostingsIndex.NumBuckets, "term").sortBy("term")
+      .bucketBy(buckets, "term").sortBy("term")
       .option("path", graft.util.Scratch.dir(tableName))
       .saveAsTable(tableName)
-    writeBucketed(deltaDocs, docsTable, "doc", PostingsIndex.NumBuckets, "append")
+    writeBucketed(deltaDocs, docsTable, "doc", buckets, "append")
     val stats = deltaDocs
       .agg(count(lit(1)).as("n"), sum(col("doclen")).as("len")).collect().head
     val deltaDf = delta.groupBy("term")
@@ -178,9 +179,11 @@ final class PostingsIndex private (
 
 object PostingsIndex {
 
-  /** Bucket count for the persisted table. 32 matches the local core
-    * count; a 1000-executor deployment would raise it (buckets are the
-    * unit of term-join parallelism). */
+  /** Default bucket count for the persisted table. 32 matches the
+    * local core count; a 1000-executor deployment raises
+    * `[scale] index_buckets` (buckets are the unit of term-join
+    * parallelism and file sizing; the count rides the handle from
+    * build time — [[graft.queries.IndexMaintenance.indexBuckets]]). */
   val NumBuckets = 32
 
   // One index per (session, corpus key): queries against the same
@@ -218,11 +221,12 @@ object PostingsIndex {
     // lives under target/ and is reclaimed at JVM exit.
     val tableName = graft.util.Scratch.tableName(spark, "graft_postings", corpusKey)
     val docsTable = tableName + "_docs"
+    val buckets = graft.queries.IndexMaintenance.indexBuckets
     spark.sql(s"DROP TABLE IF EXISTS $tableName")
     spark.sql(s"DROP TABLE IF EXISTS $docsTable")
     Bm25.postings(docs, idCol, textCol)
       .write.mode("overwrite")
-      .bucketBy(NumBuckets, "term").sortBy("term")
+      .bucketBy(buckets, "term").sortBy("term")
       .option("path", graft.util.Scratch.dir(tableName))
       .saveAsTable(tableName)
     val post = spark.table(tableName)
@@ -236,9 +240,9 @@ object PostingsIndex {
     // layout, so the guard's membership probe scans pre-partitioned
     // files and no path ever funnels the inventory through one task.
     post.select(col("doc"), col("doclen")).distinct()
-      .repartition(NumBuckets, col("doc"))
+      .repartition(buckets, col("doc"))
       .write.mode("overwrite")
-      .bucketBy(NumBuckets, "doc").sortBy("doc")
+      .bucketBy(buckets, "doc").sortBy("doc")
       .option("path", graft.util.Scratch.dir(docsTable))
       .saveAsTable(docsTable)
     val stats = spark.table(docsTable)
@@ -248,6 +252,6 @@ object PostingsIndex {
       .agg(countDistinct(col("doc")).as("df"))
       .localCheckpoint()
     new PostingsIndex(spark, tableName, 0, termDf,
-      stats.getLong(0), stats.getLong(1), cacheKey)
+      stats.getLong(0), stats.getLong(1), cacheKey, buckets = buckets)
   }
 }

@@ -124,6 +124,7 @@ class ConfigSpec extends SparkSuite {
     // bucket pruning (int, default 0 = off) both reach the config.
     assert(!cfg.scale.parallelAppends, "explicit false overrides the on-default")
     assert(cfg.scale.probeBucketPruneKeys == 4096)
+    assert(cfg.scale.indexBuckets == 32, "unset bucket sizing keeps the gate layout")
   }
 
   test("the shipped production preset (examples/graft.toml) loads with its documented values") {
@@ -151,6 +152,7 @@ class ConfigSpec extends SparkSuite {
     assert(cfg.scale.ivfPairBucket == 512)
     assert(cfg.scale.parallelAppends, "the preset overlaps per-batch appends")
     assert(cfg.scale.probeBucketPruneKeys == 4096)
+    assert(cfg.scale.indexBuckets == 2048, "the preset sizes buckets for TB-scale corpora")
     assert(cfg.capsule.defaultTokenBudget == 10000)
   }
 

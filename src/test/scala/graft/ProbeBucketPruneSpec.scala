@@ -87,6 +87,29 @@ class ProbeBucketPruneSpec extends SparkSuite {
     } finally { mh.drop(); em.drop() }
   }
 
+  test("[scale] index_buckets sizes a new build; the handle carries it through append+probe") {
+    val beforeB = IndexMaintenance.indexBuckets
+    IndexMaintenance.indexBuckets = 128
+    val idx = try DigestIndex.fresh(spark, "prune-dg-128", docs(1L to 30L: _*))
+    finally IndexMaintenance.indexBuckets = beforeB
+    try {
+      // knob restored BEFORE use: the 128 rides the handle, not the global
+      val appended = idx.append(docs(500L, 501L))
+      val delta = docs(1L, 900L)
+      val full = digestRows(appended, delta)
+      assert(full.exists(_._3), "doc 1's digest is indexed")
+      withKnob(64) {
+        assert(digestRows(appended, delta) == full)
+        val plan = appended.probe(delta).queryExecution.executedPlan.toString
+        val m = """SelectedBucketsCount: (\d+) out of (\d+)""".r
+        val hit = m.findFirstMatchIn(plan)
+        assert(hit.isDefined && hit.get.group(2).toInt == 128,
+          s"build under index_buckets=128 must lay out 128 buckets:\n$plan")
+        assert(hit.get.group(1).toInt <= 2, "2 delta digests prune to <=2 buckets")
+      }
+    } finally idx.drop()
+  }
+
   test("the [scale] knob reaches the flag") {
     val before = IndexMaintenance.probeBucketPruneKeys
     try {
