@@ -54,6 +54,10 @@ if [ "${SPARK_GRAFT_BENCH_REQUIRE_QUIET:-0}" = "1" ]; then
     sleep 15
     waited=$((waited + 15))
   done
+  # Hand the guard's passing reading to graft.Bench: its own start
+  # sample lands after the sbt/JVM launch spike, so a borderline box
+  # would stamp quiet:false despite the guard having seen it idle.
+  export SPARK_GRAFT_BENCH_GUARD_LOAD="$load1"
 fi
 sbt -batch "runMain graft.Bench" 1>&2
 rc=$?

@@ -201,10 +201,22 @@ object Bench {
         .map { case (q, evs) => "\"" + q + "\":" + buildsJson(evs) }
         .mkString(""","builds_in_rounds":{""", ",", "}")
     val loadEnd = loadAvg1()
-    val quiet = quietStart && foreignJvms() == 0 &&
+    // The guard's pre-launch reading (scripts/bench.sh exports it):
+    // Bench's own start sample lands right after the sbt/JVM launch
+    // spike, so a borderline box can read loadavg > threshold even
+    // though the wait-until-quiet guard saw it idle seconds earlier.
+    // A guarded strike is quiet if the GUARD's reading passed and the
+    // in-run samples stay within the envelope; the raw samples are
+    // still recorded so the stamp is auditable.
+    val guardLoad = sys.env.get("SPARK_GRAFT_BENCH_GUARD_LOAD")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption)
+    val startOk = quietStart ||
+      guardLoad.exists(g => g >= 0.0 && g <= maxQuietLoad && jvmsStart == 0)
+    val quiet = startOk && foreignJvms() == 0 &&
       (loadEnd >= 0.0 && loadEnd <= math.max(maxQuietLoad, cpus.toDouble))
+    val guardJson = guardLoad.map(g => s""""guard_load1":$g,""").getOrElse("")
     val loadJson = s""","load":{"loadavg1_start":$loadStart,""" +
-      s""""loadavg1_end":$loadEnd,"foreign_jvms":$jvmsStart,"quiet":$quiet}"""
+      s""""loadavg1_end":$loadEnd,$guardJson"foreign_jvms":$jvmsStart,"quiet":$quiet}"""
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$p50s,""" +
       s""""p95":$p95s,"rounds":$roundsUsed$setupJson$inRoundBuildsJson,""" +
       s""""protocol":"p50 of <=$Rounds rounds, warm, full materialization (toRdd), untimed index-build setup, ${PerQueryCapSec.toInt}s/query cap, per-round orphan unpersist + per-query gc isolation, local[$cpus], heap ${Runtime.getRuntime.maxMemory() >> 30}g"$skippedJson$loadJson,"sf":"$sfDir"}"""

@@ -117,16 +117,33 @@ private[graft] trait PersistedIndex[Self <: PersistedIndex[Self]] { self: Self =
     * them in the IN list loses nothing). The collect is one
     * delta-sized job — worth paying when the table has enough buckets
     * that most files fall outside the delta's key set (thousands of
-    * buckets at 100 TB, not the gates' 32 — SURVEY §9.10). */
+    * buckets at 100 TB, not the gates' 32 — SURVEY §9.10).
+    *
+    * Win condition: pruning pays only while keys ≪ buckets — at k
+    * keys over B buckets the expected hit fraction is 1 − e^(−k/B),
+    * and the IN filter costs a per-row set probe on every surviving
+    * row regardless (measured: a 1600-key list over 2048 buckets
+    * prunes ~45% of files but reads SLOWER at local[32],
+    * `BENCH_probe_prune.json`). The filter therefore applies only
+    * when k ≤ buckets/[[PersistedIndex.PruneKeysBucketFraction]]
+    * (≥ ~78% of files skipped); larger deltas keep the unfiltered
+    * scan. */
   private[graft] final def pruneScanToKeys(corpus: DataFrame, keyCol: String,
       distinctKeys: DataFrame): DataFrame = {
     val cap = IndexMaintenance.probeBucketPruneKeys
     if (cap <= 0) corpus
     else {
-      val ks = distinctKeys.limit(cap + 1).collect()
-        .map(_.get(0)).filter(_ != null)
-      if (ks.length > cap) corpus
-      else corpus.filter(col(keyCol).isin(ks.toIndexedSeq: _*))
+      val buckets = tableSpecs.find(_.bucketKey == keyCol)
+        .map(_.buckets).getOrElse(Int.MaxValue)
+      val limit = math.min(cap.toLong, buckets.toLong /
+        PersistedIndex.PruneKeysBucketFraction).toInt
+      if (limit <= 0) corpus
+      else {
+        val ks = distinctKeys.limit(limit + 1).collect()
+          .map(_.get(0)).filter(_ != null)
+        if (ks.length > limit) corpus
+        else corpus.filter(col(keyCol).isin(ks.toIndexedSeq: _*))
+      }
     }
   }
 
@@ -254,4 +271,11 @@ private[graft] object PersistedIndex {
   /** One persisted table of an index: catalog-name suffix ("" for the
     * primary table), bucket/sort key, bucket count. */
   final case class TableSpec(suffix: String, bucketKey: String, buckets: Int)
+
+  /** [[PersistedIndex.pruneScanToKeys]] applies its IN filter only
+    * when keys ≤ buckets/this — below it the expected file skip is
+    * ≥ ~78% (1 − e^(−1/4) per bucket) and dominates the per-row set
+    * probe the filter adds; above it the measured net is negative
+    * (`BENCH_probe_prune.json`). */
+  val PruneKeysBucketFraction = 4
 }

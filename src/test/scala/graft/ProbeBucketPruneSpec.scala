@@ -87,6 +87,28 @@ class ProbeBucketPruneSpec extends SparkSuite {
     } finally { mh.drop(); em.drop() }
   }
 
+  test("band-scan pruning reaches the parquet scan as a pushed IN filter") {
+    // The minhash/embed probes materialize their band scan behind a
+    // lazy checkpoint, where the planner may disable BUCKET-level
+    // elision (DisableUnnecessaryBucketedScan fires when no agg in
+    // the same job exploits the bucketing) — but the IN list still
+    // pushes into the parquet scan, and band tables are SORTED by
+    // their key, so row-group stats skip the files' non-matching
+    // ranges either way. Pin the pushdown on the pruned frame itself.
+    val mh = MinhashIndex.fresh(spark, "prune-mh-push", docs(1L to 20L: _*))
+    try {
+      import spark.implicits._
+      val keys = Seq(1L, 2L).toDF("band_key")
+      withKnob(8) {
+        val pruned = mh.pruneScanToKeys(mh.bands, "band_key", keys)
+        val plan = pruned.join(broadcast(keys), "band_key")
+          .queryExecution.executedPlan.toString
+        assert(plan.contains("PushedFilters: [In(band_key"),
+          s"IN list must push into the band scan:\n$plan")
+      }
+    } finally mh.drop()
+  }
+
   test("[scale] index_buckets sizes a new build; the handle carries it through append+probe") {
     val beforeB = IndexMaintenance.indexBuckets
     IndexMaintenance.indexBuckets = 128
