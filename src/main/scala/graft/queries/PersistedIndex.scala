@@ -139,8 +139,14 @@ private[graft] trait PersistedIndex[Self <: PersistedIndex[Self]] { self: Self =
         PersistedIndex.PruneKeysBucketFraction).toInt
       if (limit <= 0) corpus
       else {
-        val ks = distinctKeys.limit(limit + 1).collect()
-          .map(_.get(0)).filter(_ != null)
+        // Nulls are excluded BEFORE the limit: a null key never
+        // equi-matches so it carries no information, but if it
+        // consumed a sample slot the over-cap check could pass on an
+        // INCOMPLETE key set and the pruned scan would drop corpus
+        // rows for the uncollected keys — a wrong-results path, not a
+        // perf nit.
+        val ks = distinctKeys.na.drop()
+          .limit(limit + 1).collect().map(_.get(0))
         if (ks.length > limit) corpus
         else corpus.filter(col(keyCol).isin(ks.toIndexedSeq: _*))
       }

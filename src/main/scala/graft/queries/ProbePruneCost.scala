@@ -40,14 +40,6 @@ object ProbePruneCost {
     spark.sparkContext.setLogLevel("WARN")
 
     def mat(df: DataFrame): Long = df.queryExecution.toRdd.count()
-    def p50(body: => Unit): Double = {
-      val ts = (0 until rounds).map { _ =>
-        graft.util.CheckpointHygiene.scoped(spark, blocking = true) {
-          val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
-        }
-      }.sorted
-      ts(ts.length / 2)
-    }
 
     val corpus = Tables.documents(spark, sfDir)
       .filter(pmod(col("doc_id"), lit(10)) =!= 0)

@@ -48,13 +48,24 @@ object Par {
         def call(): Unit = t()
       }))
       var firstFailure: Throwable = null
+      var interrupted = false
       futures.foreach { f =>
-        try f.get()
-        catch {
-          case e: ExecutionException =>
-            if (firstFailure == null) firstFailure = e.getCause
+        // Await UNINTERRUPTIBLY: an interrupt of the calling thread
+        // must not let it race ahead of in-flight bucketed writes
+        // into its cleanup (the awaits-every-thunk contract) — the
+        // interrupt is remembered and re-asserted after the barrier.
+        var done = false
+        while (!done) {
+          try { f.get(); done = true }
+          catch {
+            case e: ExecutionException =>
+              done = true
+              if (firstFailure == null) firstFailure = e.getCause
+            case _: InterruptedException => interrupted = true
+          }
         }
       }
+      if (interrupted) Thread.currentThread().interrupt()
       if (firstFailure != null) throw firstFailure
     } finally pool.shutdown()
   }

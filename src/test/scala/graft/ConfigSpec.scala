@@ -151,7 +151,8 @@ class ConfigSpec extends SparkSuite {
     assert(cfg.scale.pqWide, "the preset serves the measured G8 recall rung")
     assert(cfg.scale.ivfPairBucket == 512)
     assert(cfg.scale.parallelAppends, "the preset overlaps per-batch appends")
-    assert(cfg.scale.probeBucketPruneKeys == 4096)
+    assert(cfg.scale.probeBucketPruneKeys == 512,
+      "the preset cap equals the index_buckets/4 win-condition clamp")
     assert(cfg.scale.indexBuckets == 2048, "the preset sizes buckets for TB-scale corpora")
     assert(cfg.capsule.defaultTokenBudget == 10000)
   }

@@ -132,6 +132,35 @@ class ProbeBucketPruneSpec extends SparkSuite {
     } finally idx.drop()
   }
 
+  test("null keys never displace real keys from the prune sample (wrong-results guard)") {
+    // A null key equi-matches nothing, but if it consumed a slot of
+    // the limit(cap+1) sample the over-cap check could pass on an
+    // INCOMPLETE key set and the pruned scan would drop corpus rows
+    // for the uncollected keys. Pin both sides of the fix: with more
+    // real keys than the cap (+ a null), pruning must NOT engage; at
+    // exactly the cap (+ a null), it must engage with EVERY real key
+    // in the IN list.
+    val idx = DigestIndex.fresh(spark, "prune-dg-null", docs(1L to 10L: _*))
+    try {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(StructField("content_hash", StringType, nullable = true)))
+      def keysDf(reals: Int) = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          (Row(null) +: (1 to reals).map(i => Row(s"k$i"))).toSeq, 1), schema)
+      withKnob(3) {
+        val overCap = idx.pruneScanToKeys(idx.digests, "content_hash", keysDf(4))
+        assert(overCap.queryExecution.analyzed.sameResult(
+          idx.digests.queryExecution.analyzed),
+          "4 real keys > cap 3 must keep the unfiltered scan even with a null present")
+        val atCap = idx.pruneScanToKeys(idx.digests, "content_hash", keysDf(3))
+        val inList = atCap.queryExecution.analyzed.toString
+        (1 to 3).foreach(i => assert(inList.contains(s"k$i"),
+          s"k$i must be in the IN list:\n$inList"))
+      }
+    } finally idx.drop()
+  }
+
   test("the [scale] knob reaches the flag") {
     val before = IndexMaintenance.probeBucketPruneKeys
     try {
