@@ -63,9 +63,22 @@ object CleanServeProbe {
           // The stage shapes mirror EvolveServe.cleanServe's r15
           // composed path EXACTLY: one derivation per batch shared by
           // probes and appends, count gates and guards skipped under
-          // the proven mod-10 cohort disjointness.
+          // the proven mod-10 cohort disjointness — and (r15
+          // optimization round) the index-state-independent derive
+          // frames (text signals, normalized vectors, postings rows)
+          // materialize CONCURRENTLY up front under
+          // [scale] pipeline_overlap, so the ledger stage below times
+          // probes+joins only. The serve-answer/next-ledger overlap has
+          // no analogue in a one-batch decomposition; the gate p50
+          // captures it.
           val derived = CorpusClean.deriveBatch(spark, batch)
           val emRows = emB.deriveRows(batchVecs)
+          val poRows = poB.deriveRows(
+            batch.select(col("doc_id"), col("text")), "doc_id", "text")
+          val (_, deriveSec) = timeOnce {
+            graft.util.Par.materialize(IndexMaintenance.pipelineOverlap)(
+              derived, emRows, poRows)
+          }
           val (ledger, ledgerSec) = timeOnce {
             CorpusClean.incrLedgerDerived(spark, derived, Some((emB, emRows)),
               dgB, mhB, assumeSmallDelta = true).localCheckpoint()
@@ -94,8 +107,9 @@ object CleanServeProbe {
               () => { emAppSec = timeOnce {
                 emB.appendDerived(acceptedVecRows, assumeDisjoint = true) }._2 },
               () => { poAppSec = timeOnce {
-                poB = poB.append(batch.join(acceptedIds, "doc_id")
-                  .select(col("doc_id"), col("text")), "doc_id", "text",
+                poB = poB.appendDerived(
+                  poRows.join(acceptedIds.select(col("doc_id").as("doc")),
+                    Seq("doc"), "left_semi"),
                   assumeDisjoint = true) }._2 },
               () => { ivAppSec = timeOnce {
                 ivB.append(acceptedVecRows, assumeDisjoint = true) }._2 })
@@ -105,11 +119,13 @@ object CleanServeProbe {
               EvolveServe.CleanServeAnnPred))
           }
           System.err.println(s"[clean-serve-probe] docs=$nDocs kept=$nKept " +
+            s"derive=${f(deriveSec)} " +
             s"ledger=${f(ledgerSec)} accept=${f(accSec)}+${f(accVecSec)} " +
             s"appends wall=${f(appendsWallSec)} (mh=${f(mhAppSec)} " +
             s"dg=${f(dgAppSec)} em=${f(emAppSec)} po=${f(poAppSec)} " +
             s"iv=${f(ivAppSec)}) answers=${f(answerSec)}")
           s"""{"batch_docs":$nDocs,"accepted_docs":$nKept,""" +
+            s""""derive_sec":${f(deriveSec)},""" +
             s""""ledger_sec":${f(ledgerSec)},""" +
             s""""accepted_checkpoint_sec":${f(accSec)},""" +
             s""""accepted_vecs_checkpoint_sec":${f(accVecSec)},""" +

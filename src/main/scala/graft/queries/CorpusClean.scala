@@ -239,13 +239,15 @@ object CorpusClean {
     // 1. exact dedup: digest-index membership probe + within-batch
     // first-id-keeps (delta-sized min-agg + join — the d_exact_dedup
     // skew discipline; DigestIndexSpec pins probe ≡ recompute). The
-    // probe output is checkpointed (delta-sized): the keepers agg AND
-    // the verdict join both consume it, and an unmaterialized probe
-    // re-runs its corpus-bucket membership join per consumer (+2 s at
-    // ×10, measured round 9).
+    // within-batch keepers aggregate reads (doc_id, content_hash)
+    // straight off the CHECKPOINTED derived frame — identical rows to
+    // the probe output minus in_corpus — so the probe has exactly ONE
+    // consumer (the verdict join) and its corpus-bucket membership
+    // join runs once without needing a checkpoint of its own (the
+    // round-9 double-probe cost this block used to guard against with
+    // an extra materialization).
     val probedDigests = dg.probeDerived(derived, smallDeltaHint = hint)
-      .localCheckpoint(false)
-    val batchKeepers = probedDigests.groupBy(col("content_hash"))
+    val batchKeepers = derived.groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("keeper_id"))
     val exact = probedDigests.join(batchKeepers, "content_hash")
       .select(col("doc_id"),
@@ -345,23 +347,33 @@ object CorpusClean {
     // survivors exactly like the text stages do.
     val em = emBase.map(_.branch())
     try {
-      val parts = (0 until k).map { b =>
-        val inBatch = isDelta && pmod(col("doc_id"), lit(10L * k)) === lit(10L * b)
-        val batch = docs.filter(inBatch)
-        val batchVecs = em.map { _ =>
-          Tables.embeddings(s, d)
+      // Derive EVERY batch up front — the derivations (digest, minhash
+      // sig/shingles, quality/langid, vector normalization) are
+      // INDEX-STATE-INDEPENDENT, so under [scale] pipeline_overlap the
+      // K batches' derive jobs materialize concurrently (max-of-K, not
+      // sum-of-K serialized inside each batch's ledger job). The
+      // ledgers themselves stay strictly ordered — each probes branch
+      // state exactly as batches < b appended it. One derivation per
+      // batch still feeds probes AND appends (r14 VERDICT #3).
+      val overlap = IndexMaintenance.pipelineOverlap
+      val deriveds = (0 until k).map { b =>
+        deriveBatch(s, docs.filter(
+          isDelta && pmod(col("doc_id"), lit(10L * k)) === lit(10L * b)))
+      }
+      val emPairs = (0 until k).map { b =>
+        em.map { ei =>
+          (ei, ei.deriveRows(Tables.embeddings(s, d)
             .filter(pmod(col("vec_id"), lit(10)) === 0 &&
               pmod(col("vec_id"), lit(10L * k)) === lit(10L * b))
-            .select(col("vec_id"), col("embedding"))
+            .select(col("vec_id"), col("embedding"))))
         }
-        // Derive ONCE per batch (deriveBatch / deriveRows checkpoints);
-        // the ledger probes AND the accepted-rows appends below read
-        // the same derived frames — no re-derivation per stage (r14
-        // VERDICT #3, the per-batch job-floor cut).
-        val derived = deriveBatch(s, batch)
-        val emPair = em.zip(batchVecs).map { case (ei, vecs) =>
-          (ei, ei.deriveRows(vecs))
-        }
+      }
+      if (overlap)
+        graft.util.Par.materialize(parallel = true)(
+          (deriveds ++ emPairs.flatMap(_.map(_._2))): _*)
+      val parts = (0 until k).map { b =>
+        val derived = deriveds(b)
+        val emPair = emPairs(b)
         // assumeSmallDelta/assumeDisjoint: each batch is delta/k-sized
         // (≪ corpus by construction) and its ids are PROVABLY disjoint
         // from the indexed cohort — the corpus indexes stand over

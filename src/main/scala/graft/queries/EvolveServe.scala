@@ -127,8 +127,30 @@ object EvolveServe {
     var po = poBase.branch()
     val iv = ivBase.branch()
     try {
+      // Derive EVERY batch up front (r15 [scale] pipeline_overlap —
+      // the cleanServe note): postings tokenization and vector
+      // normalization are index-state-independent, so the K batches'
+      // derive jobs materialize concurrently instead of serially
+      // inside each batch's append chain. The appends themselves stay
+      // strictly ordered (each batch's answers read state ≤ b).
+      val overlap = IndexMaintenance.pipelineOverlap
+      val poDeriveds = (0 until k).map { b =>
+        po.deriveRows(
+          docs.filter(isDelta && pmod(col("doc_id"), lit(10L * k)) === lit(10L * b))
+            .select(col("doc_id"), col("text")), "doc_id", "text")
+      }
+      val vecRowsSeq = (0 until k).map { b =>
+        Tables.embeddings(s, d)
+          .filter(pmod(col("vec_id"), lit(10)) === 0 &&
+            pmod(col("vec_id"), lit(10L * k)) === lit(10L * b))
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v0"))
+          .withColumn("nrm", sqrt(VectorOps.norm2(col("v0"))))
+          .select(col("vec_id"), transform(col("v0"), x => x / col("nrm")).as("v"))
+          .localCheckpoint(false)
+      }
+      if (overlap)
+        graft.util.Par.materialize(parallel = true)((poDeriveds ++ vecRowsSeq): _*)
       val parts = (0 until k).map { b =>
-        val inBatch = isDelta && pmod(col("doc_id"), lit(10L * k)) === lit(10L * b)
         // assumeDisjoint: batch ids ≡ 0 mod 10 vs the serving indexes'
         // ≢ 0 corpus cohorts, mutually distinct batch residues — the
         // per-batch corpus-id guard scans are skipped (the
@@ -139,17 +161,9 @@ object EvolveServe {
         // serve answers read the branches.
         var poNext = po
         graft.util.Par.join(IndexMaintenance.parallelAppends)(
-          () => { poNext = po.append(
-            docs.filter(inBatch).select(col("doc_id"), col("text")),
-            "doc_id", "text", assumeDisjoint = true); () },
-          () => { iv.append(
-            Tables.embeddings(s, d)
-              .filter(pmod(col("vec_id"), lit(10)) === 0 &&
-                pmod(col("vec_id"), lit(10L * k)) === lit(10L * b))
-              .select(col("vec_id"), col("embedding").cast("array<double>").as("v0"))
-              .withColumn("nrm", sqrt(VectorOps.norm2(col("v0"))))
-              .select(col("vec_id"), transform(col("v0"), x => x / col("nrm")).as("v")),
-            assumeDisjoint = true); () })
+          () => { poNext = po.appendDerived(poDeriveds(b),
+            assumeDisjoint = true); () },
+          () => { iv.append(vecRowsSeq(b), assumeDisjoint = true); () })
         po = poNext
         // Eager: the answers must see exactly batches ≤ b — the next
         // iteration's append mutates the branch views a lazy frame
@@ -219,23 +233,43 @@ object EvolveServe {
     val em = emBase.branch()
     var po = poBase.branch()
     val iv = ivBase.branch()
+    var serve: graft.util.Par.Handle = graft.util.Par.Handle.done
     try {
-      val parts = (0 until k).map { b =>
-        val inBatch = isDelta && pmod(col("doc_id"), lit(10L * k)) === lit(10L * b)
-        val batch = docs.filter(inBatch)
-        val batchVecs = Tables.embeddings(s, d)
+      val overlap = IndexMaintenance.pipelineOverlap
+      // Derive EVERY batch up front — digests/signatures/shingles/
+      // quality, postings tokenization and vector normalization are all
+      // INDEX-STATE-INDEPENDENT, so under [scale] pipeline_overlap the
+      // K batches' derive jobs materialize concurrently (max-of-K, not
+      // sum-of-K serialized inside each batch's ledger/append chain).
+      // The ledger probes themselves stay strictly ordered — they read
+      // branch state exactly as batches < b appended it. One
+      // derivation per batch still feeds probes AND appends (r14
+      // VERDICT #3); the full-batch postings rows are per-doc, so the
+      // accepted-ids semi-join below commutes with the derivation.
+      val batches = (0 until k).map { b =>
+        docs.filter(isDelta && pmod(col("doc_id"), lit(10L * k)) === lit(10L * b))
+      }
+      val deriveds = batches.map(CorpusClean.deriveBatch(s, _))
+      val emRowsSeq = (0 until k).map { b =>
+        em.deriveRows(Tables.embeddings(s, d)
           .filter(pmod(col("vec_id"), lit(10)) === 0 &&
             pmod(col("vec_id"), lit(10L * k)) === lit(10L * b))
-          .select(col("vec_id"), col("embedding"))
-        // Derive ONCE per batch (r14 VERDICT #3): the text derivation
-        // feeds the ledger probes + the dg/mh appends; the normalized
-        // vectors feed the em probe, the em append AND the serving IVF
-        // branch append (EmbedIndex.deriveRows' (vec_id, v) shape IS
-        // IvfIndex.append's input) — one normalization, not three.
-        val derived = CorpusClean.deriveBatch(s, batch)
-        val emRows = em.deriveRows(batchVecs)
+          .select(col("vec_id"), col("embedding")))
+      }
+      val poDeriveds = batches.map(b =>
+        po.deriveRows(b.select(col("doc_id"), col("text")), "doc_id", "text"))
+      if (overlap)
+        graft.util.Par.materialize(parallel = true)(
+          (deriveds ++ emRowsSeq ++ poDeriveds): _*)
+      val answers = new Array[DataFrame](k)
+      (0 until k).foreach { b =>
+        val derived = deriveds(b)
+        val emRows = emRowsSeq(b)
         // Eager: the ledger must see exactly batches < b's survivors —
-        // the appends below mutate the branch views it reads.
+        // the appends below mutate the branch views it reads. Under
+        // pipeline_overlap it materializes CONCURRENTLY with batch
+        // b-1's still-running serve answers (disjoint branch sets:
+        // ledger reads cleaning indexes, answers read serving indexes).
         // assumeSmallDelta/assumeDisjoint: the batch is delta/k-sized
         // and its ids are provably disjoint from every index's cohort
         // (doc_id ≡ 0 mod 10 vs the ≢ 0 cohorts; mutually distinct
@@ -248,6 +282,9 @@ object EvolveServe {
         val acceptedDerived = derived.join(acceptedIds, Seq("doc_id"), "left_semi")
         val acceptedVecRows = emRows
           .join(acceptedIds.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+        // Batch b-1's serve answers read po/iv — they must be fully
+        // materialized before this batch's appends mutate the branches.
+        serve.await()
         // The five appends write disjoint tables of distinct indexes —
         // submitted concurrently ([scale] parallel_appends): the stage
         // is per-job-latency-bound (~10 tiny jobs serialized), so wall
@@ -259,13 +296,25 @@ object EvolveServe {
           () => { mh.appendDerived(acceptedDerived, assumeDisjoint = true); () },
           () => { dg.appendDerived(acceptedDerived, assumeDisjoint = true); () },
           () => { em.appendDerived(acceptedVecRows, assumeDisjoint = true); () },
-          () => { poNext = po.append(batch.join(acceptedIds, "doc_id")
-            .select(col("doc_id"), col("text")), "doc_id", "text",
+          () => { poNext = po.appendDerived(
+            poDeriveds(b).join(acceptedIds.select(col("doc_id").as("doc")),
+              Seq("doc"), "left_semi"),
             assumeDisjoint = true); () },
           () => { iv.append(acceptedVecRows, assumeDisjoint = true); () })
         po = poNext
-        serveAnswers(b, po, iv, CleanServeAnnPred).localCheckpoint()
+        // Answers are eagerly checkpointed BEFORE the next batch's
+        // append mutates the branch views ([[CorpusClean.incrEvolve]]
+        // discipline) — under pipeline_overlap the materialization runs
+        // on a side thread, overlapped with the next batch's ledger;
+        // serve.await() above is the ordering barrier.
+        val poNow = po
+        serve = graft.util.Par.async(overlap)(() => {
+          answers(b) = serveAnswers(b, poNow, iv, CleanServeAnnPred).localCheckpoint()
+          ()
+        })
       }
+      serve.await()
+      val parts = answers.toIndexedSeq
       // Manual keep-set sweep — single-flight contract (see evolveServe).
       val keep = parts.flatMap(_.queryExecution.analyzed.collect {
         case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
@@ -276,7 +325,13 @@ object EvolveServe {
       }
       parts.reduce(_ union _)
         .orderBy(col("batch"), col("kind"), col("qid"), col("rank"))
-    } finally { po.drop(); iv.drop(); mh.drop(); dg.drop(); em.drop() }
+    } finally {
+      // Join any in-flight serve BEFORE dropping the branches it reads
+      // (quiet: a serve failure must not mask the primary exception —
+      // the post-loop await() above rethrows it on the success path).
+      serve.awaitQuietly()
+      po.drop(); iv.drop(); mh.drop(); dg.drop(); em.drop()
+    }
   }
 
   private def termsSqlList = QueryTerms.map("'" + _ + "'").mkString(",")

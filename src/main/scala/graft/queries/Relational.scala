@@ -160,11 +160,18 @@ object Relational {
     }),
 
     // A14: exact interpolated percentiles (benchmarks/run.py:56-60).
+    // One percentile(..., array(...)) aggregate, not three scalar ones:
+    // Spark's exact Percentile builds a per-group value-counts buffer
+    // PER AGGREGATE EXPRESSION, so the scalar form paid the
+    // build+merge+sort of the full column three times; the array form
+    // pays it once and evaluates all three points off the same sorted
+    // buffer — bit-identical values (same interpolation code path).
     "a14_percentiles" -> ((s, d) => {
       Tables.orders(s, d)
-        .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
-             expr("percentile(o_totalprice, 0.95)").as("p95"),
-             expr("percentile(o_totalprice, 0.99)").as("p99"))
+        .agg(expr("percentile(o_totalprice, array(0.5D, 0.95D, 0.99D))").as("ps"))
+        .select(col("ps").getItem(0).as("p50"),
+          col("ps").getItem(1).as("p95"),
+          col("ps").getItem(2).as("p99"))
     }),
 
     // C9: greedy budgeted fill — running-sum window + cutoff; the

@@ -107,9 +107,33 @@ final class PostingsIndex private (
     * the merged stats (ADVICE r5 — prior handles keep stale stats;
     * use the returned instance). */
   def append(newDocs: DataFrame, idCol: String, textCol: String,
+      assumeDisjoint: Boolean = false): PostingsIndex =
+    appendDerived(deriveRows(newDocs, idCol, textCol), assumeDisjoint)
+
+  /** The delta's postings rows — (doc, doclen, term, tf), lazily
+    * checkpointed (the pre-derived-delta contract, r15 optimization
+    * round): tokenization + tf aggregation are per-document work,
+    * INDEPENDENT of index state, so a standing pipeline can derive
+    * batches ahead of time — even concurrently with earlier batches'
+    * serve answers — and hand this frame (or an accepted-ids semi-join
+    * of it; per-doc rows make the filter commute with the derivation)
+    * to [[appendDerived]]. */
+  private[graft] def deriveRows(newDocs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    Bm25.postings(newDocs, idCol, textCol).localCheckpoint(false)
+
+  /** [[append]] over pre-derived postings rows (the [[deriveRows]]
+    * shape; extra columns ignored). */
+  private[graft] def appendDerived(derived: DataFrame,
       assumeDisjoint: Boolean = false): PostingsIndex = {
     assertCurrent()
-    val delta = Bm25.postings(newDocs, idCol, textCol).localCheckpoint()
+    // Lazy: the delta materializes inside its FIRST consumer (the
+    // postings table write below) instead of paying an eager
+    // checkpoint job of its own; later consumers (deltaDocs, the df
+    // merge) read the materialized blocks. One job less per append on
+    // the standing pipelines' per-batch floor (r15).
+    val delta = derived.select(col("doc"), col("doclen"), col("term"), col("tf"))
+      .localCheckpoint(false)
     // Lazy: deltaDocs materializes inside its first consumer (the
     // guard, or the docs write when assumeDisjoint) instead of paying
     // its own checkpoint job — the standing-pipeline job-floor shave

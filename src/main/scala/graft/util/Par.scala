@@ -40,6 +40,54 @@ object Par {
     * carry over), sequentially in order otherwise. Awaits ALL thunks
     * either way; if any failed, rethrows the FIRST failure (by thunk
     * order) after the last thunk has finished. */
+  /** Fully materialize lazily-checkpointed frames — concurrently when
+    * `parallel` (r15 `[scale] pipeline_overlap`): each traversal
+    * computes every partition, persisting the frame's localCheckpoint
+    * blocks, so K batches' index-state-independent derivations cost
+    * max-of-K instead of sum-of-K on the standing pipelines' walls. */
+  def materialize(parallel: Boolean)(dfs: org.apache.spark.sql.DataFrame*): Unit =
+    join(parallel)(dfs.map(df => () => { df.queryExecution.toRdd.count(); () }): _*)
+
+  /** One asynchronously-running thunk with join-and-rethrow semantics —
+    * the one-sided [[join]], for overlapping a Spark-job-submitting
+    * stage (a serve-answer materialization) with the caller's next
+    * stage (the following batch's cleaning ledger). When `parallel` is
+    * false the thunk runs SYNCHRONOUSLY before `async` returns — the
+    * serialized order is byte-identical to the pre-overlap code path.
+    * [[Handle.await]] rethrows the thunk's failure; [[Handle.awaitQuietly]]
+    * only joins (for cleanup paths that must not mask the primary
+    * failure). Both are idempotent. */
+  def async(parallel: Boolean)(thunk: () => Unit): Handle =
+    if (!parallel) { thunk(); Handle.done }
+    else {
+      val h = new Handle(thunk)
+      h.thread.start()
+      h
+    }
+
+  final class Handle private[Par] (thunk: () => Unit) {
+    @volatile private var failure: Throwable = null
+    private[Par] val thread: Thread = if (thunk == null) null else
+      new Thread(() => try thunk() catch { case t: Throwable => failure = t },
+        "graft-par-async")
+    def awaitQuietly(): Unit = if (thread != null) {
+      // Uninterruptible join — the [[join]] barrier argument: the
+      // caller must never race ahead of an in-flight job into cleanup.
+      var interrupted = false
+      var done = false
+      while (!done) {
+        try { thread.join(); done = true }
+        catch { case _: InterruptedException => interrupted = true }
+      }
+      if (interrupted) Thread.currentThread().interrupt()
+    }
+    def await(): Unit = {
+      awaitQuietly()
+      if (failure != null) { val f = failure; failure = null; throw f }
+    }
+  }
+  object Handle { val done = new Handle(null) }
+
   def join(parallel: Boolean)(thunks: (() => Unit)*): Unit = {
     if (thunks.sizeIs <= 1 || !parallel) { thunks.foreach(_()); return }
     val pool = Executors.newFixedThreadPool(thunks.size)
