@@ -246,18 +246,44 @@ object CorpusClean {
     // join runs once without needing a checkpoint of its own (the
     // round-9 double-probe cost this block used to guard against with
     // an extra materialization).
-    val probedDigests = dg.probeDerived(derived, smallDeltaHint = hint)
+    val probedDigests0 = dg.probeDerived(derived, smallDeltaHint = hint)
+    // 2. near-dup probe against the persisted corpus index (unsorted:
+    // the verdicts feed the ledger join below, so the gate-facing
+    // probe's global doc_id sort would plan a wasted range exchange)
+    val probed0 = mh.probeDerived(derived, smallDeltaHint = hint)
+      .select(col("doc_id"), col("dup_of"), col("jaccard"))
+    // 2b. embedding near-dup probe against the persisted sign-band
+    // index — same unsorted composing shape as the MinHash stage;
+    // docs without a vector simply never match the left join.
+    // The ledger ACTS (and reports) only at the ≥0.9 tier
+    // ([[Dedup.EmbedActThreshold]]): the probe's best match is the
+    // max-cosine candidate, so filtering the best ≥ 0.9 ≡ taking
+    // the best among ≥0.9 matches — and the tier below it is one
+    // sign-LSH cannot recall at production width (the r11 weak
+    // row; see the constant's doc and SURVEY §9.12).
+    val emb0 = emDerived.map { case (ei, deltaVecRows) =>
+      ei.probeDerived(deltaVecRows, smallDeltaHint = hint)
+        .filter(col("cosine") >= embedActCos)
+        .select(col("vec_id").as("doc_id"), col("dup_of").as("emb_dup_of"),
+          col("cosine").as("emb_cosine"))
+    }
+    // NOTE (r15 optimization round, measured and REJECTED): forcing
+    // the three probes to materialize as concurrent checkpoint jobs
+    // does NOT beat this lazy single-job composition — LedgerProbe at
+    // sf0.1 (167-doc batch) read composed-lazy 1.9–2.3 s vs
+    // concurrent-probes 2.1–2.6 s, against isolated probe costs of
+    // dg 0.4 + mh 1.2 + em 0.75. The fused job already overlaps the
+    // probe subtrees (independent stages of one DAG schedule
+    // concurrently); splitting them adds three checkpoint jobs and
+    // driver-side AQE/broadcast planning contention. Kept lazy.
+    val (probedDigests, probed, emb) = (probedDigests0, probed0, emb0)
+    // 1b. within-batch first-id-keeps (delta-sized min-agg + join —
+    // the d_exact_dedup skew discipline).
     val batchKeepers = derived.groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("keeper_id"))
     val exact = probedDigests.join(batchKeepers, "content_hash")
       .select(col("doc_id"),
         (col("in_corpus") || col("doc_id") =!= col("keeper_id")).as("is_exact_dup"))
-
-    // 2. near-dup probe against the persisted corpus index (unsorted:
-    // the verdicts feed the ledger join below, so the gate-facing
-    // probe's global doc_id sort would plan a wasted range exchange)
-    val probed = mh.probeDerived(derived, smallDeltaHint = hint)
-      .select(col("doc_id"), col("dup_of"), col("jaccard"))
 
     // 3+4. quality + language signals ride the derived scan
     val base = derived
@@ -265,7 +291,7 @@ object CorpusClean {
       .join(exact, "doc_id")
       .join(probed, Seq("doc_id"), "left")
 
-    emDerived match {
+    emb match {
       case None =>
         base
           .withColumn("reason",
@@ -277,22 +303,9 @@ object CorpusClean {
           .select(col("doc_id"), round(col("quality_score"), 9).as("quality_score"),
             col("dup_of"), col("jaccard"),
             col("reason"), (col("reason") === "kept").as("keep"))
-      case Some((ei, deltaVecRows)) =>
-        // 2b. embedding near-dup probe against the persisted sign-band
-        // index — same unsorted composing shape as the MinHash stage;
-        // docs without a vector simply never match the left join.
-        // The ledger ACTS (and reports) only at the ≥0.9 tier
-        // ([[Dedup.EmbedActThreshold]]): the probe's best match is the
-        // max-cosine candidate, so filtering the best ≥ 0.9 ≡ taking
-        // the best among ≥0.9 matches — and the tier below it is one
-        // sign-LSH cannot recall at production width (the r11 weak
-        // row; see the constant's doc and SURVEY §9.12).
-        val emb = ei.probeDerived(deltaVecRows, smallDeltaHint = hint)
-          .filter(col("cosine") >= embedActCos)
-          .select(col("vec_id").as("doc_id"), col("dup_of").as("emb_dup_of"),
-            col("cosine").as("emb_cosine"))
+      case Some(embFrame) =>
         base
-          .join(emb, Seq("doc_id"), "left")
+          .join(embFrame, Seq("doc_id"), "left")
           .withColumn("reason",
             when(col("is_exact_dup"), "exact_dup")
               .when(col("dup_of").isNotNull, "near_dup")

@@ -69,21 +69,39 @@ object Dedup {
     * [[minhashLsh]]): the self-join shuffles and compares 8-byte longs
     * instead of ~20-byte strings, exact up to 2^-60 collisions. The
     * hash stage is localCheckpoint'ed — it feeds the sharing-pair
-    * self-join (both sides) and the [[verifyJaccard]] array build.
-    * Sharing-pair discovery stays the all-pairs h-join (this operator
-    * IS the ground truth); the overlap/count computation rides the
-    * same array_intersect verifier as the LSH path — one distinct
-    * over sharing pairs replaces the per-match-row groupBy and two
-    * count joins. */
+    * self-join (both sides) and the per-doc count aggregate.
+    *
+    * Overlap rides the self-join's OWN output rows (r15 optimization
+    * round): [[shingles]] is array_distinct, so the join emits exactly
+    * ONE row per shared hash per pair and a map-side-partial
+    * groupBy(pair).count() IS the intersection size — same value the
+    * LSH path's array_intersect computes, same hash-identity contract.
+    * The former shape fed the pairs through [[verifyJaccard]], which
+    * attached both docs' full shingle arrays to every candidate and
+    * re-intersected them: right for the LSH verifier (few candidates,
+    * arrays beat re-deriving pairs) but strictly wasted work here,
+    * where every shared hash is already a join row — on the regenerated
+    * sf0.1 corpus (1.13M sharing pairs) the array attach+intersect cost
+    * ~3 s of the 6.2 s row. The two count joins are |pairs|-sized
+    * against a |docs|-sized frame (planner broadcasts). This operator
+    * remains the documented O(n²) ORACLE-ONLY verifier — it stays in
+    * the scale-strike skip contract regardless of shape. */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     val sh = shingleRows(s, d)
       .select(col("doc_id"), h60(col("s")).as("h"))
       .localCheckpoint()
-    val cands = sh.as("a").join(sh.as("b"),
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
+    sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    verifyJaccard(cands, sh, "doc_a", "doc_b")
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("overlap"))
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("overlap").cast("double") / (col("na") + col("nb") - col("overlap")).cast("double"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   /** Ground-truth pair CTE chain (ends with CTE `j`), shared by the

@@ -150,16 +150,29 @@ final class PostingsIndex private (
       require(clashes == 0,
         s"append violates the disjointness contract: delta contains doc ids already in $tableName")
     }
-    // The delta rides Bm25.postings' groupBy partitioning — no extra
-    // repartition before the bucketed append (unlike writeBucketed's
-    // one-file-per-bucket rewrite idiom, which compact() applies).
-    delta.write.mode("append")
-      .bucketBy(buckets, "term").sortBy("term")
-      .option("path", graft.util.Scratch.dir(tableName))
-      .saveAsTable(tableName)
-    writeBucketed(deltaDocs, docsTable, "doc", buckets, "append")
+    // Stats FIRST: the scalar agg's full traversal materializes delta
+    // and deltaDocs in one job, so the two table writes below read
+    // checkpoint blocks — and, writing DISJOINT tables off materialized
+    // state, they submit as CONCURRENT jobs under [scale]
+    // parallel_appends (the append wall was the serialized
+    // postings-write → docs-write chain, ~2× one bucketed-write commit;
+    // measured in CLEAN_SERVE_BUDGET.json's postings_append_sec).
+    // Neither commit order was load-bearing for recovery: a crash
+    // between the writes strands one table either way and the handle's
+    // merged stats die with the session — rebuild-or-compact is the
+    // recovery in both orders (unlike MinhashIndex, whose arrays-first
+    // order IS documented and stays serialized).
     val stats = deltaDocs
       .agg(count(lit(1)).as("n"), sum(col("doclen")).as("len")).collect().head
+    graft.util.Par.join(graft.queries.IndexMaintenance.parallelAppends)(
+      // The delta rides Bm25.postings' groupBy partitioning — no extra
+      // repartition before the bucketed append (unlike writeBucketed's
+      // one-file-per-bucket rewrite idiom, which compact() applies).
+      () => delta.write.mode("append")
+        .bucketBy(buckets, "term").sortBy("term")
+        .option("path", graft.util.Scratch.dir(tableName))
+        .saveAsTable(tableName),
+      () => writeBucketed(deltaDocs, docsTable, "doc", buckets, "append"))
     val deltaDf = delta.groupBy("term")
       .agg(countDistinct(col("doc")).as("df"))
     // Lazy: the merged df-statistics frame materializes inside the
