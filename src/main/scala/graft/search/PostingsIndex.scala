@@ -199,9 +199,14 @@ final class PostingsIndex private (
   def score(queryTerms: Seq[String]): DataFrame = {
     import spark.implicits._
     val q = queryTerms.distinct.toDF("term")
+    // Broadcast the query-term slice of the df statistics, not the
+    // whole vocabulary (r15): termDf ⋈ q is ≤ |queryTerms| rows, so
+    // one tiny broadcast replaces a vocabulary-sized one AND the
+    // separate q-join (postings ⋈ (termDf ⋈ q) ≡ postings ⋈ q ⋈
+    // termDf — termDf covers every postings term by construction).
+    // Identical scores; every serve-answer batch pays this per call.
     val perTerm = postings
-      .join(broadcast(q), "term")
-      .join(broadcast(termDf), "term")
+      .join(broadcast(termDf.join(q, "term")), "term")
       .select(col("doc"), col("term"),
         (log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5)) *
           (col("tf") / (col("tf") +
