@@ -411,6 +411,66 @@ object Ann {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** A PRE-COMPUTED IVF probe selection — (query_id, qv, cid) rows as
+    * a driver-local frame plus the distinct probed cids for the
+    * bucket-prune IN list. For a standing pipeline's serve loop the
+    * selection is INVARIANT across batches (frozen branch centroids +
+    * a fixed corpus-cohort query set), so computing it once removes a
+    * per-batch eager checkpoint job AND a per-batch driver collect
+    * from the serve path (r15 VERDICT #4/#5). */
+  private[queries] final case class IvfProbes(frame: DataFrame, cids: Seq[Long])
+
+  /** Driver-side probe selection (r16): the query vectors (a ≤queries-
+    * row pushed-filter scan, ONE tiny job) and the centroids (an
+    * already-checkpointed numCentroids-row frame) are both driver-
+    * bounded, so the top-NProbe argmax runs as a plain Scala loop —
+    * zero Spark jobs beyond the query fetch, and the qv doubles round-
+    * trip exactly (collect → literal frame). The dot product uses the
+    * same left-to-right accumulation as `graft_dot`, so the selected
+    * (qcos DESC, cid ASC) top-NProbe set is bit-identical to
+    * [[ivfTopK]]'s in-cluster window selection (normalized finite
+    * vectors — no NaN ordering edge). */
+  private[queries] def ivfProbeSelection(idx: IvfIndex.Index,
+      queryPred: Column): IvfProbes = {
+    val spark = idx.spark
+    val qRows = idx.assigned.filter(queryPred)
+      .select(col("vec_id"), col("v")).collect()
+    val cents = idx.centroids.select(col("cid"), col("cv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probeRows = qRows.flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Double](1).toArray
+      cents.map { case (cid, cv) =>
+        val n = math.min(qv.length, cv.length)
+        var acc = 0.0
+        var i = 0
+        while (i < n) { acc += qv(i) * cv(i); i += 1 }
+        (qid, cid, acc)
+      }.sortBy { case (_, cid, s) => (-s, cid) }
+        .take(NProbe)
+        .map { case (q, cid, _) => (q, qv.toSeq, cid) }
+    }.toSeq
+    import spark.implicits._
+    IvfProbes(probeRows.toDF("query_id", "qv", "cid"),
+      probeRows.map(_._3).distinct.sorted)
+  }
+
+  /** [[ivfTopK]] over a pre-computed probe selection — the serve-loop
+    * path: per call it plans ONLY the bucket-pruned scan + broadcast
+    * probe join + top-K window (no checkpoint, no collect). */
+  private[queries] def ivfTopKWithProbes(idx: IvfIndex.Index,
+      probes: IvfProbes): DataFrame = {
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    idx.assigned.filter(col("cid").isin(probes.cids: _*))
+      .join(broadcast(probes.frame), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), expr("graft_dot(qv, v)").as("cosine"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** SQ8 two-stage top-K over the corpus dir's shared IVF index at an
     * arbitrary pool width — the config-wired production entry behind
     * `[scale] sq8_cands` ([[ScaleOps.annSq8]]) and the

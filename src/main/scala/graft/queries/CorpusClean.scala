@@ -413,6 +413,12 @@ object CorpusClean {
               acceptedIds.select(col("doc_id").as("vec_id")),
               Seq("vec_id"), "left_semi"), assumeDisjoint = true); () }
           }): _*)
+        // Batch b's derived frames have no later consumers once its
+        // appends committed (r15 ADVICE #3: the upfront derivation
+        // otherwise pins all K batches' blocks until the end sweep;
+        // the RETURNED ledger checkpoints stay).
+        Dedup.freeCheckpoint(derived)
+        emPair.foreach { case (_, rows) => Dedup.freeCheckpoint(rows) }
         ledger
       }
       // Every checkpoint block created during the loop is dead now

@@ -114,13 +114,18 @@ object DigestIndex {
       // pipeline's per-batch delta) so the count-gate JOB is skipped —
       // a wrong hint risks an oversized broadcast, never wrong rows.
       val smallDelta = smallDeltaHint.getOrElse(deltaKeys.count() <= broadcastMaxKeys)
-      val keyed = if (smallDelta) broadcast(deltaKeys) else deltaKeys.hint("shuffle_hash")
       // Corpus rows of colliding digests only — the corpus table scans
       // in place (bucketed, no exchange; bucket-pruned to the delta's
       // keys under [scale] probe_bucket_prune_keys); output is
-      // ≤ delta-sized.
-      val matched = pruneScanToKeys(digests, "content_hash", deltaKeys)
-        .join(keyed, "content_hash")
+      // ≤ delta-sized. Small path: LEFT SEMI against the delta's RAW
+      // digest column (r16 — the MinhashIndex.probeDerived fusion: the
+      // semi join deduplicates, so deltaKeys' distinct stage leaves the
+      // hot path; the frame stays for the gate/prune/bulk uses).
+      val prunedDigests = pruneScanToKeys(digests, "content_hash", deltaKeys)
+      val matched = (if (smallDelta)
+          prunedDigests.join(broadcast(hashed.select(col("content_hash"))),
+            Seq("content_hash"), "left_semi")
+        else prunedDigests.join(deltaKeys.hint("shuffle_hash"), "content_hash"))
         .select(col("content_hash")).distinct()
       hashed.join(
           (if (smallDelta) broadcast(matched) else matched.hint("shuffle_hash"))

@@ -140,6 +140,10 @@ object EmbedIndex {
       // the delta's key set (the corpus band table scans in place,
       // bucketed, no exchange); bulk re-probes past the gate equi-join
       // with the shuffle_hash hint pinned (see MinhashIndex.probeRows).
+      // Small-delta path: LEFT SEMI against the delta's RAW key column
+      // (r16 probe fusion — the MinhashIndex.probeDerived shape: a semi
+      // join deduplicates by definition, so the distinct stage leaves
+      // the hot path; collidingKeys stays for the gate/prune/bulk uses).
       val collidingKeys = deltaBands.select(col("pk")).distinct()
         .localCheckpoint(false)
       // smallDeltaHint: caller-asserted delta ≪ corpus skips the
@@ -148,18 +152,23 @@ object EmbedIndex {
         smallDeltaHint.getOrElse(collidingKeys.count() <= broadcastMaxKeys)
       def keyProbe(keys: DataFrame): DataFrame =
         if (smallDelta) broadcast(keys) else keys.hint("shuffle_hash")
-      val corpusHits = pruneScanToKeys(bands, "pk", collidingKeys)
-        .join(keyProbe(collidingKeys), "pk")
+      val prunedBands = pruneScanToKeys(bands, "pk", collidingKeys)
+      val corpusHits = (if (smallDelta)
+          prunedBands.join(broadcast(deltaBands.select(col("pk"))),
+            Seq("pk"), "left_semi")
+        else prunedBands.join(collidingKeys.hint("shuffle_hash"), "pk"))
         .localCheckpoint(false)
 
-      // Combined hot-band cap: corpus hits + delta rows per key ==
-      // capHotBands' count over the union (keys on one side only
-      // produce no candidates, so uncounted rows don't matter).
-      val corpusN = corpusHits.groupBy("pk").agg(count(lit(1)).as("cn"))
-      val deltaN = deltaBands.groupBy("pk").agg(count(lit(1)).as("dn"))
-      val keptKeys = corpusN
-        .join(if (smallDelta) deltaN else deltaN.hint("shuffle_hash"), "pk")
-        .filter(col("cn") + col("dn") <= cap)
+      // Combined hot-band cap as ONE union-aggregate (r16, the
+      // MinhashIndex.probeDerived shape): corpus hits + delta rows per
+      // key == capHotBands' count over the union; cn>0 ∧ dn>0
+      // reproduces the former inner join of the two count frames.
+      val keptKeys = deltaBands
+        .select(col("pk"), lit(1L).as("dn0"), lit(0L).as("cn0"))
+        .unionAll(corpusHits.select(col("pk"), lit(0L).as("dn0"), lit(1L).as("cn0")))
+        .groupBy(col("pk"))
+        .agg(sum(col("dn0")).as("dn"), sum(col("cn0")).as("cn"))
+        .filter(col("cn") > 0 && col("dn") > 0 && col("cn") + col("dn") <= cap)
         .select(col("pk"))
 
       val candPairs = deltaBands.join(keyProbe(keptKeys), "pk").as("x")
@@ -176,12 +185,15 @@ object EmbedIndex {
         .select(col("vec_id"), col("dup_of"), expr("graft_dot(va, vb)").as("cosine"))
         .filter(col("cosine") >= Dedup.EmbedCosineThreshold)
 
+      // max_by under groupBy, not a row_number window (r16 — the
+      // MinhashIndex.probeDerived note): map-side partial agg, no
+      // sort; (cosine, -dup_of) key ≡ (cosine DESC, dup_of ASC).
       val best = verified
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
-            .orderBy(col("cosine").desc, col("dup_of"))))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("dup_of"), col("cosine"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("dup_of"), col("cosine")),
+          struct(col("cosine"), -col("dup_of"))).as("b"))
+        .select(col("vec_id"), col("b.dup_of").as("dup_of"),
+          col("b.cosine").as("cosine"))
       normed.select(col("vec_id"))
         .join(best, Seq("vec_id"), "left")
         .select(col("vec_id"), col("dup_of"), col("cosine"),
@@ -191,12 +203,15 @@ object EmbedIndex {
     /** Incrementally index `newVecs` ((vec_id, embedding) rows with
       * NEW vec_ids — ENFORCED by the disjointness guard below).
       * Bands and vectors derive scan-locally from the delta; nothing
-      * corpus-sized recomputes. The vectors table commits FIRST (the
-      * [[MinhashIndex.Index.append]] commit-order argument: candidates
-      * come from the bands table, which commits last, so a failure
-      * between the two commits can only leave vectors that are not yet
-      * discoverable — never a candidate whose verify-side vector is
-      * missing). */
+      * corpus-sized recomputes. The two table commits submit
+      * CONCURRENTLY under `[scale] parallel_appends` (r16 — the
+      * [[MinhashIndex.Index.append]] revised recovery contract): a
+      * partial failure can strand either table, both stranded states
+      * are probe-benign (vectors without bands never become
+      * candidates; bands without vectors become candidates the
+      * verify-side vector attach drops), and the retry guard probes
+      * the UNION of both tables' id sets so either stranded state
+      * trips it loudly. Rebuild or compact to reconcile. */
     def append(newVecs: DataFrame): Index =
       appendDerived(deriveRows(newVecs))
 
@@ -208,30 +223,35 @@ object EmbedIndex {
         assumeDisjoint: Boolean = false): Index = {
       assertCurrent()
       val normed = derived.select(col("vec_id"), col("v"))
-      // Disjointness guard on the VECTORS table only (r11 VERDICT #4,
-      // the append-cost shave): vectors commit FIRST (below), so the
-      // vecs table's id set is always a superset of the bands table's
-      // — an id in bands but not vecs is unreachable, and a
-      // failed-between-commits id lives in vecs. Checking vecs alone
-      // is therefore complete, and drops the guard's only
-      // corpus-band-sized scan (rotations × groups × corpus rows —
-      // 32× the vector count at the gate geometry). assumeDisjoint:
-      // caller-proven id disjointness skips the guard entirely (the
+      // Disjointness guard on the UNION of both tables' id sets (r16,
+      // the price of the concurrent two-table commit below — see
+      // [[append]]'s recovery note): a partial failure can strand
+      // either table, so a retry must trip whichever side landed. The
+      // bands side re-adds a single-column corpus-band scan (rotations
+      // × groups × corpus rows) on the GUARDED path only; the standing
+      // pipelines assert disjointness and skip it (the
       // [[DigestIndex.Index.appendDerived]] note).
       if (!assumeDisjoint) {
         val clashes = vectors.select(col("vec_id"))
+          .unionAll(bands.select(col("vec_id")))
           .join(broadcast(normed.select(col("vec_id"))), "vec_id").limit(1).count()
         require(clashes == 0,
           s"append violates the disjointness contract: delta contains vec_ids already in " +
-            s"$vecsTable (an id present there but absent from $tableName means a previous " +
-            "append failed between its two commits — rebuild or compact to reconcile)")
+            s"$vecsTable or $tableName (an id present in one table but absent from the " +
+            "other means a previous append failed between its two commits — rebuild or " +
+            "compact to reconcile)")
       }
-      writeBucketed(normed.select(col("vec_id"), col("v")),
-        vecsTable, "vec_id", buckets, "append")
-      writeBucketed(
-        normed.select(col("vec_id"),
-          explode(EmbedIndex.packedKeys(spark, bandBits, rotations)).as("pk")),
-        tableName, "pk", buckets, "append")
+      // Disjoint tables off one checkpointed frame — concurrent jobs
+      // under [scale] parallel_appends (the MinhashIndex/PostingsIndex
+      // two-table idiom; the union guard above makes the commit order
+      // non-load-bearing).
+      graft.util.Par.join(IndexMaintenance.parallelAppends)(
+        () => writeBucketed(normed.select(col("vec_id"), col("v")),
+          vecsTable, "vec_id", buckets, "append"),
+        () => writeBucketed(
+          normed.select(col("vec_id"),
+            explode(EmbedIndex.packedKeys(spark, bandBits, rotations)).as("pk")),
+          tableName, "pk", buckets, "append"))
       // [scale] compact_every_appends cadence — base tables only
       if (parentIndex.isEmpty && IndexMaintenance.appendTick(baseName)) compact()
       else this

@@ -92,9 +92,19 @@ object EvolveServe {
 
   /** One batch's serving answers against the CURRENT branch state —
     * split out so EvolveServeSpec can replay it against fresh
-    * rebuilds of the accumulated corpus. Unsorted. */
+    * rebuilds of the accumulated corpus. Unsorted.
+    *
+    * `probes` (r16): the evolve/serve loops pass a PRE-COMPUTED IVF
+    * probe selection — frozen branch centroids + a fixed corpus-cohort
+    * query set make the selection invariant across the K batches, so
+    * hoisting it removes a per-batch eager checkpoint job and a
+    * per-batch driver collect from the serve path (r15 VERDICT #4/#5);
+    * [[Ann.ivfProbeSelection]] documents the bit-equality argument.
+    * Without it (the spec's fresh-rebuild replay) the classic
+    * in-cluster selection runs. */
   private[graft] def serveAnswers(b: Int, po: PostingsIndex,
-      iv: IvfIndex.Index, annPred: String = AnnQueryPred): DataFrame = {
+      iv: IvfIndex.Index, annPred: String = AnnQueryPred,
+      probes: Option[Ann.IvfProbes] = None): DataFrame = {
     val topBm = po.score(QueryTerms)
       .select(col("doc").as("doc_id"), round(col("score"), 9).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
@@ -104,7 +114,8 @@ object EvolveServe {
         row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
       .select(lit(b.toLong).as("batch"), lit("bm25").as("kind"),
         lit(-1L).as("qid"), col("doc_id"), col("score"), col("rank"))
-    val ann = Ann.ivfTopK(iv, expr(annPred))
+    val ann = probes.fold(Ann.ivfTopK(iv, expr(annPred)))(
+        Ann.ivfTopKWithProbes(iv, _))
       .select(lit(b.toLong).as("batch"), lit("ann").as("kind"),
         col("query_id").as("qid"), col("vec_id").as("doc_id"),
         col("cosine").as("score"), col("rank"))
@@ -150,6 +161,11 @@ object EvolveServe {
       }
       if (overlap)
         graft.util.Par.materialize(parallel = true)((poDeriveds ++ vecRowsSeq): _*)
+      // IVF probe selection hoisted out of the batch loop (r16 — see
+      // serveAnswers): frozen branch centroids + corpus-cohort queries
+      // make it batch-invariant; one tiny driver job replaces K
+      // checkpoint jobs + K collects.
+      val probes = Ann.ivfProbeSelection(iv, expr(AnnQueryPred))
       val parts = (0 until k).map { b =>
         // assumeDisjoint: batch ids ≡ 0 mod 10 vs the serving indexes'
         // ≢ 0 corpus cohorts, mutually distinct batch residues — the
@@ -168,7 +184,13 @@ object EvolveServe {
         // Eager: the answers must see exactly batches ≤ b — the next
         // iteration's append mutates the branch views a lazy frame
         // would re-read.
-        serveAnswers(b, po, iv).localCheckpoint()
+        val ans = serveAnswers(b, po, iv, probes = Some(probes)).localCheckpoint()
+        // Batch b's derived frames have no later consumers once its
+        // appends committed (r15 ADVICE #3: the upfront derivation
+        // otherwise pins all K batches' blocks until the end sweep).
+        Dedup.freeCheckpoint(poDeriveds(b))
+        Dedup.freeCheckpoint(vecRowsSeq(b))
+        ans
       }
       // MANUAL keep-set sweep, not CheckpointHygiene.scoped: the K
       // answer checkpoints must SURVIVE into the returned frame, which
@@ -261,6 +283,10 @@ object EvolveServe {
       if (overlap)
         graft.util.Par.materialize(parallel = true)(
           (deriveds ++ emRowsSeq ++ poDeriveds): _*)
+      // IVF probe selection hoisted out of the batch loop (r16 — see
+      // serveAnswers): frozen branch centroids + corpus-cohort queries
+      // make it batch-invariant.
+      val probes = Ann.ivfProbeSelection(iv, expr(CleanServeAnnPred))
       val answers = new Array[DataFrame](k)
       (0 until k).foreach { b =>
         val derived = deriveds(b)
@@ -302,14 +328,28 @@ object EvolveServe {
             assumeDisjoint = true); () },
           () => { iv.append(acceptedVecRows, assumeDisjoint = true); () })
         po = poNext
+        // Batch b's derived frames and ledger have no later consumers
+        // once its appends committed (r15 ADVICE #3: the upfront
+        // derivation otherwise pins all K batches' blocks until the
+        // end sweep; the serve answers read only the branch TABLES,
+        // never these frames).
+        Dedup.freeCheckpoint(derived)
+        Dedup.freeCheckpoint(emRows)
+        Dedup.freeCheckpoint(poDeriveds(b))
+        Dedup.freeCheckpoint(ledger)
         // Answers are eagerly checkpointed BEFORE the next batch's
         // append mutates the branch views ([[CorpusClean.incrEvolve]]
         // discipline) — under pipeline_overlap the materialization runs
         // on a side thread, overlapped with the next batch's ledger;
-        // serve.await() above is the ordering barrier.
+        // serve.await() above is the ordering barrier. The side
+        // thread's jobs run in their own FAIR scheduler pool (r16 —
+        // bounds mutual starvation against the concurrent ledger jobs;
+        // Tables.configure sets spark.scheduler.mode=FAIR, Par.async
+        // scopes the pool to the side thread).
         val poNow = po
-        serve = graft.util.Par.async(overlap)(() => {
-          answers(b) = serveAnswers(b, poNow, iv, CleanServeAnnPred).localCheckpoint()
+        serve = graft.util.Par.async(overlap, pool = "graft-serve")(() => {
+          answers(b) = serveAnswers(b, poNow, iv, CleanServeAnnPred,
+            probes = Some(probes)).localCheckpoint()
           ()
         })
       }

@@ -150,6 +150,15 @@ object MinhashIndex {
       // buckets — the shuffle_hash hint pins the strategy so neither
       // the planner's propagated origin stats nor AQE re-broadcast a
       // frame the gate decided is too big).
+      //
+      // In the small-delta case the collision probe is a LEFT SEMI
+      // against the delta's RAW key column (r16 probe-fusion round): a
+      // semi join deduplicates by definition, so the distinct stage
+      // that used to feed the inner join disappears from the hot path.
+      // `collidingKeys` stays as the count-gate / bucket-prune frame
+      // (the gate path counts it; the prune knob collects it) and as
+      // the bulk path's join side, where distinct keys keep the
+      // shuffled row count minimal.
       val collidingKeys = deltaBands.select(col("band_key")).distinct()
         .localCheckpoint(false)
       // smallDeltaHint: caller-asserted delta ≪ corpus skips the
@@ -158,21 +167,28 @@ object MinhashIndex {
         smallDeltaHint.getOrElse(collidingKeys.count() <= broadcastMaxKeys)
       def keyProbe(keys: DataFrame): DataFrame =
         if (smallDelta) broadcast(keys) else keys.hint("shuffle_hash")
-      val corpusHits = pruneScanToKeys(bands, "band_key", collidingKeys)
-        .join(keyProbe(collidingKeys), "band_key")
+      val prunedBands = pruneScanToKeys(bands, "band_key", collidingKeys)
+      val corpusHits = (if (smallDelta)
+          prunedBands.join(broadcast(deltaBands.select(col("band_key"))),
+            Seq("band_key"), "left_semi")
+        else prunedBands.join(collidingKeys.hint("shuffle_hash"), "band_key"))
         .localCheckpoint(false)
 
       // Combined hot-band cap: corpus hits + delta rows per key ==
       // capHotBands' window count over the union (keys absent from one
-      // side yield no candidates, so uncounted rows don't matter).
-      val corpusN = corpusHits.groupBy("band_key").agg(count(lit(1)).as("cn"))
-      val deltaN = deltaBands.groupBy("band_key").agg(count(lit(1)).as("dn"))
-      // Both count frames are colliding-keys-sized — delta-shaped in
-      // the incremental case (planner may broadcast), corpus-shaped in
-      // a bulk re-probe (same gate pins the shuffle).
-      val keptKeys = corpusN
-        .join(if (smallDelta) deltaN else deltaN.hint("shuffle_hash"), "band_key")
-        .filter(col("cn") + col("dn") <= cap)
+      // side yield no candidates, so uncounted rows don't matter — the
+      // cn>0 ∧ dn>0 filter reproduces the former inner join). ONE
+      // union-aggregate computes both sides' counts (r16: the former
+      // two groupBys + join paid an extra shuffle stage and a join for
+      // the same kept-key set; both count frames are colliding-keys-
+      // sized, so one agg over the tagged union is strictly less work).
+      val keptKeys = deltaBands
+        .select(col("band_key"), lit(1L).as("dn0"), lit(0L).as("cn0"))
+        .unionAll(corpusHits
+          .select(col("band_key"), lit(0L).as("dn0"), lit(1L).as("cn0")))
+        .groupBy(col("band_key"))
+        .agg(sum(col("dn0")).as("dn"), sum(col("cn0")).as("cn"))
+        .filter(col("cn") > 0 && col("dn") > 0 && col("cn") + col("dn") <= cap)
         .select(col("band_key"))
 
       // Delta rows of kept keys ⋈ corpus hits (corpus rows of dropped
@@ -196,12 +212,17 @@ object MinhashIndex {
           col("overlap").cast("double") / (col("na") + col("nb") - col("overlap")).cast("double"))
         .filter(col("jaccard") >= Dedup.JaccardThreshold)
 
+      // Best match as max_by under groupBy, NOT a row_number window
+      // (the IvfIndex.assign idiom, r16): partial aggregation combines
+      // map-side and the shuffle needs no sort; the (jaccard, -dup_of)
+      // key struct reproduces the window's (jaccard DESC, dup_of ASC)
+      // order exactly — max jaccard, ties to the smallest corpus id.
       val best = verified
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-            .orderBy(col("jaccard").desc, col("dup_of"))))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("dup_of"), col("jaccard"))
+        .groupBy(col("doc_id"))
+        .agg(max_by(struct(col("dup_of"), col("jaccard")),
+          struct(col("jaccard"), -col("dup_of"))).as("b"))
+        .select(col("doc_id"), col("b.dup_of").as("dup_of"),
+          col("b.jaccard").as("jaccard"))
       sigged.select(col("doc_id"))
         .join(best, Seq("doc_id"), "left")
         .select(col("doc_id"), col("dup_of"), col("jaccard"),
@@ -223,14 +244,23 @@ object MinhashIndex {
       * derived per probe), so probes see the appended corpus
       * immediately.
       *
-      * The two table commits are not atomic (r7 ADVICE): the arrays
-      * table commits FIRST, so a failure between them can only leave
-      * docs with shingle arrays and no band rows — such docs are
-      * simply not yet discoverable as duplicates; the probe can never
-      * see a candidate pair whose verify-side array is missing
-      * (candidates come from the bands table, which commits last).
-      * A retry of the failed append then trips the guard loudly
-      * instead of silently double-writing band rows. */
+      * The two table commits are not atomic, and since r16 they SUBMIT
+      * CONCURRENTLY under `[scale] parallel_appends` (the PostingsIndex
+      * two-table idiom): a failure between/among them can leave EITHER
+      * table ahead. Both stranded states are probe-benign — arrays
+      * without bands never become candidates; bands without arrays
+      * become candidates whose verify-side array attach drops them —
+      * i.e. the doc is "not yet discoverable" either way, exactly the
+      * former arrays-first outcome. What the old serialized order
+      * really bought was a CHEAPER RETRY GUARD (arrays' id set was
+      * provably a superset of bands'); with concurrent commits the
+      * guard probes the UNION of both tables' id sets instead, so a
+      * retry after any partial failure still trips loudly rather than
+      * double-writing rows (a silent bands double-write would inflate
+      * the probe's hot-cap counts — a results risk, not just bloat).
+      * Recovery after a tripped guard: rebuild or compact, the
+      * PostingsIndex contract. MinhashAppendRecoverySpec pins the
+      * guard against both stranded-table states. */
     def append(newDocs: DataFrame): Index =
       appendDerived(deriveRows(newDocs))
 
@@ -245,29 +275,39 @@ object MinhashIndex {
       assertCurrent()
       val sigged = derived.select(col("doc_id"), col("sig"), col("hs"))
         .filter(col("sig").isNotNull)
-      // Guard on the ARRAYS table only (the EmbedIndex.append shave):
-      // both tables derive from the same sigged frame and arrays
-      // commits FIRST, so arrays' id set ⊇ bands' — checking arrays
-      // alone is complete and drops the bands-sized scan (bands × n
-      // rows where arrays is 1 × n). assumeDisjoint: caller-proven id
+      // Guard on the UNION of both tables' id sets (r16, the price of
+      // the concurrent two-table commit below — see [[append]]'s
+      // recovery contract): a partial failure can strand EITHER table,
+      // so a retry must trip whichever side landed. The bands side is
+      // a single-column scan of 16×n rows where arrays is 1×n — paid
+      // only on the guarded path. assumeDisjoint: caller-proven id
       // disjointness skips the guard entirely (the
       // [[DigestIndex.Index.appendDerived]] note — the guard is a
       // per-batch corpus-id scan, the append job floor at scale).
       if (!assumeDisjoint) {
         val clashes = arrays.select(col("doc_id"))
+          .unionAll(bands.select(col("doc_id")))
           .join(broadcast(sigged.select(col("doc_id"))), "doc_id").limit(1).count()
         require(clashes == 0,
           s"append violates the disjointness contract: delta contains doc_ids already in " +
-            s"$arraysTable (an id present there but absent from $tableName means a previous " +
-            "append failed between its two commits — those docs are indexed for verify but " +
-            "not discoverable; rebuild or compact to reconcile)")
+            s"$arraysTable or $tableName (an id present in one table but absent from the " +
+            "other means a previous append failed between its two commits — rebuild or " +
+            "compact to reconcile)")
       }
-      writeBucketed(sigged.select(col("doc_id"), col("hs")),
-        arraysTable, "doc_id", buckets, "append")
-      writeBucketed(
-        sigged.select(col("doc_id"),
-          explode(array(MinhashIndex.bandKeysOfSig: _*)).as("band_key")),
-        tableName, "band_key", buckets, "append")
+      // Disjoint tables off one checkpointed frame — submitted as
+      // concurrent jobs under [scale] parallel_appends (the
+      // PostingsIndex.appendDerived idiom; the union guard above is
+      // what makes the commit order non-load-bearing). The append wall
+      // was the serialized arrays-write → bands-write chain, ~2× one
+      // bucketed-write commit (CLEAN_SERVE_BUDGET.json
+      // minhash_append_sec 1.24 vs digest's single-table 0.54).
+      graft.util.Par.join(IndexMaintenance.parallelAppends)(
+        () => writeBucketed(sigged.select(col("doc_id"), col("hs")),
+          arraysTable, "doc_id", buckets, "append"),
+        () => writeBucketed(
+          sigged.select(col("doc_id"),
+            explode(array(MinhashIndex.bandKeysOfSig: _*)).as("band_key")),
+          tableName, "band_key", buckets, "append"))
       // [scale] compact_every_appends cadence — base tables only
       // (a branch's appends never touch its base), probe-invariant
       if (parentIndex.isEmpty && IndexMaintenance.appendTick(baseName)) compact()

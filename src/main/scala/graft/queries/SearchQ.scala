@@ -36,8 +36,12 @@ object SearchQ {
     // re-rank shape (0.55 text relevance + 0.45 prior here).
     "o5_bm25_hybrid" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // Lazily checkpointed (r16): the candidate frame has TWO
+      // consumers — the min/max aggregate and the re-rank join — so an
+      // uncheckpointed plan scored the postings probe twice per run.
       val cand = PostingsIndex.forDocuments(s, d).score(QueryTerms)
         .withColumnRenamed("doc", "doc_id")
+        .localCheckpoint(false)
       val mm = cand.agg(min(col("score")).as("mn"), max(col("score")).as("mx"))
       cand.crossJoin(broadcast(mm))
         .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")

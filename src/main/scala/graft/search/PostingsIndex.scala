@@ -150,21 +150,22 @@ final class PostingsIndex private (
       require(clashes == 0,
         s"append violates the disjointness contract: delta contains doc ids already in $tableName")
     }
-    // Stats FIRST: the scalar agg's full traversal materializes delta
-    // and deltaDocs in one job, so the two table writes below read
-    // checkpoint blocks — and, writing DISJOINT tables off materialized
-    // state, they submit as CONCURRENT jobs under [scale]
-    // parallel_appends (the append wall was the serialized
-    // postings-write → docs-write chain, ~2× one bucketed-write commit;
-    // measured in CLEAN_SERVE_BUDGET.json's postings_append_sec).
-    // Neither commit order was load-bearing for recovery: a crash
-    // between the writes strands one table either way and the handle's
+    // Stats ∥ writes (r16; was stats-then-writes): the scalar agg and
+    // the two DISJOINT table writes are three independent jobs over the
+    // same two lazily-checkpointed delta frames, so all three submit
+    // concurrently under [scale] parallel_appends and the append wall
+    // collapses from stats + max(write) to max(stats, writes).
+    // Concurrent first materialization of a lazy localCheckpoint is
+    // block-level-locked (getOrElseUpdate: one job computes a
+    // partition, the others read the cached block), so each partition
+    // still computes once. Neither commit order is load-bearing for
+    // recovery: a crash strands one table either way and the handle's
     // merged stats die with the session — rebuild-or-compact is the
-    // recovery in both orders (unlike MinhashIndex, whose arrays-first
-    // order IS documented and stays serialized).
-    val stats = deltaDocs
-      .agg(count(lit(1)).as("n"), sum(col("doclen")).as("len")).collect().head
+    // recovery in all orders.
+    var stats: org.apache.spark.sql.Row = null
     graft.util.Par.join(graft.queries.IndexMaintenance.parallelAppends)(
+      () => { stats = deltaDocs
+        .agg(count(lit(1)).as("n"), sum(col("doclen")).as("len")).collect().head },
       // The delta rides Bm25.postings' groupBy partitioning — no extra
       // repartition before the bucketed append (unlike writeBucketed's
       // one-file-per-bucket rewrite idiom, which compact() applies).

@@ -22,14 +22,21 @@ import java.util.concurrent.{Callable, ExecutionException, Executors}
   * (BuildLog's queue, IndexMaintenance's per-key atomics, Scratch's
   * synchronized registries).
   *
-  * Contract: the thunks MUST be mutually independent — no two may
-  * append to the SAME index (a single index's two-table commit order
-  * is part of its crash-recovery contract), and none may read state
-  * another writes. The evolve loops satisfy this structurally: one
-  * append per index per batch, probes happen strictly before or after
-  * the join barrier. [[join]] always awaits EVERY thunk before
-  * returning or rethrowing — a failure never leaves a sibling's
-  * bucketed write racing the caller's cleanup (`drop()` in a finally).
+  * Contract: the thunks MUST be mutually independent — none may read
+  * state another writes. Writes to DISJOINT tables may be submitted
+  * concurrently even within one index where commit order is proven
+  * non-load-bearing for crash recovery: PostingsIndex (either stranded
+  * table requires rebuild-or-compact — `appendDerived`'s note) and,
+  * since r16, MinhashIndex/EmbedIndex (their append guards probe the
+  * UNION of both tables' id sets, so a retry after a crash between
+  * concurrent commits trips loudly whichever table landed first; the
+  * former arrays-first/vectors-first serialized order is retired with
+  * that guard change — see each `appendDerived`). The evolve loops
+  * stay structurally independent ACROSS indexes: one append per index
+  * per batch, probes strictly before or after the join barrier.
+  * [[join]] always awaits EVERY thunk before returning or rethrowing —
+  * a failure never leaves a sibling's bucketed write racing the
+  * caller's cleanup (`drop()` in a finally).
   */
 object Par {
 
@@ -54,22 +61,40 @@ object Par {
     * stage (the following batch's cleaning ledger). When `parallel` is
     * false the thunk runs SYNCHRONOUSLY before `async` returns — the
     * serialized order is byte-identical to the pre-overlap code path.
-    * [[Handle.await]] rethrows the thunk's failure; [[Handle.awaitQuietly]]
-    * only joins (for cleanup paths that must not mask the primary
-    * failure). Both are idempotent. */
-  def async(parallel: Boolean)(thunk: () => Unit): Handle =
+    * [[Handle.await]] rethrows the thunk's failure — on EVERY await
+    * (the failure is kept, not consumed: a caller that catches the
+    * first throw and awaits again, or two independent awaiters, must
+    * never observe a spurious success — r15 ADVICE);
+    * [[Handle.awaitQuietly]] only joins (for cleanup paths that must
+    * not mask the primary failure). Both are idempotent joins.
+    *
+    * `pool` (optional) names a scheduler pool for the side thread's
+    * jobs (`spark.scheduler.pool` is an inheritable thread-local, so
+    * setting it inside the new thread scopes it to that thread's jobs
+    * alone). Under `spark.scheduler.mode=FAIR` this bounds mutual
+    * starvation between the side thread's jobs and the caller's — the
+    * r15 overlap introduced 2–5× run-to-run variance on the serve rows
+    * when one thread's job queue could starve the other's under FIFO
+    * (r15 VERDICT "what's wrong" #3). Ignored when the thunk runs
+    * synchronously (there is no concurrency to schedule). */
+  def async(parallel: Boolean, pool: String = null)(thunk: () => Unit): Handle =
     if (!parallel) { thunk(); Handle.done }
     else {
-      val h = new Handle(thunk)
+      val h = new Handle(thunk, pool)
       h.thread.start()
       h
     }
 
-  final class Handle private[Par] (thunk: () => Unit) {
+  final class Handle private[Par] (thunk: () => Unit, pool: String = null) {
     @volatile private var failure: Throwable = null
     private[Par] val thread: Thread = if (thunk == null) null else
-      new Thread(() => try thunk() catch { case t: Throwable => failure = t },
-        "graft-par-async")
+      new Thread(() => {
+        if (pool != null)
+          org.apache.spark.sql.SparkSession.getActiveSession
+            .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+            .foreach(_.sparkContext.setLocalProperty("spark.scheduler.pool", pool))
+        try thunk() catch { case t: Throwable => failure = t }
+      }, "graft-par-async")
     def awaitQuietly(): Unit = if (thread != null) {
       // Uninterruptible join — the [[join]] barrier argument: the
       // caller must never race ahead of an in-flight job into cleanup.
@@ -83,7 +108,10 @@ object Par {
     }
     def await(): Unit = {
       awaitQuietly()
-      if (failure != null) { val f = failure; failure = null; throw f }
+      // failure stays set: every await() of a failed thunk throws (a
+      // consumed-on-first-await failure would let a catch-and-re-await
+      // caller, or a second awaiter, observe a spurious success).
+      if (failure != null) throw failure
     }
   }
   object Handle { val done = new Handle(null) }
