@@ -65,10 +65,37 @@ SPARK_GRAFT_SF_DIR=target/scale_x10 \
   scripts/bench.sh > /tmp/x10.json 2>/dev/null || true
 scripts/promote_artifact.sh scale_x10 BENCH_sf1.json || true
 
+log "5b. x10 8-core strike of the data-bound top rows (r15 VERDICT #6:"
+log "    the sf0.1 scaling block is job-floor-bound and uninformative;"
+log "    at x10 the low-core/high-core ratio measures real parallelism)"
+X10_TOP="pipe_incr_clean_serve,pipe_incr_evolve_embed,pipe_incr_evolve,pipe_incr_evolve_serve,d_cluster_keep_best,d_neardup_clusters,d_minhash_lsh,d_incr_neardup,pipe_corpus_clean,ann_ivf_retrain,t_contamination,q1_pricing_summary"
+SPARK_GRAFT_SF_DIR=target/scale_x10 SPARK_GRAFT_CPUS=8 \
+  SPARK_GRAFT_BENCH_ONLY="$X10_TOP" \
+  SPARK_GRAFT_BENCH_REQUIRE_QUIET=1 SPARK_GRAFT_BENCH_WAIT_QUIET=600 \
+  SPARK_GRAFT_BENCH_OUT=/tmp/x10_c8.json scripts/bench.sh > /dev/null 2>&1 || true
+scripts/promote_artifact.sh scale_x10 BENCH_x10_c8.json /tmp/x10_c8.json || true
+export SPARK_GRAFT_CPUS=32
+
+log "5c. streaming replay floor decomposition (r15 VERDICT #7)"
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  sbt -batch "runMain graft.queries.StreamFloorProbe" 2>/dev/null \
+  | grep '"metric":"stream_floor"' > /tmp/sfl.json \
+  && [ -s /tmp/sfl.json ] && cp /tmp/sfl.json STREAM_FLOOR.json \
+  || log "StreamFloorProbe failed (artifact untouched)"
+
 log "6. final quiet-guarded sf0.1 full strike"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   SPARK_GRAFT_BENCH_REQUIRE_QUIET=1 SPARK_GRAFT_BENCH_WAIT_QUIET=900 \
   scripts/bench.sh > /tmp/sf01.json 2>/dev/null || true
-scripts/promote_artifact.sh testdata/sf0.1 BENCH_LOCAL.json || true
+
+log "6b. sibling re-strike of the pipeline family; promotion refuses a >2x outlier"
+log "    (r15 'what's wrong' #1: the committed BENCH_LOCAL.json was the 36.9s"
+log "    evolve_serve outlier run and nothing refused it)"
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  SPARK_GRAFT_BENCH_ONLY="pipe_incr_clean_serve,pipe_incr_evolve,pipe_incr_evolve_embed,pipe_incr_evolve_serve,pipe_incr_clean,pipe_incr_clean_embed,d_cluster_keep_best,d_neardup_clusters" \
+  SPARK_GRAFT_BENCH_REQUIRE_QUIET=1 SPARK_GRAFT_BENCH_WAIT_QUIET=600 \
+  SPARK_GRAFT_BENCH_OUT=/tmp/sf01_sibling.json scripts/bench.sh > /dev/null 2>&1 || true
+PROMOTE_SIBLING=/tmp/sf01_sibling.json \
+  scripts/promote_artifact.sh testdata/sf0.1 BENCH_LOCAL.json || true
 
 log "chain complete — review artifacts, then commit"
