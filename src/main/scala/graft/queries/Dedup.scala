@@ -253,27 +253,30 @@ object Dedup {
     // pipeline makes AFTER clustering — per near-dup cluster, keep the
     // single highest-quality member (longest n_chars; ties to the
     // smaller doc_id), not the arbitrary min-id. Rides the identical
-    // CC kernel as d_neardup_clusters, then ONE cluster-keyed
-    // AGGREGATE computes size and pick together (r16: max_by +
-    // count under groupBy, not a window pair — the windows shared one
-    // exchange but still SORTED the full corpus inside it and emitted
-    // every member row only to filter rk=1; the aggregate combines
-    // map-side and its shuffle carries one partial row per
-    // (partition, cluster). The (n_chars, -doc_id) max_by key
-    // reproduces the pick window's (n_chars DESC, doc_id ASC) order
-    // exactly — the output is the same one keeper row per cluster.)
+    // CC kernel as d_neardup_clusters, then ONE cluster-keyed window
+    // shuffle computes size and pick together (both windows share the
+    // partitioning, so Catalyst plans a single exchange). Cluster
+    // sizes are bounded by the same band-cap discipline as the pair
+    // graph, so the window never sees a corpus-sized partition.
+    // NOTE (r16, measured and kept): a max_by+count groupBy rewrite
+    // was tried — max_by over a struct tie-break key plans as
+    // SortAggregate, trading the shared window exchange+sort for
+    // sort+exchange+sort with no exchange saved (10→10) and mostly-
+    // singleton clusters give the partial agg nothing to collapse;
+    // the targeted strike read a wash (4.32→4.59 against a +4%
+    // drifting control). The window stays.
     "d_cluster_keep_best" -> ((s, d) => {
       val cc = connectedComponents(
         Tables.documents(s, d).select(col("doc_id")),
         minhashLsh(s, d, MaxBandSize).select(col("doc_a"), col("doc_b")))
+      val byCluster = Window.partitionBy(col("cluster_id"))
+      val pick = byCluster.orderBy(col("n_chars").desc, col("doc_id"))
       cc.select(col("doc_id"), col("cluster_id"))
         .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
-        .groupBy(col("cluster_id"))
-        .agg(max_by(struct(col("doc_id"), col("n_chars")),
-            struct(col("n_chars"), -col("doc_id"))).as("b"),
-          count(lit(1)).as("cluster_size"))
-        .select(col("b.doc_id").as("doc_id"), col("cluster_id"),
-          col("b.n_chars").as("n_chars"), col("cluster_size"))
+        .withColumn("cluster_size", count(lit(1)).over(byCluster))
+        .withColumn("rk", row_number().over(pick))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("cluster_id"), col("n_chars"), col("cluster_size"))
         .orderBy(col("doc_id"))
     }),
 
@@ -948,15 +951,17 @@ object Dedup {
       .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("dup_of"))
       .distinct()
     val verified = verifyJaccard(cands, sh, "doc_id", "dup_of")
-    // max_by under groupBy, not a row_number window (r16 — the
-    // MinhashIndex.probeDerived note): map-side partial agg, no sort;
-    // (jaccard, -dup_of) key ≡ (jaccard DESC, dup_of ASC).
+    // NOTE (r16, measured and kept as a window): a max_by-under-groupBy
+    // rewrite was tried — max_by over a STRUCT tie-break key plans as
+    // SortAggregate (structs aren't hash-aggregable buffers), which
+    // swapped the window's one exchange+sort for sort+exchange+sort
+    // with no exchange saved (plan diff: 18→18 exchanges, 6→8 sorts);
+    // the window stays.
     val best = verified
-      .groupBy(col("doc_id"))
-      .agg(max_by(struct(col("dup_of"), col("jaccard")),
-        struct(col("jaccard"), -col("dup_of"))).as("b"))
-      .select(col("doc_id"), col("b.dup_of").as("dup_of"),
-        col("b.jaccard").as("jaccard"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("jaccard").desc, col("dup_of"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("dup_of"), col("jaccard"))
     Tables.documents(s, d).select(col("doc_id")).filter(isDelta)
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), col("dup_of"), col("jaccard"),

@@ -171,17 +171,26 @@ object EmbedIndex {
         .filter(col("cn") > 0 && col("dn") > 0 && col("cn") + col("dn") <= cap)
         .select(col("pk"))
 
-      val candPairs = deltaBands.join(keyProbe(keptKeys), "pk").as("x")
+      val candPairs0 = deltaBands.join(keyProbe(keptKeys), "pk").as("x")
         .join(corpusHits.as("y"), Seq("pk"))
         .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("dup_of"))
         .distinct()
+      // Verify-side scan pruning under [scale] probe_bucket_prune_keys
+      // (r16 — the MinhashIndex.probeDerived note: the vectors attach
+      // otherwise scans the whole corpus-sized vectors table per
+      // probe; knob off leaves the plan byte-identical).
+      val candPairs =
+        if (IndexMaintenance.probeBucketPruneKeys > 0) candPairs0.localCheckpoint(false)
+        else candPairs0
+      val corpusVectors = pruneScanToKeys(vectors, "vec_id",
+        candPairs.select(col("dup_of").as("vec_id")).distinct())
 
       // Exact cosine verify: delta vectors ride the checkpointed
       // normalized frame; corpus vectors attach from the bucketed
       // table (no exchange on that side).
       val verified = candPairs
         .join(normed.select(col("vec_id"), col("v").as("va")), "vec_id")
-        .join(vectors.select(col("vec_id").as("dup_of"), col("v").as("vb")), "dup_of")
+        .join(corpusVectors.select(col("vec_id").as("dup_of"), col("v").as("vb")), "dup_of")
         .select(col("vec_id"), col("dup_of"), expr("graft_dot(va, vb)").as("cosine"))
         .filter(col("cosine") >= Dedup.EmbedCosineThreshold)
 

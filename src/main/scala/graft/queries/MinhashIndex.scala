@@ -194,17 +194,32 @@ object MinhashIndex {
       // Delta rows of kept keys ⋈ corpus hits (corpus rows of dropped
       // keys can't match — the key filter needs only one side).
       // keptKeys ⊆ collidingKeys, so it rides the same gate decision.
-      val candPairs = deltaBands.join(keyProbe(keptKeys), "band_key").as("x")
+      val candPairs0 = deltaBands.join(keyProbe(keptKeys), "band_key").as("x")
         .join(corpusHits.as("y"), Seq("band_key"))
         .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("dup_of"))
         .distinct()
+      // Verify-side scan pruning (r16, under the same [scale]
+      // probe_bucket_prune_keys knob as the band scan): the arrays
+      // attach join below otherwise SCANS the whole corpus-sized
+      // arrays table per probe — the bucketing only elides its
+      // exchange, not its IO, and at production bucket counts the
+      // candidates' dup_of ids hit a tiny fraction of the buckets.
+      // With the knob on, candPairs is lazily checkpointed and its
+      // distinct corpus ids become the IN list (one candidate-sized
+      // collect — the pruneScanToKeys contract); knob off (the
+      // gate-pinned default) leaves the plan byte-identical.
+      val candPairs =
+        if (IndexMaintenance.probeBucketPruneKeys > 0) candPairs0.localCheckpoint(false)
+        else candPairs0
+      val corpusArrays = pruneScanToKeys(arrays, "doc_id",
+        candPairs.select(col("dup_of").as("doc_id")).distinct())
 
       // Exact verify: delta arrays ride the checkpointed sigged frame;
       // corpus arrays attach from the bucketed table (no exchange on
       // that side).
       val verified = candPairs
         .join(sigged.select(col("doc_id"), col("hs").as("hs_a")), "doc_id")
-        .join(arrays.select(col("doc_id").as("dup_of"), col("hs").as("hs_b")), "dup_of")
+        .join(corpusArrays.select(col("doc_id").as("dup_of"), col("hs").as("hs_b")), "dup_of")
         .select(col("doc_id"), col("dup_of"),
           size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("overlap"),
           size(col("hs_a")).cast("long").as("na"), size(col("hs_b")).cast("long").as("nb"))
